@@ -1,0 +1,112 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import scala.util.hashing.MurmurHash3
+
+/** The whole per-document extraction pipeline: html bytes -> ExtractedDoc.
+  *
+  * Mirrors the reference's document lifecycle
+  * (/root/reference/ferrules-core/src/parse/document.rs:211-276):
+  * per-page front-end parse -> layout -> NMS -> OCR decision -> line/layout
+  * assignment -> elements; then document-level: flatten elements in page
+  * order, k-means title levels (seeded from the url — SURVEY.md 7.3), block
+  * grouping, renders.
+  *
+  * This is a pure function: it is the unit of work `mapPartitions` applies,
+  * and also the sequential oracle that generates the goldens. Failures never
+  * drop rows silently (unlike the reference's eprintln at native.rs:295) —
+  * they surface in the `parseStatus` / `errorClass` taxonomy.
+  */
+object Extract {
+
+  final case class ExtractedDoc(
+      url: String,
+      extractedText: String,
+      markdown: String,
+      html: String,
+      blocksJson: String,
+      nPages: Int,
+      nBlocks: Int,
+      nElements: Int,
+      nLines: Int,
+      needOcrPages: Int,
+      parseStatus: String, // ok | error
+      errorClass: String // "" | empty_doc | oversize | parse_error | exception
+  )
+
+  /** Max accepted input size — mirrors the API's 250 MB body cap
+    * (/root/reference/ferrules-api/src/main.rs:40).
+    */
+  val MaxBytes: Int = 250 * 1024 * 1024
+
+  val EngineVersion: String = "0.1.0"
+
+  /** Deterministic per-document seed (k-means init), derived from the url. */
+  def docSeed(url: String): Long = {
+    val h1 = MurmurHash3.stringHash(url, 0x9747b28c)
+    val h2 = MurmurHash3.stringHash(url, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
+  def extractDocument(url: String, html: Array[Byte]): ExtractedDoc =
+    try {
+      if (html == null || html.isEmpty)
+        return failed(url, "empty_doc")
+      if (html.length > MaxBytes)
+        return failed(url, "oversize")
+      val text = new String(html, StandardCharsets.UTF_8)
+      val laidOut = HtmlFront.layoutDocument(text)
+      extractPages(url, laidOut)
+    } catch {
+      case _: HtmlFront.ParseException => failed(url, "parse_error")
+      case scala.util.control.NonFatal(_) => failed(url, "exception")
+    }
+
+  private def failed(url: String, errorClass: String): ExtractedDoc =
+    ExtractedDoc(url, "", "", "", "[]", 0, 0, 0, 0, 0, "error", errorClass)
+
+  private def extractPages(url: String, pagesIn: Seq[HtmlFront.LaidOutPage]): ExtractedDoc = {
+    var nLines = 0
+    val pages = pagesIn.zipWithIndex.map { case (p, pageId) =>
+      // L4: verbatim NMS over the oracle's raw boxes (layout/model.rs:125).
+      val boxes = Nms.nms(p.boxes)
+      // T3/T4: char -> span -> line folds.
+      val spans = Tokenize.parseTextSpans(p.chars)
+      val lines = Tokenize.parseTextLines(spans)
+      nLines += lines.length
+      // O1: OCR decision over ALL native lines vs text-kind boxes
+      // (page.rs:65-93). Linux OCR is unimplemented in the reference
+      // (ocr/mod.rs:149-154), so lines stay native either way; needOcr is a
+      // surfaced flag.
+      val textBoxes = boxes.filter(_.isTextBlock)
+      val needOcr = Assign.pageNeedsOcr(textBoxes, lines)
+      // J1-J4.
+      val elements = Assign.buildPageElements(boxes, lines, pageId)
+      StructuredPage(pageId, HtmlFront.PageWidth, HtmlFront.PageHeight, needOcr, elements)
+    }
+
+    // Document assembly (document.rs:242-265): flatten in page order,
+    // k-means over Title/Subtitle heights, block grouping.
+    val allElements: Vector[Element] = pages.iterator.flatMap(_.elements).toVector
+    val titles = allElements.filter(e =>
+      e.kind == ElementType.Title || e.kind == ElementType.Subtitle)
+    val titleLevel = Titles.titleLevelsKmeans(titles, Titles.TitleBuckets, docSeed(url))
+    val blocks = Blocks.mergeElementsIntoBlocks(allElements, titleLevel)
+
+    val docName = Render.sanitizeDocName(url)
+    ExtractedDoc(
+      url = url,
+      extractedText = Render.toText(blocks),
+      markdown = Render.toMarkdown(blocks, None),
+      html = Render.toHtml(blocks, docName, None),
+      blocksJson = Render.blocksToJson(blocks),
+      nPages = pages.length,
+      nBlocks = blocks.length,
+      nElements = allElements.length,
+      nLines = nLines,
+      needOcrPages = pages.count(_.needOcr),
+      parseStatus = "ok",
+      errorClass = ""
+    )
+  }
+}

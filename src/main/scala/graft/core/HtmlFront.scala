@@ -1,0 +1,395 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** The front-end substitution for pdfium + the ONNX layout model.
+  *
+  * The reference's two native black boxes (pdfium's char stream,
+  * parse/native.rs:158-213, and the YOLOv8s-DocLayNet session,
+  * layout/model.rs:106-254) are unavailable and out of scope for a
+  * from-scratch Spark rebuild (SURVEY.md section 7.2). This front-end parses a
+  * constrained, deterministic synthetic HTML dialect (FIXTURES.md section 2)
+  * into:
+  *
+  *   - a char stream with synthetic geometry (page 612x792pt, line height =
+  *     fontSize*1.2, char advance = fontSize*0.5, margins 36pt, header band
+  *     y<72, footer band y>720) that feeds the verbatim T3/T4 folds; and
+  *   - a deterministic "layout oracle": one DocLayNet-labelled box per DOM
+  *     block (tag->label mirroring ID2LABEL, layout/model.rs:69-81), bbox =
+  *     union of the block's char boxes, which then runs through the verbatim
+  *     NMS. Boilerplate (<nav>) gets chars but NO box, so its lines fail the
+  *     0.5-intersection / 20-distance assignment and are dropped — exactly
+  *     how the reference discards unassigned lines (merge.rs:141-157).
+  *
+  * Dialect (all of it emitted by graft.spark.PagesTable, seeded):
+  *   <page> ... </page>               one page (document = page sequence; a
+  *                                    bare document is a single page)
+  *   <page data-nolb="1">             suppress injected linebreak chars
+  *                                    (emulates "pdfium doesn't inject a
+  *                                    linebreak", entities.rs:345)
+  *   h1 | h2..h6 | p | sub | math     text blocks (Title / Section-header /
+  *                                    Text / Footnote / Formula)
+  *   ul > li                          List-item boxes (one per li)
+  *   header | footer                  Page-header / Page-footer bands
+  *   figure > figcaption?             Picture box (reserved rect, no chars)
+  *                                    + Caption box; data-capfirst="1" puts
+  *                                    the caption above the picture
+  *   table > tr > td                  one Table box; cell text joins with
+  *                                    spaces, one row per tr
+  *   nav                              chars with no layout box (boilerplate)
+  *   span data-font-size|-weight|-name   inline font override inside a block
+  *   ghost label=".." x0=".." y0=".." x1=".." y1=".." proba=".."
+  *                                    explicit extra layout box (no chars) —
+  *                                    exercises NMS overlaps + merge_remaining
+  */
+object HtmlFront {
+
+  val PageWidth: Float = 612f
+  val PageHeight: Float = 792f
+  val MarginLeft: Float = 36f
+  val ContentRight: Float = 576f
+  val BodyTop: Float = 80f
+  val HeaderTop: Float = 40f
+  val FooterTop: Float = 724f
+  val BlockGap: Float = 4f
+
+  final case class Font(name: String, size: Float, weight: Int)
+
+  def fontFor(tag: String): Font = tag match {
+    case "h1"         => Font("Serif", 24f, 700)
+    case "h2"         => Font("Serif", 20f, 700)
+    case "h3"         => Font("Serif", 18f, 700)
+    case "h4"         => Font("Serif", 16f, 700)
+    case "h5"         => Font("Serif", 14f, 700)
+    case "h6"         => Font("Serif", 13f, 700)
+    case "p"          => Font("Sans", 12f, 400)
+    case "li"         => Font("Sans", 12f, 400)
+    case "figcaption" => Font("Sans", 10f, 400)
+    case "header"     => Font("Sans", 9f, 400)
+    case "footer"     => Font("Sans", 9f, 400)
+    case "sub"        => Font("Sans", 8f, 400)
+    case "math"       => Font("Mono", 12f, 400)
+    case "td"         => Font("Sans", 10f, 400)
+    case "nav"        => Font("Sans", 11f, 400)
+    case other        => Font("Sans", 12f, 400)
+  }
+
+  /** Tag -> DocLayNet label (mirrors ID2LABEL, layout/model.rs:69-81). */
+  def labelFor(tag: String): Option[String] = tag match {
+    case "h1"                                  => Some("Title")
+    case "h2" | "h3" | "h4" | "h5" | "h6"      => Some("Section-header")
+    case "p"                                   => Some("Text")
+    case "li"                                  => Some("List-item")
+    case "figure"                              => Some("Picture")
+    case "figcaption"                          => Some("Caption")
+    case "header"                              => Some("Page-header")
+    case "footer"                              => Some("Page-footer")
+    case "table"                               => Some("Table")
+    case "sub"                                 => Some("Footnote")
+    case "math"                                => Some("Formula")
+    case "nav"                                 => None // boilerplate: no box
+    case _                                     => None
+  }
+
+  // ---------------------------------------------------------------- DOM
+
+  sealed trait Node
+  final case class Elem(tag: String, attrs: Map[String, String], children: Vector[Node]) extends Node
+  final case class Text(s: String) extends Node
+
+  final class ParseException(msg: String) extends RuntimeException(msg)
+
+  /** Minimal deterministic parser for the dialect above. Throws
+    * [[ParseException]] on malformed input (-> `parse_error` taxonomy).
+    */
+  def parseDom(html: String): Vector[Elem] = {
+    var i = 0
+    val n = html.length
+
+    def error(msg: String) = throw new ParseException(s"$msg at offset $i")
+
+    def parseAttrs(): Map[String, String] = {
+      var attrs = Map.empty[String, String]
+      while (i < n && html.charAt(i) != '>' && html.charAt(i) != '/') {
+        while (i < n && html.charAt(i).isWhitespace) i += 1
+        if (i < n && html.charAt(i) != '>' && html.charAt(i) != '/') {
+          val start = i
+          while (i < n && html.charAt(i) != '=' && !html.charAt(i).isWhitespace &&
+            html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+          val key = html.substring(start, i)
+          if (i < n && html.charAt(i) == '=') {
+            i += 1
+            if (i >= n || html.charAt(i) != '"') error(s"expected '\"' for attr $key")
+            i += 1
+            val vs = i
+            while (i < n && html.charAt(i) != '"') i += 1
+            if (i >= n) error("unterminated attribute value")
+            attrs += key -> html.substring(vs, i)
+            i += 1
+          } else if (key.nonEmpty) attrs += key -> ""
+        }
+      }
+      attrs
+    }
+
+    def parseNodes(closing: Option[String]): Vector[Node] = {
+      val out = ArrayBuffer.empty[Node]
+      while (i < n) {
+        if (html.charAt(i) == '<') {
+          if (i + 1 < n && html.charAt(i + 1) == '/') {
+            val close = html.indexOf('>', i)
+            if (close < 0) error("unterminated close tag")
+            val name = html.substring(i + 2, close).trim
+            closing match {
+              case Some(c) if c == name => i = close + 1; return out.toVector
+              case _ => error(s"unexpected </$name>")
+            }
+          } else {
+            i += 1
+            val start = i
+            while (i < n && !html.charAt(i).isWhitespace &&
+              html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+            val tag = html.substring(start, i)
+            if (tag.isEmpty) error("empty tag name")
+            val attrs = parseAttrs()
+            if (i < n && html.charAt(i) == '/') {
+              i += 1
+              if (i >= n || html.charAt(i) != '>') error("malformed self-closing tag")
+              i += 1
+              out += Elem(tag, attrs, Vector.empty)
+            } else if (i < n && html.charAt(i) == '>') {
+              i += 1
+              out += Elem(tag, attrs, parseNodes(Some(tag)))
+            } else error(s"unterminated <$tag")
+          }
+        } else {
+          val start = i
+          while (i < n && html.charAt(i) != '<') i += 1
+          val raw = html.substring(start, i)
+          val t = unescape(raw)
+          if (t.exists(!_.isWhitespace)) out += Text(normalizeWs(t))
+        }
+      }
+      closing match {
+        case Some(c) => error(s"missing </$c>")
+        case None    => out.toVector
+      }
+    }
+
+    val nodes = parseNodes(None)
+    val elems = nodes.collect { case e: Elem => e }
+    if (elems.exists(_.tag == "page")) {
+      if (!nodes.forall { case e: Elem => e.tag == "page"; case _ => false })
+        throw new ParseException("mixed <page> and top-level content")
+      elems.toVector
+    } else Vector(Elem("page", Map.empty, nodes))
+  }
+
+  private def unescape(s: String): String =
+    if (s.indexOf('&') < 0) s
+    else s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  private def normalizeWs(s: String): String = {
+    // collapse runs of whitespace to a single space, trim edges
+    val sb = new StringBuilder
+    var prevWs = true
+    s.foreach { c =>
+      if (c.isWhitespace) { if (!prevWs) sb += ' '; prevWs = true }
+      else { sb += c; prevWs = false }
+    }
+    if (sb.nonEmpty && sb.last == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  // ------------------------------------------------------------ geometry
+
+  /** One laid-out page: the char stream plus the raw (pre-NMS) layout boxes. */
+  final case class LaidOutPage(chars: Vector[PChar], boxes: Vector[LayoutBox])
+
+  private final class PageState(val nolb: Boolean) {
+    val chars = ArrayBuffer.empty[PChar]
+    val boxes = ArrayBuffer.empty[LayoutBox]
+    var bodyY: Float = BodyTop
+    var headerY: Float = HeaderTop
+    var footerY: Float = FooterTop
+    var charIdx: Int = 0
+    var boxId: Int = 0
+
+    def nextBoxId(): Int = { val id = boxId; boxId += 1; id }
+
+    def addBox(label: String, bbox: BBox, proba: Option[Float]): Unit = {
+      val id = nextBoxId()
+      boxes += LayoutBox(id, bbox, label, proba.getOrElse(0.9f - 0.0001f * id))
+    }
+  }
+
+  /** Inline runs of a block: text fragments with their effective font. */
+  private def inlineRuns(children: Seq[Node], base: Font): Vector[(String, Font)] = {
+    val runs = ArrayBuffer.empty[(String, Font)]
+    def walk(nodes: Seq[Node], font: Font): Unit = nodes.foreach {
+      case Text(t) => runs += ((t, font))
+      case Elem("span", attrs, kids) =>
+        val f = Font(
+          attrs.getOrElse("data-font-name", font.name),
+          attrs.get("data-font-size").map(_.toFloat).getOrElse(font.size),
+          attrs.get("data-font-weight").map(_.toInt).getOrElse(font.weight)
+        )
+        walk(kids, f)
+      case Elem(t, _, _) =>
+        throw new ParseException(s"unsupported inline tag <$t>")
+    }
+    walk(children, base)
+    // join adjacent text fragments with a single space (generator contract)
+    val out = ArrayBuffer.empty[(String, Font)]
+    runs.zipWithIndex.foreach { case ((t, f), idx) =>
+      val txt = if (idx == 0) t else " " + t
+      out += ((txt, f))
+    }
+    out.toVector
+  }
+
+  /** Lay out one block's runs starting at `y0`, word-wrapped at the content
+    * width. Returns the y just below the last line. Emits chars into `st`.
+    */
+  private def layoutRuns(
+      st: PageState,
+      runs: Seq[(String, Font)],
+      baseFont: Font,
+      y0: Float,
+      xLeft: Float = MarginLeft,
+      xRight: Float = ContentRight
+  ): Float = {
+    val lineHeight = baseFont.size * 1.2f
+    var x = xLeft
+    var y = y0
+    var usedLines = 1
+    for ((text, font) <- runs) {
+      val adv = font.size * 0.5f
+      var ti = 0
+      while (ti < text.length) {
+        val cp = text.codePointAt(ti)
+        val cs = Character.charCount(cp)
+        val s = text.substring(ti, ti + cs)
+        if (x + adv > xRight) { // wrap (positions only; no chars injected)
+          x = xLeft
+          y += lineHeight
+          usedLines += 1
+        }
+        val bb = BBox(x, y, x + adv, y + font.size)
+        st.chars += PChar(s, font.name, font.size, font.weight, 0f, bb, bb, st.charIdx)
+        st.charIdx += 1
+        x += adv
+        ti += cs
+      }
+    }
+    if (!st.nolb) {
+      // Injected linebreak char (pdfium-synthetic-char emulation): zero-area
+      // bbox, fontSize 0 — forces a span break and a "\n"-terminated line.
+      val bb = BBox(x, y, x, y)
+      st.chars += PChar("\n", "", 0f, -1, 0f, bb, bb, st.charIdx)
+      st.charIdx += 1
+    }
+    y + lineHeight
+  }
+
+  /** Union of the non-linebreak chars emitted between two char-counter marks. */
+  private def charUnion(st: PageState, from: Int): Option[BBox] = {
+    var bb: BBox = null
+    var i = from
+    while (i < st.chars.length) {
+      val c = st.chars(i)
+      if (c.fontSize != 0f) bb = if (bb == null) c.tight else bb.merge(c.tight)
+      i += 1
+    }
+    Option(bb)
+  }
+
+  private def layoutBlock(st: PageState, tag: String, children: Seq[Node]): Unit = {
+    val font = fontFor(tag)
+    val mark = st.chars.length
+    val endY = layoutRuns(st, inlineRuns(children, font), font, st.bodyY)
+    st.bodyY = endY + BlockGap
+    labelFor(tag).foreach { label =>
+      charUnion(st, mark).foreach(bb => st.addBox(label, bb, None))
+    }
+  }
+
+  private def layoutPageElem(page: Elem): LaidOutPage = {
+    val st = new PageState(page.attrs.contains("data-nolb"))
+    page.children.foreach {
+      case Text(_) => throw new ParseException("bare text at page level")
+      case Elem(tag, attrs, children) =>
+        tag match {
+          case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "p" | "sub" | "math" =>
+            layoutBlock(st, tag, children)
+
+          case "nav" => // chars, no box: boilerplate to be dropped downstream
+            val font = fontFor("nav")
+            val endY = layoutRuns(st, inlineRuns(children, font), font, st.bodyY)
+            st.bodyY = endY + BlockGap
+
+          case "ul" =>
+            children.foreach {
+              case Elem("li", _, kids) => layoutBlock(st, "li", kids)
+              case Text(_)             => // ignorable whitespace
+              case Elem(t, _, _)       => throw new ParseException(s"<$t> inside <ul>")
+            }
+
+          case "header" =>
+            val font = fontFor("header")
+            val mark = st.chars.length
+            val endY = layoutRuns(st, inlineRuns(children, font), font, st.headerY)
+            st.headerY = endY + BlockGap
+            charUnion(st, mark).foreach(bb => st.addBox("Page-header", bb, None))
+
+          case "footer" =>
+            val font = fontFor("footer")
+            val mark = st.chars.length
+            val endY = layoutRuns(st, inlineRuns(children, font), font, st.footerY)
+            st.footerY = endY + BlockGap
+            charUnion(st, mark).foreach(bb => st.addBox("Page-footer", bb, None))
+
+          case "figure" =>
+            val capFirst = attrs.contains("data-capfirst")
+            val w = attrs.get("data-width").map(_.toFloat).getOrElse(300f)
+            val h = attrs.get("data-height").map(_.toFloat).getOrElse(150f)
+            val caption = children.collectFirst { case e @ Elem("figcaption", _, _) => e }
+            def picture(): Unit = {
+              st.addBox("Picture", BBox(MarginLeft, st.bodyY, MarginLeft + w, st.bodyY + h), None)
+              st.bodyY += h + BlockGap
+            }
+            def cap(): Unit = caption.foreach(c => layoutBlock(st, "figcaption", c.children))
+            if (capFirst) { cap(); picture() } else { picture(); cap() }
+
+          case "table" =>
+            val mark = st.chars.length
+            children.foreach {
+              case Elem("tr", _, cells) =>
+                val cellTexts = cells.collect { case Elem("td", _, kids) =>
+                  kids.collect { case Text(t) => t }.mkString(" ")
+                }
+                val font = fontFor("td")
+                val endY = layoutRuns(st,
+                  Vector((cellTexts.mkString("  "), font)), font, st.bodyY)
+                st.bodyY = endY
+              case Text(_)       => // ignorable
+              case Elem(t, _, _) => throw new ParseException(s"<$t> inside <table>")
+            }
+            st.bodyY += BlockGap
+            charUnion(st, mark).foreach(bb => st.addBox("Table", bb, None))
+
+          case "ghost" =>
+            val bb = BBox(attrs("x0").toFloat, attrs("y0").toFloat,
+              attrs("x1").toFloat, attrs("y1").toFloat)
+            st.addBox(attrs("label"), bb, attrs.get("proba").map(_.toFloat))
+
+          case other => throw new ParseException(s"unsupported block tag <$other>")
+        }
+    }
+    LaidOutPage(st.chars.toVector, st.boxes.toVector)
+  }
+
+  /** Parse + lay out a whole document (one entry per page). */
+  def layoutDocument(html: String): Vector[LaidOutPage] =
+    parseDom(html).map(layoutPageElem)
+}

@@ -1,0 +1,110 @@
+package graft.core
+
+import scala.collection.mutable.ArrayBuffer
+
+/** T3/T4: char → CharSpan → Line folds.
+  *
+  * Order-dependent sequential folds, re-derived from
+  * /root/reference/ferrules-core/src/parse/native.rs:16-57 and
+  * /root/reference/ferrules-core/src/entities.rs:265-363. These are pure
+  * per-page functions; they never see a shuffle.
+  */
+object Tokenize {
+
+  /** Run-length group chars by (fontSize, fontName, fontWeight, rotation).
+    * First char seeds the span with its tight bounds; appended chars merge
+    * their loose bounds (native.rs:16-39, entities.rs:265-300).
+    */
+  def parseTextSpans(chars: Iterable[PChar]): Vector[CharSpan] = {
+    val spans = ArrayBuffer.empty[SpanBuilder]
+    val it = chars.iterator
+    while (it.hasNext) {
+      val c = it.next()
+      if (spans.isEmpty || !spans.last.tryAppend(c)) spans += SpanBuilder.from(c)
+    }
+    spans.iterator.map(_.build).toVector
+  }
+
+  private final class SpanBuilder(
+      var bbox: BBox,
+      val text: java.lang.StringBuilder,
+      val rotation: Float,
+      val fontName: String,
+      val fontSize: Float,
+      val fontWeight: Int,
+      val charStartIdx: Int,
+      var charEndIdx: Int
+  ) {
+    /** entities.rs:282-300: reject on any font/rotation mismatch. */
+    def tryAppend(c: PChar): Boolean =
+      if (c.fontSize != fontSize || c.fontName != fontName ||
+        c.fontWeight != fontWeight || c.rotation != rotation) false
+      else {
+        text.append(c.text)
+        charEndIdx = c.index
+        bbox = bbox.merge(c.loose)
+        true
+      }
+
+    def build: CharSpan =
+      CharSpan(bbox, text.toString, rotation, fontName, fontSize, fontWeight,
+        charStartIdx, charEndIdx)
+  }
+
+  private object SpanBuilder {
+    def from(c: PChar): SpanBuilder =
+      new SpanBuilder(c.tight, new java.lang.StringBuilder(c.text), c.rotation,
+        c.fontName, c.fontSize, c.fontWeight, c.index, c.index)
+  }
+
+  /** Accumulate spans into lines. A line breaks when the incoming span has a
+    * different rotation, starts below the line (`span.y0 > line.y1`), or its
+    * text ends with "\n" / "" (entities.rs:343-362). On a break the
+    * *finished* line's text is passed through [[FixText.fixText]]
+    * (entities.rs:349); the page's final line is never fixed (no break fires
+    * for it). A zero-area line bbox (the previous span was a linebreak char)
+    * is replaced by the incoming span's bbox rather than merged
+    * (entities.rs:352-356).
+    */
+  def parseTextLines(spans: Iterable[CharSpan]): Vector[Line] = {
+    val lines = ArrayBuffer.empty[LineBuilder]
+    val it = spans.iterator
+    while (it.hasNext) {
+      val span = it.next()
+      if (lines.isEmpty) lines += LineBuilder.from(span)
+      else {
+        val line = lines.last
+        if (span.rotation != line.rotation ||
+          span.bbox.y0 > line.bbox.y1 ||
+          span.text.endsWith("\n") || span.text.endsWith("\u0002")) {
+          line.finish() // fix_text on the completed line
+          lines += LineBuilder.from(span)
+        } else {
+          if (line.bbox.isZeroArea) line.bbox = span.bbox
+          else line.bbox = line.bbox.merge(span.bbox)
+          line.text.append(span.text)
+          line.spans += span
+        }
+      }
+    }
+    lines.iterator.map(_.build).toVector
+  }
+
+  private final class LineBuilder(
+      var text: java.lang.StringBuilder,
+      var bbox: BBox,
+      val rotation: Float,
+      val spans: ArrayBuffer[CharSpan]
+  ) {
+    private var fixed: Option[String] = None
+    def finish(): Unit = fixed = Some(FixText.fixText(text.toString))
+    def build: Line =
+      Line(fixed.getOrElse(text.toString), bbox, rotation, spans.toVector)
+  }
+
+  private object LineBuilder {
+    def from(span: CharSpan): LineBuilder =
+      new LineBuilder(new java.lang.StringBuilder(span.text), span.bbox,
+        span.rotation, ArrayBuffer(span))
+  }
+}

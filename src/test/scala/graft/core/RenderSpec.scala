@@ -1,0 +1,86 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RenderSpec extends AnyFunSuite {
+
+  val blocks = Vector(
+    Block(0, BlockKind.Title(1, "Doc Title"), Vector(0), BBox(0f, 0f, 1f, 1f)),
+    Block(1, BlockKind.Header("Page Head"), Vector(0), BBox(0f, 0f, 1f, 1f)),
+    Block(2, BlockKind.TextBlock("Body text."), Vector(0), BBox(0f, 0f, 1f, 1f)),
+    Block(3, BlockKind.ListBlock(Vector("• one", "two")), Vector(0), BBox(0f, 0f, 1f, 1f)),
+    Block(4, BlockKind.Image(0, Some("A caption")), Vector(0), BBox(0f, 0f, 1f, 1f)),
+    Block(5, BlockKind.Footer("p 1"), Vector(0), BBox(0f, 0f, 1f, 1f))
+  )
+
+  test("bullet strip removes first bullet occurrence only (Rust Regex::replace)") {
+    assert(Render.stripBullet("• item") == "item")
+    assert(Render.stripBullet("– dash item") == "dash item")
+    // second bullet survives (single replacement)
+    assert(Render.stripBullet("• a • b") == "a • b")
+    // bullet must be followed by a space and preceded by ^, [\n ], or a tag
+    assert(Render.stripBullet("a•b") == "a•b")
+    assert(Render.stripBullet("x • y") == "xy") // prefix space consumed too
+  }
+
+  test("title level clamped 1..6 (html.rs:45-53)") {
+    val t0 = Vector(Block(0, BlockKind.Title(0, "T"), Vector(0), BBox.zero))
+    val t9 = Vector(Block(0, BlockKind.Title(9, "T"), Vector(0), BBox.zero))
+    assert(Render.toHtml(t0, "x", None).contains("<h1>T</h1>"))
+    assert(Render.toHtml(t9, "x", None).contains("<h6>T</h6>"))
+  }
+
+  test("html structure") {
+    val html = Render.toHtml(blocks, "mydoc", None)
+    assert(html.startsWith("<!DOCTYPE html><html><head><title>mydoc</title></head><body><div>"))
+    assert(html.contains("<h1>Doc Title</h1>"))
+    assert(html.contains("<header>Page Head</header>"))
+    assert(html.contains("<p>Body text.</p>"))
+    assert(html.contains("<ul><li>one</li><li>two</li></ul>"))
+    assert(html.contains("<footer>p 1</footer>"))
+    // image rendered only when img path configured (html.rs:88-108)
+    assert(!html.contains("<figure>"))
+    val withImg = Render.toHtml(blocks, "mydoc", Some("figures"))
+    assert(withImg.contains("<figure><img src=\"figures/img_0.png\" alt=\"\">"))
+    assert(withImg.contains("<figcaption>A caption</figcaption>"))
+  }
+
+  test("markdown render") {
+    val md = Render.toMarkdown(blocks, None)
+    assert(md.contains("# Doc Title"))
+    assert(md.contains("* one\n* two"))
+    assert(md.contains("Body text."))
+    assert(md.contains("A caption")) // caption surfaces even without img path
+  }
+
+  test("extracted text includes list items and captions, skips empties") {
+    val txt = Render.toText(blocks)
+    assert(txt == "Doc Title\nPage Head\nBody text.\none\ntwo\nA caption\np 1")
+  }
+
+  test("sanitize doc name (utils.rs:43-56)") {
+    assert(Render.sanitizeDocName("my doc.pdf") == "mydoc-pdf")
+    assert(Render.sanitizeDocName("a_b-c") == "a_b-c")
+    assert(Render.sanitizeDocName("x/y:z") == "x-y-z")
+  }
+
+  test("blocks json is valid and tagged") {
+    val json = Render.blocksToJson(blocks)
+    assert(json.startsWith("[{\"id\":0"))
+    assert(json.contains("\"block_type\":\"Title\""))
+    assert(json.contains("\"level\":1"))
+    assert(json.contains("\"items\":["))
+    assert(json.contains("\"pages_id\":[0]"))
+    assert(json.contains("\"caption\":\"A caption\""))
+  }
+
+  test("fixText: mojibake undo + NFC + line breaks") {
+    assert(FixText.fixText("cafÃ©") == "café") // "cafÃ©" -> café
+    assert(FixText.fixText("plain ascii") == "plain ascii")
+    assert(FixText.fixText("a\r\nb") == "a\nb")
+    // already-correct accents survive (not valid UTF-8 when read as Latin-1)
+    assert(FixText.fixText("café") == "café")
+    // e + combining acute (decomposed) -> NFC precomposed e-acute
+    assert(FixText.fixText("cafe\u0301") == "caf\u00e9")
+  }
+}
