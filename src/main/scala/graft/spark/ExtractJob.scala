@@ -1,0 +1,187 @@
+package graft.spark
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import graft.core.Extract
+import graft.spark.PagesTable.PageRow
+
+/** The extraction job: resume anti-join -> skew-aware repartition ->
+  * shuffle-free `mapPartitions` extraction -> MERGE INTO snapshot +
+  * per-partition lineage (SURVEY.md section 3.4).
+  *
+  * Exactly one narrow shuffle (the repartition); extraction itself never
+  * shuffles. Lineage is derived relationally from the extraction output
+  * (a groupBy over partition_id) instead of side-channel plumbing, so it
+  * stays a plain Catalyst aggregate.
+  */
+object ExtractJob {
+
+  /** Output row. engine_version pins provenance (reference: DocumentMetadata,
+    * entities.rs:228-242).
+    */
+  final case class ExtractedRow(
+      url: String,
+      warc_ts: java.sql.Timestamp,
+      lang: String,
+      extracted_text: String,
+      markdown: String,
+      blocks_json: String,
+      n_pages: Int,
+      n_blocks: Int,
+      n_elements: Int,
+      n_lines: Int,
+      need_ocr_pages: Int,
+      parse_status: String,
+      error_class: String,
+      engine_version: String,
+      partition_id: Int,
+      bytes_in: Long
+  )
+
+  final case class Metrics(
+      docsOk: LongAccumulator,
+      docsFailed: LongAccumulator,
+      bytesIn: LongAccumulator,
+      lines: LongAccumulator
+  )
+
+  def newMetrics(spark: SparkSession): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("graft.docs_ok"),
+    spark.sparkContext.longAccumulator("graft.docs_failed"),
+    spark.sparkContext.longAccumulator("graft.bytes_in"),
+    spark.sparkContext.longAccumulator("graft.lines")
+  )
+
+  /** Skew-aware repartition ("html.length-bucketed", SURVEY.md section 4.2).
+    *
+    * Default strategy: hash the url together with the log2-length bucket into
+    * P salted keys. With docs >> partitions this keeps expected bytes per
+    * partition uniform and scales to 10^12 rows (stateless, no global
+    * ordering).
+    *
+    * `balanced = true` adds a stratified round-robin: row_number within each
+    * length bucket, dealt out modulo P via range partitioning. That gives a
+    * near-perfect byte balance even on small Pareto corpora (bench path), at
+    * the cost of a per-bucket window — fine locally; at 10^12 scale the
+    * window's per-bucket ordering would itself bottleneck, so the hash
+    * strategy is the cluster default.
+    */
+  def skewRepartition(df: DataFrame, partitions: Int, balanced: Boolean = false): DataFrame = {
+    val bucket = ceil(log2(greatest(length(col("html")).cast("long"), lit(2L))))
+    if (!balanced) {
+      df.withColumn("__salt", pmod(xxhash64(col("url"), bucket), lit(partitions)))
+        .repartition(partitions, col("__salt"))
+        .drop("__salt")
+    } else {
+      import org.apache.spark.sql.expressions.Window
+      // Global descending-length round-robin (sorted-greedy): partition loads
+      // differ by at most ~one document, the best achievable when documents
+      // are indivisible. The single global window is why this mode is the
+      // small-corpus/bench path only; the hash branch is the cluster default.
+      val w = Window.orderBy(length(col("html")).desc, xxhash64(col("url")))
+      // Snake (boustrophedon) dealing cancels the per-round bias of a plain
+      // round-robin: even rounds deal 0..P-1, odd rounds P-1..0.
+      val rn = row_number().over(w) - 1
+      val idx = pmod(rn, lit(partitions))
+      val round = (rn / partitions).cast("long")
+      val pk = when(pmod(round, lit(2L)) === 0L, idx)
+        .otherwise(lit(partitions - 1) - idx)
+      // Exact placement: `repartition(P, c)` routes to pmod(murmur3(c), P), so
+      // remap each logical pk to a probe value known to hash into exactly that
+      // physical partition (one tiny driver-side probe; deterministic).
+      val spark = df.sparkSession
+      val probe = spark.range(0, 4096)
+        .select(col("id"), pmod(hash(col("id")), lit(partitions)).as("p"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val salts: Map[Int, Long] =
+        probe.groupBy(_._2).map { case (p, ids) => p -> ids.head._1 }
+      require(salts.size == partitions, s"hash probe covered ${salts.size}/$partitions")
+      val remap = salts.foldLeft(lit(0L)) { case (acc, (p, v)) =>
+        when(col("__pk") === p, lit(v)).otherwise(acc)
+      }
+      df.withColumn("__pk", pk)
+        .withColumn("__pk", remap)
+        .repartition(partitions, col("__pk"))
+        .drop("__pk")
+    }
+  }
+
+  /** The distributed extraction: one pure function per document, applied
+    * partition-locally. Never collects; never shuffles.
+    */
+  def extract(pages: Dataset[PageRow], metrics: Option[Metrics] = None): Dataset[ExtractedRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      it.map { row =>
+        val d = Extract.extractDocument(row.url, row.html)
+        metrics.foreach { m =>
+          if (d.parseStatus == "ok") m.docsOk.add(1) else m.docsFailed.add(1)
+          m.bytesIn.add(if (row.html == null) 0L else row.html.length.toLong)
+          m.lines.add(d.nLines.toLong)
+        }
+        ExtractedRow(
+          url = d.url, warc_ts = row.warc_ts, lang = row.lang,
+          extracted_text = d.extractedText, markdown = d.markdown,
+          blocks_json = d.blocksJson, n_pages = d.nPages, n_blocks = d.nBlocks,
+          n_elements = d.nElements, n_lines = d.nLines,
+          need_ocr_pages = d.needOcrPages, parse_status = d.parseStatus,
+          error_class = d.errorClass, engine_version = Extract.EngineVersion,
+          partition_id = pid,
+          bytes_in = if (row.html == null) 0L else row.html.length.toLong
+        )
+      }
+    }
+  }
+
+  /** Per-partition lineage rows (partition id, doc count, bytes, failure
+    * taxonomy) — a plain Catalyst aggregate over the extraction output.
+    */
+  def lineage(extracted: DataFrame, runId: String): DataFrame =
+    extracted.groupBy(col("partition_id")).agg(
+      count(lit(1)).as("doc_count"),
+      sum(col("bytes_in")).as("bytes_in"),
+      sum(col("n_lines")).as("lines"),
+      sum(col("n_elements")).as("elements"),
+      sum(col("n_blocks")).as("blocks"),
+      sum(when(col("parse_status") === "ok", 1).otherwise(0)).as("ok_count"),
+      sum(when(col("error_class") === "parse_error", 1).otherwise(0)).as("parse_errors"),
+      sum(when(col("error_class") === "empty_doc", 1).otherwise(0)).as("empty_docs"),
+      sum(when(col("error_class") === "oversize", 1).otherwise(0)).as("oversize_docs"),
+      sum(when(col("error_class") === "exception", 1).otherwise(0)).as("exceptions")
+    ).withColumn("run_id", lit(runId))
+
+  /** Full resumable run: anti-join against committed urls, repartition,
+    * extract, MERGE INTO the snapshot store, append lineage.
+    * Returns (docs extracted this run).
+    */
+  def run(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      store: SnapshotStore,
+      runId: String,
+      partitions: Int,
+      balanced: Boolean = false
+  ): Long = {
+    import spark.implicits._
+    val todo = store.committedKeys(spark, "url") match {
+      case Some(done) => pages.join(done, Seq("url"), "left_anti").as[PageRow]
+      case None       => pages
+    }
+    val repart = skewRepartition(todo.toDF(), partitions, balanced).as[PageRow]
+    val metrics = newMetrics(spark)
+    val extracted = extract(repart, Some(metrics))
+    // Single pass: MERGE writes the snapshot; lineage is then derived from
+    // the commit's own files (no cache, no recompute — the write IS the scan).
+    val newFiles = store.merge(extracted.toDF(), "url")
+    if (newFiles.nonEmpty) {
+      val committed = spark.read.parquet(newFiles: _*)
+      lineage(committed, runId)
+        .write.mode("append").parquet(s"${store.root}/lineage")
+    }
+    metrics.docsOk.value + metrics.docsFailed.value
+  }
+}

@@ -1,0 +1,247 @@
+package graft.spark
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic, seeded generator of the Common-Crawl-style pages table.
+  *
+  * Schema per BASELINE.json `input_hint`:
+  * (url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING).
+  *
+  * Every row is a pure function of its index (SplitMix64 streams keyed on the
+  * index), so generation is embarrassingly parallel: the table is built from
+  * `spark.range(n)` and scales to any size without a driver bottleneck —
+  * exactly how a 10^12-row synthetic corpus would be materialized on a real
+  * cluster before being written to Iceberg.
+  *
+  * Fixture families (FIXTURES.md section 3) cycle deterministically; each
+  * exercises a cited reference branch. `skew` draws its body size from a
+  * Pareto-ish distribution to stress the length-bucketed repartitioning.
+  */
+object PagesTable {
+
+  final case class PageRow(
+      url: String,
+      warc_ts: Timestamp,
+      html: Array[Byte],
+      text: String,
+      lang: String
+  )
+
+  val Families: Vector[String] = Vector(
+    "plain", "fontmix", "headings", "lists", "figures", "chrome",
+    "sparse", "tables", "overlap", "mojibake", "nolb", "skew"
+  )
+
+  private val Langs = Vector("en", "fr", "de", "es")
+
+  /** Deterministic SplitMix64 stream. */
+  private final class Rng(var state: Long) {
+    def nextLong(): Long = {
+      state += 0x9e3779b97f4a7c15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def nextInt(bound: Int): Int = ((nextLong() >>> 1) % bound).toInt
+    def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
+  }
+
+  private val Words: Vector[String] = Vector(
+    "the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog", "data",
+    "engine", "spark", "query", "layout", "page", "text", "line", "block",
+    "title", "report", "annual", "growth", "market", "value", "index",
+    "system", "model", "result", "table", "figure", "section", "chapter",
+    "summary", "analysis", "method", "design", "scale", "partition", "shuffle",
+    "stream", "batch", "record", "column", "vector", "metric", "signal",
+    "window", "filter", "join", "group", "order", "limit", "sample", "between",
+    "within", "across", "under", "above", "beyond", "through", "natural",
+    "science", "history", "culture", "economy", "policy", "energy", "climate",
+    "research", "network", "compute", "storage", "memory", "thread", "kernel"
+  )
+
+  private val MojibakeWords: Vector[String] =
+    // UTF-8 bytes of (café, naïve, über, señor) re-read as Latin-1.
+    Vector("cafÃ©", "naÃ¯ve", "Ã¼ber", "seÃ±or")
+
+  private def sentence(rng: Rng, nWords: Int): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < nWords) {
+      if (i > 0) sb += ' '
+      sb ++= Words(rng.nextInt(Words.length))
+      i += 1
+    }
+    sb += '.'
+    sb.toString
+  }
+
+  /** Pure row generator — the only source of corpus bytes. */
+  def genDoc(i: Long, seed: Long = 42L): PageRow = {
+    val family = Families((i % Families.length).toInt)
+    val rng = new Rng(seed * 0x100000001b3L + i)
+    val url = s"https://fixtures.test/$family/$seed/$i"
+    val ts = new Timestamp(1700000000000L + i * 1009L * 1000L)
+    val lang = Langs((i % Langs.length).toInt)
+    val html = genHtml(family, rng)
+    PageRow(url, ts, html.getBytes("UTF-8"), stripTags(html), lang)
+  }
+
+  private def para(rng: Rng, minS: Int = 1, maxS: Int = 4): String =
+    (0 until (minS + rng.nextInt(maxS - minS + 1)))
+      .map(_ => sentence(rng, 6 + rng.nextInt(10))).mkString(" ")
+
+  private def genHtml(family: String, rng: Rng): String = {
+    val sb = new StringBuilder
+    family match {
+      case "plain" =>
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2 + rng.nextInt(4)) sb ++= s"<p>${para(rng)}</p>"
+        sb ++= "</page>"
+
+      case "fontmix" =>
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2 + rng.nextInt(3)) {
+          sb ++= "<p>"
+          sb ++= sentence(rng, 5 + rng.nextInt(8))
+          sb ++= s"""<span data-font-weight="700">${sentence(rng, 3)}</span>"""
+          sb ++= sentence(rng, 4 + rng.nextInt(6))
+          sb ++= s"""<span data-font-size="14" data-font-name="Serif">${sentence(rng, 4)}</span>"""
+          sb ++= "</p>"
+        }
+        sb ++= "</page>"
+
+      case "headings" =>
+        sb ++= "<page>"
+        val levels = 3 + rng.nextInt(38) // 3..40 titles per doc
+        for (k <- 0 until levels) {
+          val h = 1 + (k % 6)
+          sb ++= s"<h$h>${sentence(rng, 2 + rng.nextInt(4))}</h$h>"
+          if (rng.nextInt(3) == 0) sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        }
+        sb ++= "</page>"
+
+      case "lists" =>
+        sb ++= "<page>"
+        sb ++= s"<h2>${sentence(rng, 3)}</h2>"
+        val bullets = Vector("• ", "● ", "– ", "")
+        for (_ <- 0 until 1 + rng.nextInt(3)) {
+          sb ++= "<ul>"
+          for (_ <- 0 until 2 + rng.nextInt(5)) {
+            val b = bullets(rng.nextInt(bullets.length))
+            sb ++= s"<li>$b${sentence(rng, 3 + rng.nextInt(6))}</li>"
+          }
+          sb ++= "</ul>"
+          sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        }
+        sb ++= "</page>"
+
+      case "figures" =>
+        sb ++= "<page>"
+        sb ++= s"<p>${para(rng)}</p>"
+        rng.nextInt(4) match {
+          case 0 => // image then caption below
+            sb ++= s"<figure><figcaption>Figure 1: ${sentence(rng, 4)}</figcaption></figure>"
+          case 1 => // caption above the picture
+            sb ++= s"""<figure data-capfirst="1"><figcaption>Figure 1: ${sentence(rng, 4)}</figcaption></figure>"""
+          case 2 => // bare picture (caption-less image)
+            sb ++= "<figure></figure>"
+          case _ => // orphan caption far from any picture
+            sb ++= s"<p>${para(rng, 1, 2)}</p>"
+            sb ++= s"<figure></figure><p>${para(rng, 1, 2)}</p>"
+        }
+        sb ++= s"<p>${para(rng)}</p>"
+        sb ++= "</page>"
+
+      case "chrome" =>
+        sb ++= "<page>"
+        sb ++= s"<header>${sentence(rng, 4)}</header>"
+        sb ++= s"<nav>Home | About | ${sentence(rng, 6)} | Subscribe | Cookie notice</nav>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2 + rng.nextInt(3)) sb ++= s"<p>${para(rng)}</p>"
+        sb ++= s"<nav>${sentence(rng, 8)} advertisement sidebar links</nav>"
+        sb ++= s"<footer>page ${1 + rng.nextInt(40)} copyright</footer>"
+        sb ++= "</page>"
+
+      case "sparse" =>
+        // image-only / near-empty: exercises need_ocr=true (zero text-layout area)
+        sb ++= "<page><figure></figure>"
+        if (rng.nextInt(2) == 0) sb ++= "<figure data-width=\"120\" data-height=\"80\"></figure>"
+        sb ++= "</page>"
+
+      case "tables" =>
+        sb ++= "<page>"
+        sb ++= s"<h2>${sentence(rng, 3)}</h2>"
+        sb ++= "<table>"
+        for (r <- 0 until 2 + rng.nextInt(4)) {
+          sb ++= s"<tr><td>Q$r</td><td>${rng.nextInt(1000)}</td><td>${sentence(rng, 2)}</td></tr>"
+        }
+        sb ++= "</table>"
+        sb ++= s"<p>${para(rng)}</p>"
+        sb ++= "</page>"
+
+      case "overlap" =>
+        // ghost boxes exercise NMS (relaxed IoU 0.7) + merge_remaining
+        sb ++= "<page>"
+        sb ++= s"<p>${para(rng)}</p>"
+        sb ++= """<ghost label="Picture" x0="36" y0="400" x1="336" y1="550" proba="0.95"/>"""
+        sb ++= """<ghost label="Picture" x0="40" y0="405" x1="330" y1="545" proba="0.85"/>"""
+        sb ++= """<ghost label="Text" x0="350" y0="400" x1="560" y1="500" proba="0.6"/>"""
+        sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        sb ++= "</page>"
+
+      case "mojibake" =>
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2) {
+          val w = MojibakeWords(rng.nextInt(MojibakeWords.length))
+          sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
+        }
+        sb ++= "</page>"
+
+      case "nolb" =>
+        // no injected linebreak chars: lines break only on the y-jump check
+        sb ++= "<page data-nolb=\"1\">"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2 + rng.nextInt(3)) sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        sb ++= "</page>"
+
+      case "skew" =>
+        // Pareto-ish body size: many small docs, a heavy tail of giants
+        val u = rng.nextDouble()
+        val paras = math.min(4000, math.max(2, (2.0 / math.pow(1.0 - u, 1.3)).toInt))
+        val pages = 1 + paras / 60
+        for (p <- 0 until pages) {
+          sb ++= "<page>"
+          sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+          for (_ <- 0 until math.min(paras - p * 60, 60)) sb ++= s"<p>${para(rng, 1, 3)}</p>"
+          sb ++= "</page>"
+        }
+
+      case other => throw new IllegalArgumentException(s"unknown family $other")
+    }
+    sb.toString
+  }
+
+  private def stripTags(html: String): String = {
+    val sb = new StringBuilder
+    var inTag = false
+    html.foreach {
+      case '<' => inTag = true
+      case '>' => inTag = false; sb += ' '
+      case c if !inTag => sb += c
+      case _ =>
+    }
+    sb.toString.trim
+  }
+
+  /** Distributed corpus: one row per index in [0, n). */
+  def generate(spark: SparkSession, n: Long, seed: Long = 42L,
+      partitions: Int = 32): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).mapPartitions(_.map(i => genDoc(i, seed)))
+  }
+}

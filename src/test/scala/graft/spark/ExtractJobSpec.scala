@@ -1,0 +1,128 @@
+package graft.spark
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Extract
+
+/** End-to-end Spark tests: parallelism invariance (byte-identical output per
+  * url at any partition count vs the sequential oracle), resume idempotence,
+  * and skew balance (FIXTURES.md section 4 invariants 1 and 4).
+  */
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private val N = 60L // 5 docs per fixture family
+
+  /** The sequential single-threaded oracle: the same pure function, no Spark. */
+  private def sequentialOracle(): Map[String, (String, String)] =
+    (0L until N).map { i =>
+      val row = PagesTable.genDoc(i)
+      val d = Extract.extractDocument(row.url, row.html)
+      d.url -> ((d.extractedText, d.markdown))
+    }.toMap
+
+  test("extraction is byte-identical to the sequential oracle at 2 and 8 partitions") {
+    val expected = sequentialOracle()
+    val ss = spark; import ss.implicits._
+    for (parts <- Seq(2, 8)) {
+      val pages = PagesTable.generate(spark, N, partitions = parts)
+      val repart = ExtractJob.skewRepartition(pages.toDF(), parts)
+      val got = ExtractJob.extract(repart.as[PagesTable.PageRow])
+        .collect().map(r => r.url -> ((r.extracted_text, r.markdown))).toMap
+      assert(got.keySet == expected.keySet, s"url set mismatch at $parts partitions")
+      for ((url, exp) <- expected)
+        assert(got(url) == exp, s"output mismatch for $url at $parts partitions")
+    }
+  }
+
+  test("all fixture families parse ok; sparse family needs OCR") {
+    val pages = PagesTable.generate(spark, N, partitions = 4)
+    val ss = spark; import ss.implicits._
+    val rows = ExtractJob.extract(pages).collect()
+    assert(rows.length == N)
+    assert(rows.forall(_.parse_status == "ok"))
+    val byFamily = rows.groupBy(_.url.split("/")(3))
+    assert(byFamily("sparse").forall(_.need_ocr_pages > 0))
+    assert(byFamily("plain").forall(_.need_ocr_pages == 0))
+    // chrome family: nav boilerplate stripped
+    assert(byFamily("chrome").forall(r => !r.extracted_text.contains("Cookie notice")))
+    assert(byFamily("chrome").forall(r => !r.extracted_text.contains("advertisement")))
+    // tables family: cell text dropped (tables unimplemented in the reference)
+    assert(byFamily("tables").forall(r => !r.extracted_text.contains("Q0")))
+    // mojibake family fixed
+    assert(byFamily("mojibake").forall(r => !r.extracted_text.contains("Ã")))
+  }
+
+  test("resume idempotence: partial commit then full run, no dup urls") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val store = new SnapshotStore(dir)
+    val ss = spark; import ss.implicits._
+
+    // partial run: first 20 docs
+    val firstBatch = PagesTable.generate(spark, 20, partitions = 2)
+    ExtractJob.run(spark, firstBatch, store, "run-1", partitions = 2)
+    assert(store.read(spark).get.count() == 20)
+
+    // full run over all N docs: only the remaining 40 are extracted
+    val all = PagesTable.generate(spark, N, partitions = 2)
+    ExtractJob.run(spark, all, store, "run-2", partitions = 2)
+    val finalDf = store.read(spark).get
+    assert(finalDf.count() == N)
+    assert(finalDf.select("url").distinct().count() == N)
+
+    // re-running the full job is a no-op
+    ExtractJob.run(spark, all, store, "run-3", partitions = 2)
+    assert(store.read(spark).get.count() == N)
+
+    // final table matches the sequential oracle byte-for-byte
+    val expected = sequentialOracle()
+    val got = finalDf.select("url", "extracted_text").as[(String, String)]
+      .collect().toMap
+    for ((url, (txt, _)) <- expected) assert(got(url) == txt, s"mismatch for $url")
+
+    // lineage was appended for each run, failure counts all zero
+    val lin = spark.read.parquet(s"$dir/lineage")
+    assert(lin.select("run_id").distinct().count() >= 2)
+    assert(lin.agg(org.apache.spark.sql.functions.sum("parse_errors")).head.getLong(0) == 0L)
+  }
+
+  test("skew: balanced repartition bounds max/mean partition bytes under 2") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions._
+    // skew-family-only corpus (every 12th index), Pareto-distributed lengths
+    val pages = spark.range(0, 360, 1, 4)
+      .map(i => PagesTable.genDoc(i * 12 + 11)) // family index 11 = skew
+    val maxDoc = pages.collect().map(_.html.length.toLong).max
+    val repart = ExtractJob.skewRepartition(pages.toDF(), 8, balanced = true)
+    val byPart = ExtractJob.extract(repart.as[PagesTable.PageRow])
+      .groupBy($"partition_id").agg(sum($"bytes_in").as("bytes"))
+      .collect().map(_.getLong(1))
+    val mean = byPart.sum.toDouble / byPart.length
+    assert(byPart.length == 8, s"expected 8 partitions, got ${byPart.length}")
+    // A document is indivisible, so the achievable bound is LPT-style:
+    // max partition <= largest doc + mean share. Within that bound, require
+    // max/mean < 2 (the north rule's skew criterion) once the giant-doc floor
+    // is accounted for.
+    assert(byPart.max <= maxDoc + mean,
+      s"max partition ${byPart.max} exceeds LPT bound ${maxDoc + mean} (bytes: ${byPart.mkString(",")})")
+    val ratioExcludingFloor = byPart.max / math.max(mean, maxDoc.toDouble)
+    assert(ratioExcludingFloor < 2.0,
+      s"skew ratio $ratioExcludingFloor >= 2 (maxDoc=$maxDoc, bytes: ${byPart.mkString(",")})")
+  }
+}
