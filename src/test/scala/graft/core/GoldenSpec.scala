@@ -1,0 +1,35 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.spark.PagesTable
+
+/** Byte-compares current extraction output against the committed golden
+  * corpus (generated once by graft.tools.GenGoldens). Any semantic drift in
+  * the pipeline — fold order, tie-breaking, fix_text, k-means seeding,
+  * renderers — fails here.
+  */
+class GoldenSpec extends AnyFunSuite {
+
+  private val goldenDir = Paths.get("src/test/resources/golden")
+
+  private def read(sub: String, name: String): String =
+    new String(Files.readAllBytes(goldenDir.resolve(sub).resolve(name)),
+      StandardCharsets.UTF_8)
+
+  test("extraction output matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir), "golden corpus not generated yet")
+    var checked = 0
+    (0L until 60L).foreach { i =>
+      val row = PagesTable.genDoc(i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"doc $i: ${d.errorClass}")
+      assert(d.extractedText == read("text", s"doc$i.txt"), s"text drift in doc $i (${row.url})")
+      assert(d.markdown == read("md", s"doc$i.md"), s"markdown drift in doc $i (${row.url})")
+      assert(d.blocksJson == read("blocks", s"doc$i.json"), s"blocks drift in doc $i (${row.url})")
+      checked += 1
+    }
+    assert(checked == 60)
+  }
+}
