@@ -1,13 +1,242 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.spark.{ExtractJob, PagesTable}
+
+/** Driver contract — see SURVEY.md section 7 and Verify/Bench.
+  *
+  * Queries fall into two groups:
+  *  - SQL-expressible operators over the sfDir parquet tables, each with a
+  *    DuckDB oracle in [[oracleSql]] (column names aligned on both sides);
+  *  - engine-native operators (extraction, LSH variants, custom expressions)
+  *    checked by goldens/specs, exposed here as rows-only entries.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship: the extraction pipeline end-to-end on a generated corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = PagesTable.generate(spark, 120, partitions = 8)
+    ExtractJob.extract(ExtractJob.skewRepartition(pages.toDF(), 8)
+        .as[PagesTable.PageRow])
+      .toDF()
+      .select(col("url"), col("extracted_text"), col("n_blocks"),
+        col("need_ocr_pages"), col("parse_status"))
+  }
+
+  /** Deterministic extraction corpus for the qx_* queries (dir-independent:
+    * the pages table is generated, per FIXTURES.md — no external data).
+    */
+  private def extractedCorpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val pages = PagesTable.generate(spark, 240, partitions = 16)
+    ExtractJob.extract(ExtractJob.skewRepartition(pages.toDF(), 16)
+      .as[PagesTable.PageRow]).toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (oracle-checked) ----
+    "q01_agg_pricing" -> (Relational.q01AggPricing _),
+    "q02_filter_pushdown" -> (Relational.q02FilterPushdown _),
+    "q03_broadcast_join" -> (Relational.q03BroadcastJoin _),
+    "q04_shuffle_join" -> (Relational.q04ShuffleJoin _),
+    "q05_multi_join" -> (Relational.q05MultiJoin _),
+    "q06_topk_orders" -> (Relational.q06TopkOrders _),
+    "q07_window_rank" -> (Relational.q07WindowRank _),
+    "q08_distinct_agg" -> (Relational.q08DistinctAgg _),
+    "q09_anti_join" -> (Relational.q09AntiJoin _),
+    "q10_semi_join" -> (Relational.q10SemiJoin _),
+    "q11_set_intersect" -> (Relational.q11SetIntersect _),
+    "q12_events_hourly" -> (Relational.q12EventsHourly _),
+    "q13_rollup" -> (Relational.q13Rollup _),
+    "q14_sessionize" -> (Relational.q14Sessionize _),
+    // ---- dedup (oracle where SQL-expressible) ----
+    "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
+    "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashDocs(s, d)),
+    "qd3_simhash" -> (Dedup.simhashDocs _),
+    "qd4_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
+    "qd5_embed_dup" -> ((s: SparkSession, d: String) => Similarity.embeddingDupPairs(s, d, 0.35)),
+    // ---- similarity search ----
+    "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
+    "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    // ---- text analysis (oracle-checked) ----
+    "qt1_token_count" -> (TextAnalysis.tokenCounts _),
+    "qt2_quality" -> (TextAnalysis.qualityScores _),
+    "qt3_langid" -> (TextAnalysis.langId _),
+    "qt4_fingerprint" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.fingerprints(s, d)),
+    // ---- multimodal plumbing ----
+    "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
+    "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
+    "qm3_frame_sample" -> (Multimodal.sampleFrames _),
+    // ---- extraction engine (goldens are the oracle; rows-only here) ----
+    "qx1_extract_text" -> ((s: SparkSession, _: String) =>
+      extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
+    "qx2_extract_stats" -> ((s: SparkSession, _: String) =>
+      extractedCorpus(s)
+        .withColumn("family", element_at(split(col("url"), "/"), 4))
+        .groupBy(col("family"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_blocks")).as("n_blocks"),
+          sum(col("need_ocr_pages")).as("ocr_pages"),
+          sum(when(col("parse_status") === "ok", 1).otherwise(0)).as("ok_docs")))
+  )
+
+  /** DuckDB-runnable oracles, column-aligned with the Spark results. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_pushdown" ->
+      """SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+           AND l_discount >= 0.05
+         GROUP BY 1""",
+    "q03_broadcast_join" ->
+      """SELECT c_mktsegment,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         COUNT(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q04_shuffle_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+    "q05_multi_join" ->
+      """SELECT r_name, COUNT(*) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name""",
+    "q06_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice AS total_price FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q07_window_rank" ->
+      """SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+         CAST(c_acctbal AS DOUBLE) AS acctbal, rnk FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+           FROM customer) WHERE rnk <= 3""",
+    "q08_distinct_agg" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+         COUNT(*) AS n_orders FROM orders GROUP BY o_orderstatus""",
+    "q09_anti_join" ->
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS n_idle_customers
+         FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+         GROUP BY c_nationkey""",
+    "q10_semi_join" ->
+      """SELECT p_brand, COUNT(*) AS n_parts FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+         GROUP BY p_brand""",
+    "q11_set_intersect" ->
+      """SELECT COUNT(*) AS n_both FROM (
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+           INTERSECT
+           SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""",
+    "q12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q13_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q14_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 THEN 1 ELSE 0 END AS new_session
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (
+           SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM g),
+         per_session AS (
+           SELECT user_id, session_id, COUNT(*) AS n_events,
+             CAST(floor(epoch(MAX(ts))) AS BIGINT) - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_s
+           FROM s GROUP BY user_id, session_id)
+         SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+           MAX(duration_s) AS max_session_s
+         FROM per_session GROUP BY user_id""",
+    "qd1_exact_dedup" ->
+      """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
+           SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             COUNT(*) AS n_docs
+           FROM documents GROUP BY 1)
+         GROUP BY 1""",
+    "qd5_embed_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+           CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) > 0.35""",
+    "qs1_ann_brute" ->
+      """SELECT query_id, neighbor_id, rnk, cosine FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rnk,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rnk <= 10""",
+    "qt1_token_count" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens,
+         length(text) AS n_chars
+         FROM documents""",
+    "qt2_quality" ->
+      """SELECT doc_id, n_chars,
+         ROUND(length(text) / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+         ROUND(len(regexp_extract_all(text, '[\.,;:!\?]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+         ROUND(len(regexp_extract_all(text, '[0-9]')) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+         ROUND(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|for|on|with)\b'))
+           / CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 6) AS stopword_ratio,
+         ROUND(LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+           * (1.0 - len(regexp_extract_all(text, '[\.,;:!\?]')) / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+         FROM documents""",
+    "qt3_langid" ->
+      """WITH h AS (
+           SELECT doc_id, lang AS labeled_lang,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|with)\b')) AS en_hits,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr_hits,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|mit)\b')) AS de_hits,
+             len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS es_hits
+           FROM documents)
+         SELECT doc_id, labeled_lang,
+           CASE WHEN GREATEST(en_hits, fr_hits, de_hits, es_hits) = 0 THEN 'und'
+                WHEN en_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'en'
+                WHEN fr_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'fr'
+                WHEN de_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'de'
+                ELSE 'es' END AS detected_lang,
+           en_hits, fr_hits, de_hits, es_hits,
+           CAST(CASE WHEN (CASE WHEN GREATEST(en_hits, fr_hits, de_hits, es_hits) = 0 THEN 'und'
+                WHEN en_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'en'
+                WHEN fr_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'fr'
+                WHEN de_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'de'
+                ELSE 'es' END) = labeled_lang THEN 1 ELSE 0 END AS INT) AS lang_agree
+         FROM h""",
+    "qm1_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         substr(hex(encode(text)), 1, 8) AS magic_hex
+         FROM documents"""
+  )
 }

@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot paths where composing built-ins
+  * would be wasteful. Both generate code via a single static call, so they
+  * stay inside whole-stage codegen (no UDF serialization, no boxing of the
+  * array elements beyond ArrayData access).
+  */
+object GraftImpl {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic token hash. */
+  def fnv1a64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** 64-bit SimHash over whitespace tokens of a UTF-8 string. */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val acc = new Array[Int](64)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      val isSep = i == n || bytes(i) == ' ' || bytes(i) == '\n' ||
+        bytes(i) == '\t' || bytes(i) == '\r'
+      if (isSep) {
+        if (i > start) {
+          val h = fnv1a64(bytes, start, i)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (acc(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Cosine similarity of two float arrays, accumulated in double in element
+    * order (matches DuckDB's list_cosine_similarity semantics).
+    */
+  def cosineFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** simhash64(text): 64-bit SimHash of a string (document-level near-dup key). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  // input contract: StringType (AbstractDataType/ExpectsInputTypes are
+  // private[sql], so typing is enforced by the Column wrappers below)
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.simhash64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}
+
+/** cosine_ff(a, b): cosine similarity of two ARRAY<FLOAT> embeddings. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // input contract: (ARRAY<FLOAT>, ARRAY<FLOAT>)
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftImpl.cosineFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftImpl.cosineFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_ff"
+}
+
+/** Column-level entry points. Functions register themselves in the active
+  * session's registry on first use (temp functions, also callable from SQL).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("cosine_ff",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+  }
+
+  private def ensureRegistered(): Unit = register(SparkSession.active)
+
+  def simhash64(c: Column): Column = { ensureRegistered(); call_function("simhash64", c) }
+
+  def cosineFF(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("cosine_ff", a, b)
+  }
+}

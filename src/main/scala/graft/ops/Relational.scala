@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator suite over the TPC-H-ish test tables.
+  *
+  * Every query here is declarative DataFrame code — Catalyst gets the whole
+  * plan, so predicate pushdown, column pruning, and join selection are free.
+  * Scale notes per query are in the scaladoc; join strategies are explicit
+  * (broadcast() for dimension tables, shuffle hash/sort-merge for fact-fact).
+  *
+  * Aggregates that feed the DuckDB oracle sum in DECIMAL (exact, association-
+  * independent) and only then cast to double, so Spark's partial-aggregation
+  * order can never produce a float drift vs the oracle.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum surfaced as double. */
+  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1 shape: scan-heavy groupBy with map-side partial aggregation.
+    * At 100 TB this is the canonical "one wide scan, tiny shuffle" query.
+    */
+  def q01AggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order")
+      )
+
+  /** Filter + projection that must reach the parquet scan (PushedFilters /
+    * pruned ReadSchema — verified in PlanSpec).
+    */
+  def q02FilterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05)
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Dimension join: customer is small -> explicit broadcast, no shuffle of
+    * the orders side beyond the final aggregation.
+    */
+  def q03BroadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val customer = t(spark, dir, "customer")
+    orders.join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(dsum(col("o_totalprice")).as("total_price"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Fact-fact join: lineitem x orders co-shuffled on the join key; at scale
+    * this is the query that demands bucketing/co-partitioning on orderkey.
+    */
+  def q04ShuffleJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  /** Snowflake join chain: two broadcast dims on a customer scan. */
+  def q05MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    val r = t(spark, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+  }
+
+  /** Top-k: Spark's sort+limit runs as a partial top-k per partition then a
+    * single-reduce take — no global sort materialization.
+    */
+  def q06TopkOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select(col("o_orderkey"), col("o_totalprice").as("total_price"))
+
+  /** Window rank: top-3 customers per nation by balance, deterministic
+    * tie-break on custkey.
+    */
+  def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(spark, dir, "customer")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey").as("nationkey"), col("c_custkey").as("custkey"),
+        col("c_acctbal").cast("double").as("acctbal"), col("rnk"))
+  }
+
+  /** Distinct aggregation (expands to a two-phase aggregate). */
+  def q08DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+
+  /** Anti join: customers that never ordered, per nation. */
+  def q09AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_idle_customers"))
+  }
+
+  /** Semi join: parts that appear in at least one lineitem, count by brand. */
+  def q10SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+    val li = t(spark, dir, "lineitem")
+    p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+  }
+
+  /** Set op: customers buying in both URGENT and LOW priority orders. */
+  def q11SetIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val low = o.filter(col("o_orderpriority") === "5-LOW").select(col("o_custkey"))
+    urgent.intersect(low)
+      .agg(count(lit(1)).as("n_both"))
+  }
+
+  /** Event-time tumbling window over the events stream table (the batch
+    * equivalent of the Structured Streaming windowed aggregate in
+    * graft.streaming).
+    */
+  def q12EventsHourly(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+
+  /** Rollup (grouping sets) over returnflag x linestatus. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
+
+  /** Sessionization via gap detection: a new session starts after a >30min
+    * silence per user; pure window functions (lag + running sum), no UDF.
+    */
+  def q14Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("duration_s")).as("max_session_s"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis suite over the `documents` table: language ID, quality
+  * scoring, token counting, fingerprinting. Everything is built from
+  * codegen'd `functions._` expressions (no UDFs), and each op is expressible
+  * in portable ANSI-ish SQL so the DuckDB oracle can replay it.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Token counting: whitespace tokens plus a BPE-ish split (letter runs,
+    * digit runs, and single punctuation marks each count as one token).
+    */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+      regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpeish_tokens"),
+      length(col("text")).as("n_chars")
+    )
+
+  /** Quality signals: length, mean word length, punctuation / digit /
+    * stopword ratios, and a composite score. All ratios rounded so the
+    * oracle's double math can't drift.
+    */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+")).cast("double")
+    val chars = length(col("text")).cast("double")
+    val punct = regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("double")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("double")
+    val stop = regexp_count(col("text"),
+      lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("double")
+    docs(spark, dir).select(
+      col("doc_id"),
+      col("n_chars"),
+      round(chars / words, 4).as("mean_word_len"),
+      round(punct / chars, 6).as("punct_ratio"),
+      round(digits / chars, 6).as("digit_ratio"),
+      round(stop / words, 6).as("stopword_ratio"),
+      round(least(words / lit(100.0), lit(1.0)) * (lit(1.0) - punct / chars), 6)
+        .as("quality_score")
+    )
+  }
+
+  /** Language ID: marker-word n-gram heuristic. Counts per-language stopword
+    * hits and takes the argmax (ties resolve in the fixed en>fr>de>es order);
+    * no hits at all -> "und". The `lang` column in the table is the generator
+    * label; `lang_agree` surfaces the heuristic's agreement with it.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def hits(markers: String): Column =
+      regexp_count(lower(col("text")), lit("\\b(" + markers + ")\\b")).cast("long")
+    val en = hits("the|and|of|is|was|with")
+    val fr = hits("le|la|les|et|est|une")
+    val de = hits("der|die|das|und|ist|mit")
+    val es = hits("el|los|las|y|es|una")
+    val best = greatest(en, fr, de, es)
+    docs(spark, dir).select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      when(best === 0, "und")
+        .when(en === best, "en")
+        .when(fr === best, "fr")
+        .when(de === best, "de")
+        .otherwise("es").as("detected_lang"),
+      en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"), es.as("es_hits")
+    ).withColumn("lang_agree",
+      (col("detected_lang") === col("labeled_lang")).cast("int"))
+  }
+
+  /** Document fingerprints: normalized-md5 (exact dedup key) plus the
+    * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      Dedup.fingerprintCol(col("text")).as("md5_fp"),
+      graft.functions.GraftFunctions.simhash64(col("text")).as("simhash_fp")
+    )
+}

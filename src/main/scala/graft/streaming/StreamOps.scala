@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference's "streaming" is pipelined concurrency + SSE progress
+  * (SURVEY.md section 2.9) — no event-time state. The Spark-native engine
+  * still ships real streaming operators for the events feed:
+  *  - watermarked tumbling-window aggregation;
+  *  - stateful sessionization via flatMapGroupsWithState (event-time timeout);
+  *  - streaming extraction: the same pure extraction function applied to a
+  *    stream of pages via mapPartitions semantics (stateless, so it runs
+  *    unchanged under `readStream` -> foreachBatch MERGE).
+  */
+object StreamOps {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionOut(user_id: Long, n_events: Long, start_ts: Timestamp,
+      end_ts: Timestamp)
+
+  final case class SessionState(n: Long, start: Long, last: Long)
+
+  /** Watermarked tumbling window: 1h windows, 2h late-data bound. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Stateful sessionization: 30-minute inactivity gap closes a session.
+    * Event-time timeout keyed on the watermark; emits one row per closed
+    * session.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val gapMs = 30L * 60 * 1000
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last)))
+          } else {
+            val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = Vector.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.n + 1, s.start, t))
+                case Some(s) =>
+                  closed :+= SessionOut(userId, s.n, new Timestamp(s.start), new Timestamp(s.last))
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Streaming extraction: pages stream -> the same pure per-document
+    * extraction -> foreachBatch MERGE into the snapshot store. Stateless, so
+    * exactly-once lands on the store's idempotent merge.
+    */
+  def streamingExtract(pages: DataFrame, store: graft.spark.SnapshotStore) = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val extracted = graft.spark.ExtractJob.extract(
+      pages.as[graft.spark.PagesTable.PageRow])
+    extracted.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[graft.spark.ExtractJob.ExtractedRow], _: Long) =>
+        store.merge(batch.toDF(), "url"): Unit
+      }
+  }
+}

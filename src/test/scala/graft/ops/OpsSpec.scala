@@ -1,0 +1,132 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the dedup / similarity / text-analysis operators on
+  * crafted corpora with known duplicates (the sfDir tables have none).
+  */
+class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dupDir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dupDir = Files.createTempDirectory("graft-dup").toString
+    writeDupCorpus()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Crafted corpus: 0/1 exact dups (case+ws variants), 2/3 near dups
+    * (one word changed), 4/5 near dups (two words), 6..9 unrelated.
+    */
+  private def writeDupCorpus(): Unit = {
+    val ss = spark; import ss.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val rows = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, "The quick brown fox  jumps over the lazy dog again and again today", "en", "src0", 60L),
+      (2L, base + " extra tail words here", "en", "src1", 80L),
+      (3L, base.replace("lazy", "sleepy") + " extra tail words here", "en", "src1", 80L),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "src2", 50L),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en", "src2", 50L),
+      (6L, "completely different content about spark catalyst optimizers", "en", "src3", 60L),
+      (7L, "weather report sunny tomorrow with light winds expected", "en", "src3", 55L),
+      (8L, "numerical columns one two three four five six seven eight", "en", "src4", 55L),
+      (9L, "den Hund und die Katze und das Haus und der Baum ist mit", "de", "src4", 50L)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
+  }
+
+  test("exact dedup finds case/whitespace-normalized duplicates") {
+    val stats = Dedup.exactDedupStats(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats(2L) == 1L) // docs 0 and 1 collapse
+    assert(stats(1L) == 8L)
+    val keep = Dedup.exactDedupKeepFirst(spark, dupDir)
+      .filter("n_dups = 2").collect()
+    assert(keep.length == 1 && keep.head.getAs[Long]("keep_doc_id") == 0L)
+  }
+
+  test("minhash LSH surfaces the near-duplicate pairs with correct jaccard") {
+    val pairs = Dedup.minhashLshPairs(spark, dupDir, shingleSize = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")
+    assert(keys.contains((2L, 3L)), s"near dup pair missing from $keys")
+    assert(keys.contains((4L, 5L)), s"near dup pair missing from $keys")
+    // jaccard of the exact dup is 1.0
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    // no unrelated pair sneaks past the verify step
+    assert(!keys.exists { case (a, b) => a >= 6L || b >= 6L })
+  }
+
+  test("simhash near-dup pairs within hamming budget") {
+    val pairs = Dedup.simhashPairs(spark, dupDir, maxHamming = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) || {
+      // exact dups always hash identically unless tokenization sees the case
+      // difference; check hamming of the raw values instead
+      val sims = Dedup.simhashDocs(spark, dupDir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      java.lang.Long.bitCount(sims(2L) ^ sims(3L)) <= 16
+    })
+  }
+
+  test("ngram jaccard pairs on crafted corpus") {
+    val pairs = Dedup.ngramJaccardPairs(spark, dupDir, shingleSize = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("langid marker heuristic detects the German doc") {
+    val langs = TextAnalysis.langId(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(langs(9L) == "de")
+    assert(langs(0L) == "en")
+  }
+
+  test("LSH ANN is a high-recall subset of brute-force ANN") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size == 50)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall too low (candidates ${lsh.size})")
+    // every LSH hit must be a real vector pair with correct ordering semantics
+    assert(lsh.forall { case (q, n) => q < 5 && n != q })
+  }
+
+  test("brute-force ANN ranks by cosine desc with deterministic tie-break") {
+    val rows = Similarity.annBruteForce(spark, "/root/testdata/sf0.001", 2, 5).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(2))
+      assert(byRank.map(_.getInt(2)).toSeq == (1 to byRank.length))
+      val cosines = byRank.map(_.getDouble(3)).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+  }
+
+  test("multimodal decode plumbing: deterministic stub meta + frame sampling") {
+    val meta = Multimodal.decodeMeta(spark, dupDir).collect()
+    assert(meta.length == 10)
+    assert(meta.forall(m => m.n_bytes > 0 && m.width >= 64 && m.n_frames >= 1))
+    val again = Multimodal.decodeMeta(spark, dupDir).collect()
+    assert(meta.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
+    val frames = Multimodal.sampleFrames(spark, dupDir).collect()
+    assert(frames.nonEmpty)
+  }
+}

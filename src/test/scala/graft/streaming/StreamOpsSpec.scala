@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming tests: watermarked windowed aggregation, stateful
+  * sessionization, and the streaming extraction path landing on the
+  * idempotent snapshot store.
+  */
+class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-stream-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.streaming.checkpointLocation",
+        Files.createTempDirectory("graft-ckpt").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("watermarked hourly window aggregation over a stream") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(2, ts(10), 1, "click", 2.0),
+        StreamOps.Event(3, ts(70), 2, "view", 3.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first windows
+      input.addData(StreamOps.Event(4, ts(400), 3, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n_events FROM hourly").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+      assert(rows.contains(("view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on the 30min gap") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamOps.Event]
+    val q = StreamOps.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5min apart (one session), then 60min silence, one more
+      input.addData(
+        StreamOps.Event(1, ts(0), 1, "click", 1.0),
+        StreamOps.Event(2, ts(5), 1, "click", 1.0),
+        StreamOps.Event(3, ts(65), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(StreamOps.Event(9, ts(600), 2, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM sessions WHERE user_id = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.contains((1L, 2L)), s"expected the closed 2-event session, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
+  test("streaming extraction merges idempotently into the snapshot store") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.spark.SnapshotStore(
+      Files.createTempDirectory("graft-stream-store").toString)
+    val input = MemoryStream[graft.spark.PagesTable.PageRow]
+    val q = StreamOps.streamingExtract(input.toDF(), store).start()
+    try {
+      val docs = (0L until 10L).map(graft.spark.PagesTable.genDoc(_))
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      // replay the same batch: merge must be a no-op
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val tbl = store.read(spark).get
+      assert(tbl.count() == 10)
+      assert(tbl.select("url").distinct().count() == 10)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,65 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run each oracle SQL in
+DuckDB over the sfDir parquet tables and compare against the Spark result
+parquet dumped by graft.Verify. Comparison: sort columns by name, sort rows,
+compare canonicalized values (floats to 9 significant digits).
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            duck = con.execute(sql)
+            dcols = [d[0] for d in duck.description]
+            drows = duck.fetchall()
+            spark = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in spark.description]
+            srows = spark.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {str(e)[:200]}")
+            n_bad += 1
+            continue
+        dc, dr = normalize(dcols, drows)
+        sc, sr = normalize(scols, srows)
+        if dc != sc:
+            print(f"FAIL {name}: columns {sc} vs oracle {dc}")
+            n_bad += 1
+        elif dr != sr:
+            diff = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+            print(f"FAIL {name}: rows {len(sr)} vs {len(dr)}; first diffs: {diff}")
+            n_bad += 1
+        else:
+            print(f"OK   {name}: {len(sr)} rows")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failed")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
