@@ -70,9 +70,8 @@ object Extract {
     val pages = pagesIn.zipWithIndex.map { case (p, pageId) =>
       // L4: verbatim NMS over the oracle's raw boxes (layout/model.rs:125).
       val boxes = Nms.nms(p.boxes)
-      // T3/T4: char -> span -> line folds.
-      val spans = Tokenize.parseTextSpans(p.chars)
-      val lines = Tokenize.parseTextLines(spans)
+      // T3 ran streaming inside the front-end; T4 folds the spans here.
+      val lines = Tokenize.parseTextLines(p.spans)
       nLines += lines.length
       // O1: OCR decision over ALL native lines vs text-kind boxes
       // (page.rs:65-93). Linux OCR is unimplemented in the reference

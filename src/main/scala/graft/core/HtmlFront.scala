@@ -203,11 +203,15 @@ object HtmlFront {
 
   // ------------------------------------------------------------ geometry
 
-  /** One laid-out page: the char stream plus the raw (pre-NMS) layout boxes. */
-  final case class LaidOutPage(chars: Vector[PChar], boxes: Vector[LayoutBox])
+  /** One laid-out page: the folded spans (the T3 result — chars are streamed
+    * through Tokenize.SpanStream during layout and never materialized) plus
+    * the raw (pre-NMS) layout boxes.
+    */
+  final case class LaidOutPage(spans: Vector[CharSpan], boxes: Vector[LayoutBox])
 
   private final class PageState(val nolb: Boolean) {
-    val chars = ArrayBuffer.empty[PChar]
+    val spanStream = new Tokenize.SpanStream
+    private var blockBB: BBox = null
     val boxes = ArrayBuffer.empty[LayoutBox]
     var bodyY: Float = BodyTop
     var headerY: Float = HeaderTop
@@ -216,6 +220,17 @@ object HtmlFront {
     var boxId: Int = 0
 
     def nextBoxId(): Int = { val id = boxId; boxId += 1; id }
+
+    /** Feed one char into the span fold; track the current block's bbox
+      * (union of non-linebreak char tight bounds since markBlock()).
+      */
+    def emit(c: PChar): Unit = {
+      spanStream.feed(c)
+      if (c.fontSize != 0f)
+        blockBB = if (blockBB == null) c.tight else blockBB.merge(c.tight)
+    }
+    def markBlock(): Unit = blockBB = null
+    def blockBBox: Option[BBox] = Option(blockBB)
 
     def addBox(label: String, bbox: BBox, proba: Option[Float]): Unit = {
       val id = nextBoxId()
@@ -276,7 +291,7 @@ object HtmlFront {
           usedLines += 1
         }
         val bb = BBox(x, y, x + adv, y + font.size)
-        st.chars += PChar(s, font.name, font.size, font.weight, 0f, bb, bb, st.charIdx)
+        st.emit(PChar(s, font.name, font.size, font.weight, 0f, bb, bb, st.charIdx))
         st.charIdx += 1
         x += adv
         ti += cs
@@ -286,31 +301,19 @@ object HtmlFront {
       // Injected linebreak char (pdfium-synthetic-char emulation): zero-area
       // bbox, fontSize 0 — forces a span break and a "\n"-terminated line.
       val bb = BBox(x, y, x, y)
-      st.chars += PChar("\n", "", 0f, -1, 0f, bb, bb, st.charIdx)
+      st.emit(PChar("\n", "", 0f, -1, 0f, bb, bb, st.charIdx))
       st.charIdx += 1
     }
     y + lineHeight
   }
 
-  /** Union of the non-linebreak chars emitted between two char-counter marks. */
-  private def charUnion(st: PageState, from: Int): Option[BBox] = {
-    var bb: BBox = null
-    var i = from
-    while (i < st.chars.length) {
-      val c = st.chars(i)
-      if (c.fontSize != 0f) bb = if (bb == null) c.tight else bb.merge(c.tight)
-      i += 1
-    }
-    Option(bb)
-  }
-
   private def layoutBlock(st: PageState, tag: String, children: Seq[Node]): Unit = {
     val font = fontFor(tag)
-    val mark = st.chars.length
+    st.markBlock()
     val endY = layoutRuns(st, inlineRuns(children, font), font, st.bodyY)
     st.bodyY = endY + BlockGap
     labelFor(tag).foreach { label =>
-      charUnion(st, mark).foreach(bb => st.addBox(label, bb, None))
+      st.blockBBox.foreach(bb => st.addBox(label, bb, None))
     }
   }
 
@@ -337,17 +340,17 @@ object HtmlFront {
 
           case "header" =>
             val font = fontFor("header")
-            val mark = st.chars.length
+            st.markBlock()
             val endY = layoutRuns(st, inlineRuns(children, font), font, st.headerY)
             st.headerY = endY + BlockGap
-            charUnion(st, mark).foreach(bb => st.addBox("Page-header", bb, None))
+            st.blockBBox.foreach(bb => st.addBox("Page-header", bb, None))
 
           case "footer" =>
             val font = fontFor("footer")
-            val mark = st.chars.length
+            st.markBlock()
             val endY = layoutRuns(st, inlineRuns(children, font), font, st.footerY)
             st.footerY = endY + BlockGap
-            charUnion(st, mark).foreach(bb => st.addBox("Page-footer", bb, None))
+            st.blockBBox.foreach(bb => st.addBox("Page-footer", bb, None))
 
           case "figure" =>
             val capFirst = attrs.contains("data-capfirst")
@@ -362,7 +365,7 @@ object HtmlFront {
             if (capFirst) { cap(); picture() } else { picture(); cap() }
 
           case "table" =>
-            val mark = st.chars.length
+            st.markBlock()
             children.foreach {
               case Elem("tr", _, cells) =>
                 val cellTexts = cells.collect { case Elem("td", _, kids) =>
@@ -376,7 +379,7 @@ object HtmlFront {
               case Elem(t, _, _) => throw new ParseException(s"<$t> inside <table>")
             }
             st.bodyY += BlockGap
-            charUnion(st, mark).foreach(bb => st.addBox("Table", bb, None))
+            st.blockBBox.foreach(bb => st.addBox("Table", bb, None))
 
           case "ghost" =>
             val bb = BBox(attrs("x0").toFloat, attrs("y0").toFloat,
@@ -386,7 +389,7 @@ object HtmlFront {
           case other => throw new ParseException(s"unsupported block tag <$other>")
         }
     }
-    LaidOutPage(st.chars.toVector, st.boxes.toVector)
+    LaidOutPage(st.spanStream.result(), st.boxes.toVector)
   }
 
   /** Parse + lay out a whole document (one entry per page). */

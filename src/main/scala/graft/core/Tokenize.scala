@@ -16,13 +16,22 @@ object Tokenize {
     * their loose bounds (native.rs:16-39, entities.rs:265-300).
     */
   def parseTextSpans(chars: Iterable[PChar]): Vector[CharSpan] = {
-    val spans = ArrayBuffer.empty[SpanBuilder]
-    val it = chars.iterator
-    while (it.hasNext) {
-      val c = it.next()
+    val stream = new SpanStream
+    chars.foreach(stream.feed)
+    stream.result()
+  }
+
+  /** Streaming form of the T3 fold: chars are fed one at a time and only the
+    * folded spans are retained. This is what the front-end uses — a page
+    * never materializes its char stream (a 1 MB document would otherwise
+    * hold ~1M char objects in flight per task, which wrecks GC at high
+    * parallelism).
+    */
+  final class SpanStream {
+    private val spans = ArrayBuffer.empty[SpanBuilder]
+    def feed(c: PChar): Unit =
       if (spans.isEmpty || !spans.last.tryAppend(c)) spans += SpanBuilder.from(c)
-    }
-    spans.iterator.map(_.build).toVector
+    def result(): Vector[CharSpan] = spans.iterator.map(_.build).toVector
   }
 
   private final class SpanBuilder(

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the optimizations the engine relies on at scale
+  * must actually appear in the executed plan, not just be hoped for —
+  * pushed filters, pruned scan schemas, broadcast joins, whole-stage
+  * codegen, and a single exchange in the extraction job.
+  */
+class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(out) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("q02: filters pushed to the parquet scan, schema pruned") {
+    val plan = formatted(Relational.q02FilterPushdown(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("l_shipdate"), plan)
+    // pruned read: the scan must not fetch l_orderkey/l_partkey etc.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q03: dimension join is a broadcast hash join") {
+    val plan = planOf(Relational.q03BroadcastJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q05: snowflake chain stays fully broadcast (no shuffle join)") {
+    val plan = planOf(Relational.q05MultiJoin(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("q06: top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.q06TopkOrders(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("q09: anti join is broadcast (small right side)") {
+    val plan = planOf(Relational.q09AntiJoin(spark, sf))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("text analysis runs inside whole-stage codegen") {
+    val plan = planOf(TextAnalysis.tokenCounts(spark, sf))
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1)"), plan)
+  }
+
+  test("native expressions appear in the plan (not UDFs)") {
+    val plan = planOf(Similarity.annBruteForce(spark, sf, 2, 3))
+    assert(plan.contains("cosine_ff"), plan)
+    assert(!plan.toLowerCase.contains("scalaudf"), plan)
+    val simPlan = planOf(Dedup.simhashDocs(spark, sf))
+    assert(simPlan.contains("simhash64"), simPlan)
+    assert(!simPlan.toLowerCase.contains("scalaudf"), simPlan)
+  }
+
+  test("extraction job: exactly one exchange (the skew repartition)") {
+    val ss = spark; import ss.implicits._
+    val pages = graft.spark.PagesTable.generate(spark, 24, partitions = 2)
+    val repart = graft.spark.ExtractJob
+      .skewRepartition(pages.toDF(), 4)
+      .as[graft.spark.PagesTable.PageRow]
+    val plan = planOf(graft.spark.ExtractJob.extract(repart).toDF())
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("minhash signature scan reads only the needed columns") {
+    val plan = formatted(Dedup.minhashDocs(spark, sf))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang"), readSchema)
+    assert(readSchema.contains("text"), readSchema)
+  }
+}
