@@ -48,7 +48,36 @@ object Extract {
     (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
   }
 
+  /** Page-count-only fast path — the analogue of `get_page_count`
+    * (parse/document.rs:146-181): parse structure, no layout/extraction.
+    */
+  def pageCount(html: Array[Byte]): Int =
+    HtmlFront.parseDom(new String(html, StandardCharsets.UTF_8)).length
+
+  /** CLI page-range grammar (cli/main.rs:145-169, duplicated
+    * api/main.rs:531-555): "1-5" -> [0,5), "3" -> [2,3) — 1-based inclusive
+    * input, 0-based exclusive range out.
+    */
+  def parsePageRange(s: String): Option[(Int, Int)] = {
+    val t = s.trim
+    if (t.isEmpty) None
+    else t.split("-", 2) match {
+      case Array(single) => single.toIntOption.map(p => (p - 1, p))
+      case Array(a, b) =>
+        for (x <- a.trim.toIntOption; y <- b.trim.toIntOption) yield (x - 1, y)
+      case _ => None
+    }
+  }
+
   def extractDocument(url: String, html: Array[Byte]): ExtractedDoc =
+    extractDocument(url, html, None)
+
+  /** `pageRange` is 0-based half-open; a range end past the document's page
+    * count is an error, mirroring the reference's bail
+    * (parse/native.rs:263-274) but surfaced in the failure taxonomy.
+    */
+  def extractDocument(url: String, html: Array[Byte],
+      pageRange: Option[(Int, Int)]): ExtractedDoc =
     try {
       if (html == null || html.isEmpty)
         return failed(url, "empty_doc")
@@ -56,7 +85,17 @@ object Extract {
         return failed(url, "oversize")
       val text = new String(html, StandardCharsets.UTF_8)
       val laidOut = HtmlFront.layoutDocument(text)
-      extractPages(url, laidOut)
+      // enumerate BEFORE filtering: page ids keep their original index,
+      // exactly like the reference's enumerate-then-drain(range)
+      // (parse/native.rs:233,263-274)
+      val indexed = laidOut.zipWithIndex
+      val ranged = pageRange match {
+        case Some((start, end)) =>
+          if (end > laidOut.length) return failed(url, "range_error")
+          indexed.slice(math.max(start, 0), end)
+        case None => indexed
+      }
+      extractPages(url, ranged)
     } catch {
       case _: HtmlFront.ParseException => failed(url, "parse_error")
       case scala.util.control.NonFatal(_) => failed(url, "exception")
@@ -65,9 +104,10 @@ object Extract {
   private def failed(url: String, errorClass: String): ExtractedDoc =
     ExtractedDoc(url, "", "", "", "[]", 0, 0, 0, 0, 0, "error", errorClass)
 
-  private def extractPages(url: String, pagesIn: Seq[HtmlFront.LaidOutPage]): ExtractedDoc = {
+  private def extractPages(url: String,
+      pagesIn: Seq[(HtmlFront.LaidOutPage, Int)]): ExtractedDoc = {
     var nLines = 0
-    val pages = pagesIn.zipWithIndex.map { case (p, pageId) =>
+    val pages = pagesIn.map { case (p, pageId) =>
       // L4: verbatim NMS over the oracle's raw boxes (layout/model.rs:125).
       val boxes = Nms.nms(p.boxes)
       // T3 ran streaming inside the front-end; T4 folds the spans here.

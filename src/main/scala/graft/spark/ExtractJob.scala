@@ -144,6 +144,7 @@ object ExtractJob {
     extracted.groupBy(col("partition_id")).agg(
       count(lit(1)).as("doc_count"),
       sum(col("bytes_in")).as("bytes_in"),
+      max(col("bytes_in")).as("max_doc_bytes"),
       sum(col("n_lines")).as("lines"),
       sum(col("n_elements")).as("elements"),
       sum(col("n_blocks")).as("blocks"),
