@@ -59,6 +59,78 @@ object GraftImpl {
     out
   }
 
+  /** Seeded xxHash64 of a UTF8String via Spark's own XXH64 implementation
+    * (lane i uses seed i directly).
+    */
+  def xx64(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
+  /** One-pass MinHash signature: k minima of per-lane-seeded xxhash64 over
+    * the shingle array. Composing this from built-ins costs k traversals of
+    * the array (transform + array_min per hash); this does one traversal
+    * computing all k lanes.
+    */
+  def minhashSig(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      if (s != null) {
+        var j = 0
+        while (j < k) {
+          val h = xx64(s, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  /** One-pass multi-table SRP signatures: `tables` sign-bit buckets of
+    * `bits` hyperplanes each over a float-vector, planes derived from the
+    * deterministic xxhash64((dim, plane)) stream — same math as the
+    * column-composed version but one traversal instead of tables*bits.
+    */
+  def srpSigs(vec: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val nPlanes = tables * bits
+    val dots = new Array[Double](nPlanes)
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      val v = vec.getFloat(i).toDouble
+      var p = 0
+      while (p < nPlanes) {
+        // plane component: xxhash64 of (dim:long, plane:int) as Spark computes
+        // it for xxhash64(col, lit(p)) -> scaled to ~[-1, 1)
+        val h1 = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(i.toLong, 42L)
+        val h2 = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashInt(p, h1)
+        dots(p) += v * (h2.toDouble / 9.223372036854776e18)
+        p += 1
+      }
+      i += 1
+    }
+    val sigs = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var b = 0
+      while (b < bits) {
+        if (dots(t * bits + b) >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sigs(t) = sig + (t.toLong << 32)
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -108,6 +180,30 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_ff"
 }
 
+/** minhash_sig(shingles, k): one-pass k-lane MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.minhashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.minhashSig($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** srp_sigs(vec, tables, bits): one-pass multi-table SRP-LSH signatures. */
+case class SrpSigs(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.srpSigs(input.asInstanceOf[ArrayData], tables, bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.srpSigs($c, $tables, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): SrpSigs =
+    copy(child = newChild)
+  override def prettyName: String = "srp_sigs"
+}
+
 /** Column-level entry points. Functions register themselves in the active
   * session's registry on first use (temp functions, also callable from SQL).
   */
@@ -119,6 +215,15 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_ff",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashSig(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("srp_sigs",
+      exprs => SrpSigs(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+  }
+
+  private def intLit(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"expected int literal, got $other")
   }
 
   private def ensureRegistered(): Unit = register(SparkSession.active)
@@ -127,5 +232,16 @@ object GraftFunctions {
 
   def cosineFF(a: Column, b: Column): Column = {
     ensureRegistered(); call_function("cosine_ff", a, b)
+  }
+
+  def minhashSig(shingles: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def srpSigs(vec: Column, tables: Int, bits: Int): Column = {
+    ensureRegistered()
+    call_function("srp_sigs", vec, org.apache.spark.sql.functions.lit(tables),
+      org.apache.spark.sql.functions.lit(bits))
   }
 }

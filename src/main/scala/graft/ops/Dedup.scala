@@ -53,14 +53,14 @@ object Dedup {
     )
   }
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(shingle, i).
-    * Built as one array expression — no explode, no UDF; whole-stage codegen
-    * keeps the doc's shingle array in one pass per hash.
+  /** MinHash signature: sig[i] = min over shingles of seeded xxhash64.
+    * A native one-pass expression (graft.functions.MinHashSig) — composing
+    * it from transform+array_min would traverse the shingle array once per
+    * hash lane (64x the work); the expression computes all lanes in one
+    * traversal and stays inside whole-stage codegen.
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+    graft.functions.GraftFunctions.minhashSig(sh, numHashes)
 
   /** LSH band keys: hash of each r-row band of the signature (+ band index so
     * equal bands in different positions don't collide).

@@ -38,43 +38,18 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component (SplitMix64-style mix
-    * of (plane, dim) -> uniform in [-1, 1)), expressed as columns so the
-    * signature computation is pure Catalyst.
-    */
-  private def planeComponent(plane: Int, dim: org.apache.spark.sql.Column) =
-    // xxhash64 of (dim, plane) -> uniform long -> ~[-1, 1). Built-in hash
-    // avoids hand-rolled mixing (which would overflow under ANSI mode).
-    xxhash64(dim, lit(plane)).cast("double") / lit(9.223372036854776e18)
-
-  /** SRP sign bit for plane p: sign of <v, plane_p> with deterministic
-    * planes; one codegen pass over the zipped (value, index) array.
-    */
-  private def srpBit(p: Int) = {
-    val dot = aggregate(
-      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
-        (v, i) => v.cast("double") * planeComponent(p, i)),
-      lit(0.0), (acc, x) => acc + x)
-    when(dot >= 0, 1L).otherwise(0L)
-  }
-
   /** Multi-table SRP signatures: `tables` independent hash tables of
     * `bitsPerTable` sign bits each (OR-amplified LSH — a candidate needs to
     * collide in ANY table, which is what keeps recall high while each table's
-    * bucket stays small).
+    * bucket stays small). A native one-pass expression
+    * (graft.functions.SrpSigs): hyperplanes are a deterministic xxhash64
+    * stream over (dim, plane), and all tables*bits dot products accumulate
+    * in a single traversal of the vector.
     */
   def srpSignatures(spark: SparkSession, dir: String, tables: Int = 8,
-      bitsPerTable: Int = 4): DataFrame = {
-    val emb = embeddings(spark, dir)
-    val tableSigs = (0 until tables).map { t =>
-      val sig = (0 until bitsPerTable).map { b =>
-        srpBit(t * bitsPerTable + b) * lit(1L << b)
-      }.reduce((a, c) => a + c)
-      // tag with the table index so buckets from different tables can't mix
-      sig + lit(t.toLong << 32)
-    }
-    emb.withColumn("sigs", array(tableSigs: _*))
-  }
+      bitsPerTable: Int = 4): DataFrame =
+    embeddings(spark, dir).withColumn("sigs",
+      GraftFunctions.srpSigs(col("embedding"), tables, bitsPerTable))
 
   /** LSH-bucketed ANN: candidates collide with the query in at least one of
     * the SRP tables; rank within the candidate set by exact cosine. Same
