@@ -93,24 +93,41 @@ object Assign {
     val body = ArrayBuffer.empty[Element]
     val footers = ArrayBuffer.empty[Element]
 
+    val boxes = layoutBoxes.toArray
     for (line <- lines) {
-      val maxIntersection = maxByLast(layoutBoxes)(b => b.bbox.intersection(line.bbox))
-        .filter(b => line.bbox.intersection(b.bbox) / line.bbox.area > MinIntersectionLayout)
-      val matched = maxIntersection.orElse {
-        minByFirst(layoutBoxes)(b =>
-          b.bbox.distance(line.bbox, DistanceXWeight, DistanceYWeight)
-        ).filter(b =>
-          b.bbox.distance(line.bbox, DistanceXWeight, DistanceYWeight) < MaxAssignmentDistance)
+      // Hot loop (O(lines x boxes) per page): index loops, no closures.
+      // Tie-breaks preserved: last max (Rust max_by), first min (min_by);
+      // the distance fallback only runs when the intersection test fails
+      // (both scores are pure, so this matches the reference's eager form).
+      var best: LayoutBox = null
+      var bestV = Float.NegativeInfinity
+      var i = 0
+      while (i < boxes.length) {
+        val v = boxes(i).bbox.intersection(line.bbox)
+        if (best == null || v >= bestV) { best = boxes(i); bestV = v }
+        i += 1
       }
-      matched match {
-        case Some(box) =>
-          box.label match {
-            case "Page-header" => mergeOrCreateElements(headers, line, box, pageId)
-            case "Page-footer" => mergeOrCreateElements(footers, line, box, pageId)
-            case _             => mergeOrCreateElements(body, line, box, pageId)
-          }
-        case None => // line dropped (merge.rs:141-157, fallback commented out)
+      val maxIntersection =
+        if (best != null && bestV / line.bbox.area > MinIntersectionLayout) best
+        else null
+      val matched: LayoutBox = if (maxIntersection != null) maxIntersection else {
+        var bestD: LayoutBox = null
+        var bestDV = Float.PositiveInfinity
+        var j = 0
+        while (j < boxes.length) {
+          val d = boxes(j).bbox.distance(line.bbox, DistanceXWeight, DistanceYWeight)
+          if (bestD == null || d < bestDV) { bestD = boxes(j); bestDV = d }
+          j += 1
+        }
+        if (bestD != null && bestDV < MaxAssignmentDistance) bestD else null
       }
+      if (matched != null) {
+        matched.label match {
+          case "Page-header" => mergeOrCreateElements(headers, line, matched, pageId)
+          case "Page-footer" => mergeOrCreateElements(footers, line, matched, pageId)
+          case _             => mergeOrCreateElements(body, line, matched, pageId)
+        }
+      } // else: line dropped (merge.rs:141-157, fallback commented out)
     }
     (headers ++ body ++ footers).toVector
   }

@@ -55,6 +55,9 @@ object HtmlFront {
 
   final case class Font(name: String, size: Float, weight: Int)
 
+  /** The pdfium-synthetic-linebreak pseudo-font (fontSize 0, no weight). */
+  private val LinebreakFont = Font("", 0f, -1)
+
   def fontFor(tag: String): Font = tag match {
     case "h1"         => Font("Serif", 24f, 700)
     case "h2"         => Font("Serif", 20f, 700)
@@ -221,13 +224,20 @@ object HtmlFront {
 
     def nextBoxId(): Int = { val id = boxId; boxId += 1; id }
 
-    /** Feed one char into the span fold; track the current block's bbox
-      * (union of non-linebreak char tight bounds since markBlock()).
+    /** Feed one char (as a slice of `src`) into the span fold; track the
+      * current block's bbox (union of non-linebreak char tight bounds since
+      * markBlock()). Allocation-free on the append fast path.
       */
-    def emit(c: PChar): Unit = {
-      spanStream.feed(c)
-      if (c.fontSize != 0f)
-        blockBB = if (blockBB == null) c.tight else blockBB.merge(c.tight)
+    def emitRaw(src: CharSequence, from: Int, until: Int, font: Font,
+        x0: Float, y0: Float, x1: Float, y1: Float): Unit = {
+      spanStream.feedRaw(src, from, until, font.name, font.size, font.weight,
+        0f, x0, y0, x1, y1, x0, y0, x1, y1, charIdx)
+      charIdx += 1
+      if (font.size != 0f) {
+        if (blockBB == null) blockBB = BBox(x0, y0, x1, y1)
+        else blockBB = BBox(math.min(blockBB.x0, x0), math.min(blockBB.y0, y0),
+          math.max(blockBB.x1, x1), math.max(blockBB.y1, y1))
+      }
     }
     def markBlock(): Unit = blockBB = null
     def blockBBox: Option[BBox] = Option(blockBB)
@@ -284,15 +294,12 @@ object HtmlFront {
       while (ti < text.length) {
         val cp = text.codePointAt(ti)
         val cs = Character.charCount(cp)
-        val s = text.substring(ti, ti + cs)
         if (x + adv > xRight) { // wrap (positions only; no chars injected)
           x = xLeft
           y += lineHeight
           usedLines += 1
         }
-        val bb = BBox(x, y, x + adv, y + font.size)
-        st.emit(PChar(s, font.name, font.size, font.weight, 0f, bb, bb, st.charIdx))
-        st.charIdx += 1
+        st.emitRaw(text, ti, ti + cs, font, x, y, x + adv, y + font.size)
         x += adv
         ti += cs
       }
@@ -300,9 +307,7 @@ object HtmlFront {
     if (!st.nolb) {
       // Injected linebreak char (pdfium-synthetic-char emulation): zero-area
       // bbox, fontSize 0 — forces a span break and a "\n"-terminated line.
-      val bb = BBox(x, y, x, y)
-      st.emit(PChar("\n", "", 0f, -1, 0f, bb, bb, st.charIdx))
-      st.charIdx += 1
+      st.emitRaw("\n", 0, 1, LinebreakFont, x, y, x, y)
     }
     y + lineHeight
   }

@@ -25,17 +25,37 @@ object Tokenize {
     * folded spans are retained. This is what the front-end uses — a page
     * never materializes its char stream (a 1 MB document would otherwise
     * hold ~1M char objects in flight per task, which wrecks GC at high
-    * parallelism).
+    * parallelism). `feedRaw` is the allocation-free fast path: the common
+    * case (char appends to the current span) allocates nothing — text is
+    * appended straight from the source CharSequence and the bbox merge is
+    * four float compares.
     */
   final class SpanStream {
     private val spans = ArrayBuffer.empty[SpanBuilder]
+
     def feed(c: PChar): Unit =
-      if (spans.isEmpty || !spans.last.tryAppend(c)) spans += SpanBuilder.from(c)
+      feedRaw(c.text, 0, c.text.length, c.fontName, c.fontSize, c.fontWeight,
+        c.rotation, c.tight.x0, c.tight.y0, c.tight.x1, c.tight.y1,
+        c.loose.x0, c.loose.y0, c.loose.x1, c.loose.y1, c.index)
+
+    /** Feed one char given as a slice of `src`. Tight bounds seed a new
+      * span; loose bounds merge on append (entities.rs:265-300).
+      */
+    def feedRaw(src: CharSequence, from: Int, until: Int,
+        fontName: String, fontSize: Float, fontWeight: Int, rotation: Float,
+        tx0: Float, ty0: Float, tx1: Float, ty1: Float,
+        lx0: Float, ly0: Float, lx1: Float, ly1: Float, index: Int): Unit = {
+      if (spans.nonEmpty && spans.last.tryAppendRaw(src, from, until, fontName,
+          fontSize, fontWeight, rotation, lx0, ly0, lx1, ly1, index)) ()
+      else spans += SpanBuilder.fromRaw(src, from, until, fontName, fontSize,
+        fontWeight, rotation, tx0, ty0, tx1, ty1, index)
+    }
+
     def result(): Vector[CharSpan] = spans.iterator.map(_.build).toVector
   }
 
   private final class SpanBuilder(
-      var bbox: BBox,
+      var x0: Float, var y0: Float, var x1: Float, var y1: Float,
       val text: java.lang.StringBuilder,
       val rotation: Float,
       val fontName: String,
@@ -45,25 +65,33 @@ object Tokenize {
       var charEndIdx: Int
   ) {
     /** entities.rs:282-300: reject on any font/rotation mismatch. */
-    def tryAppend(c: PChar): Boolean =
-      if (c.fontSize != fontSize || c.fontName != fontName ||
-        c.fontWeight != fontWeight || c.rotation != rotation) false
+    def tryAppendRaw(src: CharSequence, from: Int, until: Int,
+        fn: String, fs: Float, fw: Int, rot: Float,
+        lx0: Float, ly0: Float, lx1: Float, ly1: Float, index: Int): Boolean =
+      if (fs != fontSize || fn != fontName || fw != fontWeight || rot != rotation) false
       else {
-        text.append(c.text)
-        charEndIdx = c.index
-        bbox = bbox.merge(c.loose)
+        text.append(src, from, until)
+        charEndIdx = index
+        if (lx0 < x0) x0 = lx0
+        if (ly0 < y0) y0 = ly0
+        if (lx1 > x1) x1 = lx1
+        if (ly1 > y1) y1 = ly1
         true
       }
 
     def build: CharSpan =
-      CharSpan(bbox, text.toString, rotation, fontName, fontSize, fontWeight,
-        charStartIdx, charEndIdx)
+      CharSpan(BBox(x0, y0, x1, y1), text.toString, rotation, fontName,
+        fontSize, fontWeight, charStartIdx, charEndIdx)
   }
 
   private object SpanBuilder {
-    def from(c: PChar): SpanBuilder =
-      new SpanBuilder(c.tight, new java.lang.StringBuilder(c.text), c.rotation,
-        c.fontName, c.fontSize, c.fontWeight, c.index, c.index)
+    def fromRaw(src: CharSequence, from: Int, until: Int,
+        fn: String, fs: Float, fw: Int, rot: Float,
+        tx0: Float, ty0: Float, tx1: Float, ty1: Float, index: Int): SpanBuilder = {
+      val sb = new java.lang.StringBuilder(math.max(16, until - from))
+      sb.append(src, from, until)
+      new SpanBuilder(tx0, ty0, tx1, ty1, sb, rot, fn, fs, fw, index, index)
+    }
   }
 
   /** Accumulate spans into lines. A line breaks when the incoming span has a
