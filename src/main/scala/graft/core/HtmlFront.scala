@@ -217,6 +217,7 @@ object HtmlFront {
     private var blockBB: BBox = null
     val boxes = ArrayBuffer.empty[LayoutBox]
     var bodyY: Float = BodyTop
+    var col1Y: Float = BodyTop // right column cursor (two-column layout)
     var headerY: Float = HeaderTop
     var footerY: Float = FooterTop
     var charIdx: Int = 0
@@ -312,11 +313,23 @@ object HtmlFront {
     y + lineHeight
   }
 
-  private def layoutBlock(st: PageState, tag: String, children: Seq[Node]): Unit = {
+  /** Lay out a text block, optionally into the right column
+    * (data-col="1"): each column has its own cursor and half-width band —
+    * multi-column pages exercise the x-weighted (5:1) distance assignment.
+    */
+  private def layoutBlock(st: PageState, tag: String, children: Seq[Node],
+      attrs: Map[String, String] = Map.empty): Unit = {
     val font = fontFor(tag)
+    val rightCol = attrs.get("data-col").contains("1")
+    val (xL, xR) = if (rightCol) (312f, ContentRight) else (MarginLeft, 306f)
+    val twoCol = rightCol || attrs.contains("data-col")
     st.markBlock()
-    val endY = layoutRuns(st, inlineRuns(children, font), font, st.bodyY)
-    st.bodyY = endY + BlockGap
+    val endY =
+      if (!twoCol) layoutRuns(st, inlineRuns(children, font), font, st.bodyY)
+      else if (rightCol) layoutRuns(st, inlineRuns(children, font), font, st.col1Y, xL, xR)
+      else layoutRuns(st, inlineRuns(children, font), font, st.bodyY, xL, xR)
+    if (twoCol && rightCol) st.col1Y = endY + BlockGap
+    else st.bodyY = endY + BlockGap
     labelFor(tag).foreach { label =>
       st.blockBBox.foreach(bb => st.addBox(label, bb, None))
     }
@@ -329,7 +342,7 @@ object HtmlFront {
       case Elem(tag, attrs, children) =>
         tag match {
           case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" | "p" | "sub" | "math" =>
-            layoutBlock(st, tag, children)
+            layoutBlock(st, tag, children, attrs)
 
           case "nav" => // chars, no box: boilerplate to be dropped downstream
             val font = fontFor("nav")

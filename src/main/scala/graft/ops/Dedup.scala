@@ -153,10 +153,13 @@ object Dedup {
       shingleSize: Int = 2,
       threshold: Double = 0.06
   ): DataFrame = {
+    // materialize the shingle table once: a self-join would otherwise
+    // recompute the shingling scan on both sides
     val base = docs(spark, dir).select(
       col("doc_id"), col("lang"),
       (size(split(col("text"), "\\s+")) / 64).as("len_bucket"),
       shingles(col("text"), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     base.as("a").join(base.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.len_bucket") === col("b.len_bucket") &&

@@ -30,7 +30,7 @@ object PagesTable {
 
   val Families: Vector[String] = Vector(
     "plain", "fontmix", "headings", "lists", "figures", "chrome",
-    "sparse", "tables", "overlap", "mojibake", "nolb", "skew"
+    "sparse", "tables", "overlap", "mojibake", "nolb", "skew", "twocol"
   )
 
   private val Langs = Vector("en", "fr", "de", "es")
@@ -220,6 +220,17 @@ object PagesTable {
           for (_ <- 0 until math.min(paras - p * 60, 60)) sb ++= s"<p>${para(rng, 1, 3)}</p>"
           sb ++= "</page>"
         }
+
+      case "twocol" =>
+        // two-column article: column 0 blocks first (reading order), then
+        // column 1 — exercises the x-weighted distance assignment
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 2 + rng.nextInt(3))
+          sb ++= s"""<p data-col="0">${para(rng, 1, 2)}</p>"""
+        for (_ <- 0 until 2 + rng.nextInt(3))
+          sb ++= s"""<p data-col="1">${para(rng, 1, 2)}</p>"""
+        sb ++= "</page>"
 
       case other => throw new IllegalArgumentException(s"unknown family $other")
     }

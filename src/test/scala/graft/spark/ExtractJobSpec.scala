@@ -107,7 +107,8 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     import org.apache.spark.sql.functions._
     // skew-family-only corpus (every 12th index), Pareto-distributed lengths
     val pages = spark.range(0, 360, 1, 4)
-      .map(i => PagesTable.genDoc(i * 12 + 11)) // family index 11 = skew
+      .map(i => PagesTable.genDoc(
+        i * PagesTable.Families.length + PagesTable.Families.indexOf("skew")))
     val maxDoc = pages.collect().map(_.html.length.toLong).max
     val repart = ExtractJob.skewRepartition(pages.toDF(), 8, balanced = true)
     val byPart = ExtractJob.extract(repart.as[PagesTable.PageRow])
