@@ -36,7 +36,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val scaleLo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "4").toInt
     val scaleHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", "16").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "64000").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "48000").toInt
     val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
 
     // ---- part 1: query suite ----
