@@ -61,6 +61,7 @@ object SparkEntry {
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "qs3_ann_ivf" -> ((s: SparkSession, d: String) => Similarity.annIvf(s, d)),
     // ---- text analysis (oracle-checked) ----
     "qt1_token_count" -> (TextAnalysis.tokenCounts _),
     "qt2_quality" -> (TextAnalysis.qualityScores _),

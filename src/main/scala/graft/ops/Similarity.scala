@@ -77,6 +77,95 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** IVF coarse quantizer: deterministic Lloyd k-means over a driver-side
+    * sample of the corpus (the standard IVF pattern — the quantizer is tiny
+    * and trained once; cluster assignment of the corpus stays distributed).
+    */
+  def ivfCentroids(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 10, sampleCap: Int = 4096): Array[Array[Float]] = {
+    val sample = embeddings(spark, dir)
+      .orderBy(col("vec_id")).limit(sampleCap)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty embeddings table")
+    val dim = sample.head.length
+    // deterministic init: evenly-strided sample points
+    val centroids = Array.tabulate(k)(i => sample((i * sample.length) / k).clone())
+    val assign = new Array[Int](sample.length)
+    for (_ <- 0 until iters) {
+      var i = 0
+      while (i < sample.length) {
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0
+          var j = 0
+          while (j < dim) {
+            val diff = sample(i)(j) - centroids(c)(j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < sample.length) {
+        val c = assign(i)
+        counts(c) += 1
+        var j = 0
+        while (j < dim) { sums(c)(j) += sample(i)(j); j += 1 }
+        i += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until dim)
+        centroids(c)(j) = (sums(c)(j) / counts(c)).toFloat
+    }
+    centroids
+  }
+
+  /** IVF-bucketed ANN: corpus vectors are assigned to their nearest coarse
+    * centroid (distributed, codegen'd cosine against literal centroids);
+    * each query probes its `nprobe` nearest cells and ranks candidates by
+    * exact cosine. At scale the cell assignment is a write-once partition
+    * key — queries then touch nprobe/k of the corpus.
+    */
+  def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5, topK: Int = 10,
+      k: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.{typedlit => tlit}
+    val centroids = ivfCentroids(spark, dir, k)
+    val cents = centroids.map(c => tlit(c.toSeq))
+    val cos = cents.map(c => GraftFunctions.cosineFF(col("embedding"), c))
+    val cosArr = array(cos: _*)
+    // nearest cell = first argmax (deterministic)
+    val assigned = embeddings(spark, dir)
+      .withColumn("__cos", cosArr)
+      .withColumn("cell", expr("array_position(__cos, array_max(__cos))").cast("int") - 1)
+    val corpus = assigned.select(col("vec_id"), col("embedding"), col("cell"))
+    // query probe cells: top-nprobe centroid cosines per query vector
+    val probes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        posexplode(col("__cos")).as(Seq("cpos", "ccos")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cpos").asc)
+    val probeCells = probes.withColumn("prnk", row_number().over(w))
+      .filter(col("prnk") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cpos").as("cell"))
+    val cand = corpus.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    cand.withColumn("cosine", GraftFunctions.cosineFF(col("qvec"), col("embedding")))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (the embedding leg of dedup):
     * all pairs above a cosine threshold. Exact (cross product) — the corpus
     * embedding table is small; the LSH variant above is the scale path.

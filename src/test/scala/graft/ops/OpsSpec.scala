@@ -110,6 +110,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall { case (q, n) => q < 5 && n != q })
   }
 
+  test("IVF ANN is a high-recall subset of brute-force ANN") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 5, topK = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall too low (candidates ${ivf.size})")
+    assert(ivf.forall { case (q, n) => q < 5 && n != q })
+  }
+
   test("brute-force ANN ranks by cosine desc with deterministic tie-break") {
     val rows = Similarity.annBruteForce(spark, "/root/testdata/sf0.001", 2, 5).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
