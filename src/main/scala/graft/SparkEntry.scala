@@ -52,6 +52,8 @@ object SparkEntry {
     "q12_events_hourly" -> (Relational.q12EventsHourly _),
     "q13_rollup" -> (Relational.q13Rollup _),
     "q14_sessionize" -> (Relational.q14Sessionize _),
+    "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
+    "q16_cube" -> (Relational.q16Cube _),
     // ---- dedup (oracle where SQL-expressible) ----
     "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
     "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashDocs(s, d)),
@@ -68,6 +70,8 @@ object SparkEntry {
     "qt3_langid" -> (TextAnalysis.langId _),
     "qt4_fingerprint" -> ((s: SparkSession, d: String) =>
       TextAnalysis.fingerprints(s, d)),
+    "qt5_bigram_freq" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bigramFreq(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -173,6 +177,28 @@ object SparkEntry {
          SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
            MAX(duration_s) AS max_session_s
          FROM per_session GROUP BY user_id""",
+    "q15_exists_subquery" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+         GROUP BY c_mktsegment""",
+    "q16_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "qt5_bigram_freq" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS bigrams
+           FROM w),
+         e AS (SELECT unnest(bigrams) AS bigram FROM b)
+         SELECT bigram, COUNT(*) AS n_docs FROM e
+         GROUP BY bigram HAVING COUNT(*) >= 10""",
     "qd1_exact_dedup" ->
       """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

@@ -157,6 +157,26 @@ object Relational {
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
 
+  /** Correlated EXISTS: customers having at least one high-value order,
+    * counted per market segment (plans as a left-semi join).
+    */
+  def q15ExistsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** CUBE over two dimensions (full grouping-sets lattice). */
+  def q16Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+
   /** Sessionization via gap detection: a new session starts after a >30min
     * silence per user; pure window functions (lag + running sum), no UDF.
     */

@@ -72,6 +72,16 @@ object TextAnalysis {
       (col("detected_lang") === col("labeled_lang")).cast("int"))
   }
 
+  /** Corpus-level n-gram frequency: top word bigrams with counts — the
+    * explode+groupBy shape of corpus statistics (vocabulary building).
+    */
+  def bigramFreq(spark: SparkSession, dir: String, minCount: Long = 10): DataFrame =
+    docs(spark, dir)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minCount)
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */
