@@ -90,13 +90,19 @@ object Bench {
     // Each rep measures lo and hi back to back (same noise window); the
     // reported numbers are the rep with the best hi-rate — the closest thing
     // to an unstolen measurement this host offers. All samples are emitted
-    // for transparency.
+    // for transparency. Sampling is time-budgeted (default 240s) so the
+    // single JSON line always lands inside the driver's bench timeout.
+    val budgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "240").toLong * 1000L
     val factor = scaleHi.toDouble / scaleLo
-    val rateSamples = (1 to scaleReps).map { _ =>
-      val lo = extractionRate(scaleLo)
-      val hi = extractionRate(scaleHi)
-      (lo, hi, hi / (factor * lo))
-    }
+    val t0 = System.currentTimeMillis()
+    val rateSamples = Iterator.range(0, scaleReps)
+      .takeWhile(r => r == 0 || System.currentTimeMillis() - t0 < budgetMs)
+      .map { _ =>
+        val lo = extractionRate(scaleLo)
+        val hi = extractionRate(scaleHi)
+        (lo, hi, hi / (factor * lo))
+      }.toVector
     val (rateLo, rateHi, efficiency) = rateSamples.maxBy(_._2)
 
     def f(d: Double): String = java.math.BigDecimal.valueOf(d)

@@ -25,7 +25,16 @@ import scala.jdk.CollectionConverters._
   * On a real cluster the same trait surface is served by Iceberg
   * (`MERGE INTO ... ON t.url = s.url WHEN NOT MATCHED THEN INSERT`).
   */
-final class SnapshotStore(val root: String) {
+trait TableStore {
+  /** Current committed table; None when no snapshot exists. */
+  def read(spark: SparkSession): Option[DataFrame]
+  /** Committed keys only (column-pruned). */
+  def committedKeys(spark: SparkSession, keyCol: String): Option[DataFrame]
+  /** MERGE-INTO-when-not-matched; returns the newly visible data files. */
+  def merge(df: DataFrame, keyCol: String): Vector[String]
+}
+
+final class SnapshotStore(val root: String) extends TableStore {
 
   private def snapshotsDir: Path = Paths.get(root, "_snapshots")
   private def currentFile: Path = snapshotsDir.resolve("CURRENT")
