@@ -71,7 +71,10 @@ object ExtractJob {
   def skewRepartition(df: DataFrame, partitions: Int, balanced: Boolean = false): DataFrame = {
     val bucket = ceil(log2(greatest(length(col("html")).cast("long"), lit(2L))))
     if (!balanced) {
-      df.withColumn("__salt", pmod(xxhash64(col("url"), bucket), lit(partitions)))
+      // Full-range salt, NOT pre-modded: repartition() re-hashes the column,
+      // and quantizing to P values first would throw P balls into P bins
+      // (max/mean ~3 at P=256). A full-range hash keys ~uniformly.
+      df.withColumn("__salt", xxhash64(col("url"), bucket))
         .repartition(partitions, col("__salt"))
         .drop("__salt")
     } else {
