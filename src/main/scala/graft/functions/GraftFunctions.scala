@@ -131,6 +131,70 @@ object GraftImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
   }
 
+  /** One-pass word w-shingles: lowercase, split on ASCII whitespace runs,
+    * join each w-gram with single spaces, return the DISTINCT SORTED array.
+    * Matches the composed form (lower -> regexp_replace \s+ -> split ->
+    * slice/concat per position) including its n<=w edge (one shingle of all
+    * words), but in a single pass with one TreeSet instead of per-position
+    * array slices.
+    */
+  def wordShingles(text: UTF8String, w: Int): ArrayData = {
+    val lowered = text.toLowerCase.toString
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    val n = lowered.length
+    while (i < n) {
+      while (i < n && isWs(lowered.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lowered.charAt(i))) i += 1
+      if (i > start) tokens.add(lowered.substring(start, i))
+    }
+    val m = tokens.size()
+    val out = new java.util.TreeSet[UTF8String]()
+    if (m > 0) {
+      val last = math.max(m - w, 0)
+      var p = 0
+      while (p <= last) {
+        val sb = new java.lang.StringBuilder
+        var q = p
+        val end = math.min(p + w, m)
+        while (q < end) {
+          if (q > p) sb.append(' ')
+          sb.append(tokens.get(q))
+          q += 1
+        }
+        out.add(UTF8String.fromString(sb.toString))
+        p += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  @inline private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Jaccard similarity of two SORTED, DISTINCT string arrays via a
+    * two-pointer merge scan — no hash sets (array_intersect/array_union
+    * build one per row pair; on a blocked self-join that dominates).
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    inter.toDouble / union.toDouble
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -180,6 +244,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "cosine_ff"
 }
 
+/** word_shingles(text, w): distinct sorted word w-grams. */
+case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.wordShingles(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.wordShingles($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+  override def prettyName: String = "word_shingles"
+}
+
+/** jaccard_sorted(a, b): Jaccard of two sorted distinct string arrays. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftImpl.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sorted"
+}
+
 /** minhash_sig(shingles, k): one-pass k-lane MinHash signature. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -215,6 +304,10 @@ object GraftFunctions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("cosine_ff",
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      exprs => WordShingles(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("jaccard_sorted",
+      exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashSig(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("srp_sigs",
@@ -232,6 +325,15 @@ object GraftFunctions {
 
   def cosineFF(a: Column, b: Column): Column = {
     ensureRegistered(); call_function("cosine_ff", a, b)
+  }
+
+  def wordShingles(text: Column, w: Int): Column = {
+    ensureRegistered()
+    call_function("word_shingles", text, org.apache.spark.sql.functions.lit(w))
+  }
+
+  def jaccardSorted(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("jaccard_sorted", a, b)
   }
 
   def minhashSig(shingles: Column, k: Int): Column = {
