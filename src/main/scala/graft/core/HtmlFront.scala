@@ -288,7 +288,6 @@ object HtmlFront {
     val lineHeight = baseFont.size * 1.2f
     var x = xLeft
     var y = y0
-    var usedLines = 1
     for ((text, font) <- runs) {
       val adv = font.size * 0.5f
       var ti = 0
@@ -298,7 +297,6 @@ object HtmlFront {
         if (x + adv > xRight) { // wrap (positions only; no chars injected)
           x = xLeft
           y += lineHeight
-          usedLines += 1
         }
         st.emitRaw(text, ti, ti + cs, font, x, y, x + adv, y + font.size)
         x += adv
