@@ -41,6 +41,10 @@ object Bench {
 
     // ---- part 1: query suite ----
     val spark = newSession(cpus)
+    // absorb session cold-start (scheduler, parquet footer reads, codegen of
+    // a trivial plan) so the first query's time reflects the query
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
