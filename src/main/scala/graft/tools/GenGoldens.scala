@@ -13,7 +13,7 @@ import graft.spark.PagesTable
 object GenGoldens {
   def main(args: Array[String]): Unit = {
     val outDir = args.headOption.getOrElse("src/test/resources/golden")
-    val n = 60L
+    val n = 130L // 10 docs per fixture family
     Files.createDirectories(Paths.get(outDir, "text"))
     Files.createDirectories(Paths.get(outDir, "md"))
     Files.createDirectories(Paths.get(outDir, "blocks"))

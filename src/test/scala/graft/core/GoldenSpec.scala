@@ -21,7 +21,7 @@ class GoldenSpec extends AnyFunSuite {
   test("extraction output matches committed goldens byte-for-byte") {
     assume(Files.exists(goldenDir), "golden corpus not generated yet")
     var checked = 0
-    (0L until 60L).foreach { i =>
+    (0L until 130L).foreach { i =>
       val row = PagesTable.genDoc(i)
       val d = Extract.extractDocument(row.url, row.html)
       assert(d.parseStatus == "ok", s"doc $i: ${d.errorClass}")
@@ -30,6 +30,6 @@ class GoldenSpec extends AnyFunSuite {
       assert(d.blocksJson == read("blocks", s"doc$i.json"), s"blocks drift in doc $i (${row.url})")
       checked += 1
     }
-    assert(checked == 60)
+    assert(checked == 130)
   }
 }
