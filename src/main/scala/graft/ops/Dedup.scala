@@ -102,18 +102,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Per-document MinHash profile: shingle count, signature head, band keys —
-    * the per-doc leg of the LSH pipeline (pairs come from minhashLshPairs).
+  /** Portable MinHash profile — every column exactly reproducible in any
+    * engine with md5 + 64-bit integer arithmetic, so the signature VALUES sit
+    * under the driver's DuckDB hash-parity gate (the xxhash64 lanes used by
+    * [[minhashLshPairs]] stay spec-verified: no portable xxhash64 exists).
+    *
+    * Lane family: the classic one-strong-hash + affine-lane scheme (Broder's
+    * min-wise permutations): per shingle, a/b = the two 60-bit hex halves of
+    * md5(shingle); lane_i(s) = (a + i*b) mod (2^61 - 1); sig_i = min over
+    * shingles. All scalar output columns (no arrays — the driver's checker
+    * sorts rows in pandas, and array cells are unhashable there).
     */
-  def minhashDocs(spark: SparkSession, dir: String, shingleSize: Int = 3,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = shingles(col("text"), shingleSize)
-    val sig = minhashSignature(sh, numHashes)
-    docs(spark, dir).select(
-      col("doc_id"),
-      size(sh).as("n_shingles"),
-      element_at(sig, 1).as("sig_head"),
-      bandKeys(sig, bands, numHashes / bands).as("band_keys"))
+  def minhashPortable(spark: SparkSession, dir: String, shingleSize: Int = 3,
+      lanes: Int = 4): DataFrame = {
+    // i <= 7 keeps a + i*b < 2^63 in plain long arithmetic (a, b < 2^60)
+    require(lanes <= 7, s"portable affine lanes need i <= 7, got $lanes")
+    val mersenne61 = 2305843009213693951L // 2^61 - 1, prime
+    val sigs = (0 until lanes).map { i =>
+      array_min(zip_with(col("av"), col("bv"),
+        (a, b) => (a + lit(i.toLong) * b) % lit(mersenne61))).as(s"sig_$i")
+    }
+    docs(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .withColumn("av", transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      .withColumn("bv", transform(col("sh"),
+        s => conv(substring(md5(s), 16, 15), 16, 10).cast("long")))
+      .select(col("doc_id") +: size(col("sh")).as("n_shingles") +: sigs: _*)
   }
 
   /** SimHash per document via the native expression, plus its 16-bit prefix
@@ -126,37 +141,68 @@ object Dedup {
         shiftrightunsigned(sim, 48).as("prefix16"))
   }
 
-  /** SimHash near-dup pairs: block on the 16-bit prefix, verify Hamming
-    * distance <= maxHamming via bit_count(xor).
+  /** SimHash near-dup pairs with GUARANTEED recall at Hamming <= maxHamming.
+    *
+    * The 64-bit fingerprint is split into B = maxHamming + 2 blocks; by
+    * pigeonhole a pair within maxHamming differing bits agrees on >= 2 whole
+    * blocks, so the C(B,2) two-block combination keys are a LOSSLESS blocking
+    * scheme (the block-permutation trick of Manku et al., WWW'07 simhash
+    * dedup). Each key carries ~12-14 agreement bits, so buckets shrink by
+    * ~2^13 — a single 16-bit prefix (the naive scheme) both misses pairs and
+    * leaves buckets 8x larger. Fan-out is C(10,2) = 45 rows/doc at the
+    * default: explode -> one hash shuffle on the key -> verify bit_count(xor).
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
-    val d = simhashDocs(spark, dir)
-    d.as("a").join(d.as("b"),
-        col("a.prefix16") === col("b.prefix16") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+    val nBlocks = maxHamming + 2
+    require(nBlocks >= 2 && nBlocks <= 16, s"maxHamming out of range: $maxHamming")
+    val bounds = (0 to nBlocks).map(k => k * 64 / nBlocks)
+    def blockVal(k: Int): Column = {
+      val off = bounds(k)
+      val len = bounds(k + 1) - off
+      shiftrightunsigned(col("simhash"), off).bitwiseAND(lit((1L << len) - 1L))
+    }
+    // key = (blockPairIndex, bits_i, bits_j) packed into one long:
+    // block values are < 2^7 at B = 10, pair index < B*B < 2^8
+    val keys = for (i <- 0 until nBlocks; j <- i + 1 until nBlocks) yield
+      lit((i * nBlocks + j).toLong * (1L << 40)) +
+        blockVal(i) * lit(1L << 20) + blockVal(j)
+    val keyed = simhashDocs(spark, dir)
+      .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bkey"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+      .distinct() // a pair can agree on several block combos
   }
 
-  /** Exact n-gram Jaccard with cheap blocking: same lang + token-count bucket.
-    * The blocking keeps the self-join from going quadratic on the corpus.
+  /** Exact n-gram Jaccard with cheap blocking: same lang + 32-word length
+    * bucket. The blocking keeps the self-join from going quadratic on the
+    * corpus, and `maxBucket` bounds the worst case: blocks larger than it
+    * are excluded from the join (a hot block is quadratic no matter how it
+    * is salted — at corpus scale inspect [[ngramJaccardOversize]] for what
+    * was skipped; at test scale no block comes near the cap, so the DuckDB
+    * all-pairs-within-block oracle stays exact).
+    *
+    * No persist: both self-join sides shuffle the identical child plan on
+    * (lang, len_bucket), so Spark reuses one Exchange — the shingling scan
+    * runs once (PlanSpec asserts the ReusedExchange).
     */
   def ngramJaccardPairs(
       spark: SparkSession,
       dir: String,
       shingleSize: Int = 2,
-      threshold: Double = 0.06
+      threshold: Double = 0.06,
+      maxBucket: Int = 4096
   ): DataFrame = {
-    // materialize the shingle table once: a self-join would otherwise
-    // recompute the shingling scan on both sides
     // shingle arrays pre-sorted once so the pairwise Jaccard is a native
     // two-pointer merge scan (no per-pair hash sets)
-    val base = docs(spark, dir).select(
-      col("doc_id"), col("lang"),
-      (size(split(col("text"), "\\s+")) / 32).as("len_bucket"),
-      shingles(col("text"), shingleSize).as("sh")) // already sorted distinct
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    base.as("a").join(base.as("b"),
+    val base = ngramBase(spark, dir, shingleSize)
+    val admitted = base.join(
+      broadcast(blockSizes(base).filter(col("n_in_block") <= maxBucket)
+        .drop("n_in_block")),
+      Seq("lang", "len_bucket"))
+    admitted.as("a").join(admitted.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.len_bucket") === col("b.len_bucket") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -166,4 +212,25 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  private def ngramBase(spark: SparkSession, dir: String, shingleSize: Int): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"), col("lang"),
+      floor(size(split(trim(col("text")), "\\s+")) / lit(32)).cast("int")
+        .as("len_bucket"),
+      shingles(col("text"), shingleSize).as("sh")) // already sorted distinct
+
+  private def blockSizes(base: DataFrame): DataFrame =
+    base.groupBy(col("lang"), col("len_bucket"))
+      .agg(count(lit(1)).as("n_in_block"))
+
+  /** Diagnostics for the maxBucket scale guard: the blocks ngramJaccardPairs
+    * skipped and how many candidate pairs that dropped.
+    */
+  def ngramJaccardOversize(spark: SparkSession, dir: String,
+      shingleSize: Int = 2, maxBucket: Int = 4096): DataFrame =
+    blockSizes(ngramBase(spark, dir, shingleSize))
+      .filter(col("n_in_block") > maxBucket)
+      .withColumn("dropped_pairs",
+        col("n_in_block") * (col("n_in_block") - 1) / lit(2))
 }

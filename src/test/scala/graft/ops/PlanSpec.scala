@@ -94,9 +94,32 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash signature scan reads only the needed columns") {
-    val plan = formatted(Dedup.minhashDocs(spark, sf))
+    val plan = formatted(Dedup.minhashPortable(spark, sf))
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("lang"), readSchema)
     assert(readSchema.contains("text"), readSchema)
+  }
+
+  test("ngram jaccard self-join reuses one exchange (shingling scan runs once)") {
+    // exchange reuse lands in the FINAL adaptive plan — execute first
+    val df = Dedup.ngramJaccardPairs(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("ReusedExchange"), plan)
+  }
+
+  test("embedding-dup LSH path has no cartesian / nested-loop join") {
+    val plan = planOf(Similarity.embeddingDupPairsLsh(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
+    val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
+    // the distinct's aggregate must group on exactly (query_id, vec_id)
+    val distinctLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(distinctLines.exists(l =>
+      l.contains("query_id") && l.contains("vec_id") && !l.contains("embedding")),
+      plan)
   }
 }
