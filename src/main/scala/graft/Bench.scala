@@ -45,10 +45,16 @@ object Bench {
     // a trivial plan) so the first query's time reflects the query
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // noop sink: forces FULL evaluation of every output column (a count()
+    // would let Catalyst prune deterministic projections, timing map-only
+    // queries as bare scans); failures are recorded per query, not swallowed
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+        catch { case e: Throwable =>
+          Some(e.toString.linesIterator.next().take(160)) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val total = results.map(_._2).sum
 
@@ -91,11 +97,26 @@ object Bench {
       } finally s.stop()
     }
 
-    // Each rep measures lo and hi back to back (same noise window); the
-    // reported numbers are the rep with the best hi-rate — the closest thing
-    // to an unstolen measurement this host offers. All samples are emitted
-    // for transparency. Sampling is time-budgeted (default 240s) so the
-    // single JSON line always lands inside the driver's bench timeout.
+    // Each rep measures lo and hi back to back (same noise window), and each
+    // leg carries the host's stolen-cpu delta from /proc/stat so the scaling
+    // number is auditable against co-tenant interference (this VM sees heavy
+    // bursty CPU steal — BASELINE.md "Measured results"). The reported rep is
+    // the one measured during the QUIETEST window (least total steal,
+    // tie-broken by best hi-rate). All samples are emitted for transparency.
+    // Sampling is time-budgeted (default 240s) so the single JSON line always
+    // lands inside the driver's bench timeout.
+    def stolenCpuSeconds(): Double = {
+      // /proc/stat "cpu" line, field 8 (0-based after the label) = steal in
+      // USER_HZ ticks summed over all vCPUs; 100 Hz on this kernel
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val cols = line.trim.split("\\s+").drop(1)
+      if (cols.length >= 8) cols(7).toDouble / 100.0 else 0.0
+    }
+    final case class Rep(lo: Double, hi: Double, eff: Double,
+        stealLo: Double, stealHi: Double) {
+      def steal: Double = stealLo + stealHi
+    }
     val budgetMs =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "240").toLong * 1000L
     val factor = scaleHi.toDouble / scaleLo
@@ -103,26 +124,39 @@ object Bench {
     val rateSamples = Iterator.range(0, scaleReps)
       .takeWhile(r => r == 0 || System.currentTimeMillis() - t0 < budgetMs)
       .map { _ =>
+        val s0 = stolenCpuSeconds()
         val lo = extractionRate(scaleLo)
+        val s1 = stolenCpuSeconds()
         val hi = extractionRate(scaleHi)
-        (lo, hi, hi / (factor * lo))
+        val s2 = stolenCpuSeconds()
+        Rep(lo, hi, hi / (factor * lo), s1 - s0, s2 - s1)
       }.toVector
-    val (rateLo, rateHi, efficiency) = rateSamples.maxBy(_._2)
+    val best = rateSamples.minBy(r => (r.steal, -r.hi))
+    val (rateLo, rateHi, efficiency) = (best.lo, best.hi, best.eff)
 
     def f(d: Double): String = java.math.BigDecimal.valueOf(d)
       .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val samplesJson = rateSamples.map { case (lo, hi, e) =>
-      s"""{"lo":${f(lo)},"hi":${f(hi)},"eff":${f(e)}}"""
+    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val samplesJson = rateSamples.map { r =>
+      s"""{"lo":${f(r.lo)},"hi":${f(r.hi)},"eff":${f(r.eff)},""" +
+        s""""steal_lo_cpu_s":${f(r.stealLo)},"steal_hi_cpu_s":${f(r.stealHi)}}"""
     }.mkString("[", ",", "]")
     val extraction =
       s"""{"docs":$scaleDocs,"cpus_lo":$scaleLo,"cpus_hi":$scaleHi,""" +
         s""""docs_per_sec_lo":${f(rateLo)},"docs_per_sec_hi":${f(rateHi)},""" +
         s""""scaling_factor":${f(factor)},"scaling_efficiency":${f(efficiency)},""" +
-        s""""samples":$samplesJson}"""
+        s""""chosen_rep_steal_cpu_s":${f(best.steal)},"samples":$samplesJson}"""
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","extraction":$extraction}""")
+        s""""errors":$errs,"sf":"$sfDir","extraction":$extraction}""")
   }
 }
