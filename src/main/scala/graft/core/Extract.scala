@@ -111,14 +111,21 @@ object Extract {
       // L4: verbatim NMS over the oracle's raw boxes (layout/model.rs:125).
       val boxes = Nms.nms(p.boxes)
       // T3 ran streaming inside the front-end; T4 folds the spans here.
-      val lines = Tokenize.parseTextLines(p.spans)
-      nLines += lines.length
-      // O1: OCR decision over ALL native lines vs text-kind boxes
-      // (page.rs:65-93). Linux OCR is unimplemented in the reference
-      // (ocr/mod.rs:149-154), so lines stay native either way; needOcr is a
-      // surfaced flag.
+      val nativeLines = Tokenize.parseTextLines(p.spans)
+      // O1: OCR decision over NATIVE lines vs text-kind boxes
+      // (page.rs:65-93: page_needs_ocr sees native_text_lines). When the
+      // page needs OCR and the OCR source produced lines, those lines
+      // REPLACE the native ones (page.rs:81-91: `if need_ocr &&
+      // ocr_result.is_some()`); the front-end's `<ocr>` lines stand in for
+      // the platform OCR engine succeeding (Linux OCR is bail! in the
+      // reference, ocr/mod.rs:149-154 — an empty ocrLines vector is the
+      // OCR-unavailable case, where lines stay native and only the flag
+      // surfaces).
       val textBoxes = boxes.filter(_.isTextBlock)
-      val needOcr = Assign.pageNeedsOcr(textBoxes, lines)
+      val needOcr = Assign.pageNeedsOcr(textBoxes, nativeLines)
+      val lines =
+        if (needOcr && p.ocrLines.nonEmpty) p.ocrLines else nativeLines
+      nLines += lines.length
       // J1-J4.
       val elements = Assign.buildPageElements(boxes, lines, pageId)
       StructuredPage(pageId, HtmlFront.PageWidth, HtmlFront.PageHeight, needOcr, elements)

@@ -41,6 +41,12 @@ import scala.collection.mutable.ArrayBuffer
   *   ghost label=".." x0=".." y0=".." x1=".." y1=".." proba=".."
   *                                    explicit extra layout box (no chars) —
   *                                    exercises NMS overlaps + merge_remaining
+  *   ocr x0=".." y0=".." x1=".." y1=".."  one OCR'd text line (the fixture
+  *                                    stand-in for the platform OCR engine):
+  *                                    no chars, no layout box — collected as
+  *                                    an alternate line source that REPLACES
+  *                                    native lines when the page needs OCR
+  *                                    (parse/page.rs:81-91, ocr/mod.rs:19-26)
   */
 object HtmlFront {
 
@@ -207,15 +213,19 @@ object HtmlFront {
   // ------------------------------------------------------------ geometry
 
   /** One laid-out page: the folded spans (the T3 result — chars are streamed
-    * through Tokenize.SpanStream during layout and never materialized) plus
-    * the raw (pre-NMS) layout boxes.
+    * through Tokenize.SpanStream during layout and never materialized), the
+    * raw (pre-NMS) layout boxes, and the OCR alternate line source (empty
+    * unless the fixture carries `<ocr>` lines — the stand-in for a platform
+    * OCR engine succeeding, ocr/mod.rs:29-34).
     */
-  final case class LaidOutPage(spans: Vector[CharSpan], boxes: Vector[LayoutBox])
+  final case class LaidOutPage(spans: Vector[CharSpan], boxes: Vector[LayoutBox],
+      ocrLines: Vector[Line])
 
   private final class PageState(val nolb: Boolean) {
     val spanStream = new Tokenize.SpanStream
     private var blockBB: BBox = null
     val boxes = ArrayBuffer.empty[LayoutBox]
+    val ocrLines = ArrayBuffer.empty[Line]
     var bodyY: Float = BodyTop
     var col1Y: Float = BodyTop // right column cursor (two-column layout)
     var headerY: Float = HeaderTop
@@ -402,10 +412,18 @@ object HtmlFront {
               attrs("x1").toFloat, attrs("y1").toFloat)
             st.addBox(attrs("label"), bb, attrs.get("proba").map(_.toFloat))
 
+          case "ocr" =>
+            // OCRLines::to_line (ocr/mod.rs:19-26): text + bbox, rotation 0,
+            // NO spans — OCR output bypasses the char/span fold entirely
+            val bb = BBox(attrs("x0").toFloat, attrs("y0").toFloat,
+              attrs("x1").toFloat, attrs("y1").toFloat)
+            val text = children.collect { case Text(t) => t }.mkString(" ")
+            st.ocrLines += Line(text, bb, 0f, Vector.empty)
+
           case other => throw new ParseException(s"unsupported block tag <$other>")
         }
     }
-    LaidOutPage(st.spanStream.result(), st.boxes.toVector)
+    LaidOutPage(st.spanStream.result(), st.boxes.toVector, st.ocrLines.toVector)
   }
 
   /** Parse + lay out a whole document (one entry per page). */

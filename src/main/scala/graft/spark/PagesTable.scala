@@ -33,6 +33,13 @@ object PagesTable {
     "sparse", "tables", "overlap", "mojibake", "nolb", "skew", "twocol"
   )
 
+  /** Scanned-page family: NOT in the cycled corpus (appending it to
+    * [[Families]] would remap every index's family and invalidate the whole
+    * golden corpus for a generator-only reason) — generated explicitly via
+    * [[genDocFamily]]; it has its own golden keys (ocr0..ocr9).
+    */
+  val OcrFamily: String = "ocr"
+
   private val Langs = Vector("en", "fr", "de", "es")
 
   /** Deterministic SplitMix64 stream. */
@@ -78,8 +85,13 @@ object PagesTable {
   }
 
   /** Pure row generator — the only source of corpus bytes. */
-  def genDoc(i: Long, seed: Long = 42L): PageRow = {
-    val family = Families((i % Families.length).toInt)
+  def genDoc(i: Long, seed: Long = 42L): PageRow =
+    genDocFamily(Families((i % Families.length).toInt), i, seed)
+
+  /** Row generator with an explicit family (same rng stream as [[genDoc]],
+    * keyed on the index alone — genDoc(i) == genDocFamily(cycledFamily, i)).
+    */
+  def genDocFamily(family: String, i: Long, seed: Long = 42L): PageRow = {
     val rng = new Rng(seed * 0x100000001b3L + i)
     val url = s"https://fixtures.test/$family/$seed/$i"
     val ts = new Timestamp(1700000000000L + i * 1009L * 1000L)
@@ -220,6 +232,24 @@ object PagesTable {
           for (_ <- 0 until math.min(paras - p * 60, 60)) sb ++= s"<p>${para(rng, 1, 3)}</p>"
           sb ++= "</page>"
         }
+
+      case "ocr" =>
+        // scanned page: the layout model still sees text regions on the
+        // raster (ghost boxes), pdfium yields no chars, and the OCR engine
+        // supplies the lines — the page.rs:81-91 replace-native branch
+        sb ++= "<page>"
+        sb ++= """<ghost label="Title" x0="36" y0="80" x1="400" y1="112" proba="0.97"/>"""
+        sb ++= s"""<ocr x0="40" y0="84" x1="380" y1="108">${sentence(rng, 3)}</ocr>"""
+        val nRegions = 1 + rng.nextInt(3)
+        for (r <- 0 until nRegions) {
+          val top = 130 + r * 170
+          sb ++= s"""<ghost label="Text" x0="36" y0="$top" x1="576" y1="${top + 140}" proba="0.9"/>"""
+          for (l <- 0 until 3 + rng.nextInt(4)) {
+            val y0 = top + 6 + l * 18
+            sb ++= s"""<ocr x0="40" y0="$y0" x1="560" y1="${y0 + 12}">${sentence(rng, 6 + rng.nextInt(6))}</ocr>"""
+          }
+        }
+        sb ++= "</page>"
 
       case "twocol" =>
         // two-column article: column 0 blocks first (reading order), then

@@ -18,11 +18,9 @@ object GenGoldens {
     Files.createDirectories(Paths.get(outDir, "md"))
     Files.createDirectories(Paths.get(outDir, "blocks"))
     var written = 0
-    (0L until n).foreach { i =>
-      val row = PagesTable.genDoc(i)
+    def write(key: String, row: PagesTable.PageRow): Unit = {
       val d = Extract.extractDocument(row.url, row.html)
-      require(d.parseStatus == "ok", s"golden doc $i failed: ${d.errorClass}")
-      val key = s"doc$i"
+      require(d.parseStatus == "ok", s"golden $key failed: ${d.errorClass}")
       Files.write(Paths.get(outDir, "text", s"$key.txt"),
         d.extractedText.getBytes(StandardCharsets.UTF_8))
       Files.write(Paths.get(outDir, "md", s"$key.md"),
@@ -31,6 +29,11 @@ object GenGoldens {
         d.blocksJson.getBytes(StandardCharsets.UTF_8))
       written += 1
     }
+    (0L until n).foreach(i => write(s"doc$i", PagesTable.genDoc(i)))
+    // the non-cycled scanned-page family (OCR alternate line source) gets
+    // its own keys so the 130 cycled goldens stay byte-stable
+    (0L until 10L).foreach(i =>
+      write(s"ocr$i", PagesTable.genDocFamily(PagesTable.OcrFamily, i)))
     println(s"wrote $written goldens to $outDir")
   }
 }

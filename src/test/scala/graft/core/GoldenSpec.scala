@@ -32,4 +32,19 @@ class GoldenSpec extends AnyFunSuite {
     }
     assert(checked == 130)
   }
+
+  test("ocr-family extraction matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir.resolve("text").resolve("ocr0.txt")),
+      "ocr goldens not generated yet")
+    (0L until 10L).foreach { i =>
+      val row = PagesTable.genDocFamily(PagesTable.OcrFamily, i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"ocr doc $i: ${d.errorClass}")
+      assert(d.needOcrPages == d.nPages, s"ocr doc $i should need OCR on every page")
+      assert(d.extractedText.nonEmpty, s"ocr doc $i extracted no text")
+      assert(d.extractedText == read("text", s"ocr$i.txt"), s"text drift in ocr doc $i")
+      assert(d.markdown == read("md", s"ocr$i.md"), s"markdown drift in ocr doc $i")
+      assert(d.blocksJson == read("blocks", s"ocr$i.json"), s"blocks drift in ocr doc $i")
+    }
+  }
 }

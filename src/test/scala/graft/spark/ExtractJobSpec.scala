@@ -69,6 +69,34 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byFamily("mojibake").forall(r => !r.extracted_text.contains("Ã")))
   }
 
+  test("ocr family: need_ocr flips the line source (page.rs:81-91 semantics)") {
+    val ss = spark; import ss.implicits._
+    // the scanned-page family through the distributed job: every page needs
+    // OCR and the OCR lines carry ALL the text (there are no native chars)
+    val ocrPages = spark.range(0, 8, 1, 2)
+      .map(i => PagesTable.genDocFamily(PagesTable.OcrFamily, i))
+    val rows = ExtractJob.extract(ocrPages).collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.parse_status == "ok"))
+    assert(rows.forall(_.need_ocr_pages > 0))
+    assert(rows.forall(_.extracted_text.nonEmpty),
+      "OCR lines must become the page text when native chars are absent")
+
+    // flip check, sequential core: a page rich in native text IGNORES its
+    // <ocr> decoy (need_ocr=false -> native branch), while a sparse page
+    // with the same decoy adopts it (need_ocr=true -> replace branch)
+    val decoy = """<ocr x0="40" y0="400" x1="300" y1="412">OCRDECOY</ocr>"""
+    val richHtml = s"""<page><h1>Real Title</h1><p>plenty of native body text here</p>$decoy</page>"""
+    val rich = graft.core.Extract.extractDocument("https://t/rich", richHtml.getBytes("UTF-8"))
+    assert(rich.needOcrPages == 0)
+    assert(!rich.extractedText.contains("OCRDECOY"), rich.extractedText)
+    assert(rich.extractedText.contains("Real Title"))
+    val sparseHtml = s"""<page><ghost label="Text" x0="36" y0="390" x1="560" y1="430" proba="0.9"/>$decoy</page>"""
+    val sparse = graft.core.Extract.extractDocument("https://t/sparse-ocr", sparseHtml.getBytes("UTF-8"))
+    assert(sparse.needOcrPages == 1)
+    assert(sparse.extractedText.contains("OCRDECOY"), sparse.extractedText)
+  }
+
   test("resume idempotence: partial commit then full run, no dup urls") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new SnapshotStore(dir)
