@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's executor-scaling mode uses master local-cluster[n,c,m],
+// whose in-process Worker launches REAL executor JVMs — it resolves the
+// launch command from these (a plain `java -cp` drive must export them too)
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13"
+)
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13"
+)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
