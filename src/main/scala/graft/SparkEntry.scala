@@ -241,10 +241,37 @@ object SparkEntry {
            list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
              + 3 * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951 FOR s IN sh]) AS sig_3
          FROM sh""",
+    // FNV-1a + bit-vote SimHash replayed exactly in HUGEINT arithmetic
+    // (the byte fold is a list_reduce seeded with the FNV offset basis)
+    "qd3_simhash" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(text, '[ \n\t\r]+'), x -> x <> '') AS toks
+           FROM documents),
+         h AS (
+           SELECT doc_id,
+             [list_reduce(
+                [CAST(14695981039346656037 AS HUGEINT)] ||
+                [CAST(CAST('0x' || hx[i:i+1] AS INT) AS HUGEINT)
+                 FOR i IN range(1, len(hx)+1, 2)],
+                (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)
+              FOR hx IN [hex(encode(t)) FOR t IN toks]] AS hashes
+           FROM toks),
+         s AS (
+           SELECT doc_id,
+             list_sum([CASE WHEN len(list_filter(hashes, v -> (v >> j) & 1 = 1)) * 2 > len(hashes)
+               THEN (CAST(1 AS HUGEINT) << j) ELSE CAST(0 AS HUGEINT) END
+               FOR j IN range(0, 64)]) AS u
+           FROM h)
+         SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                THEN u - CAST(18446744073709551615 AS HUGEINT) - 1 ELSE u END AS BIGINT) AS simhash,
+           CAST(u >> 48 AS BIGINT) AS prefix16
+         FROM s""",
     "qd4_ngram_jaccard" ->
       """WITH w AS (
            SELECT doc_id, lang,
-             len(string_split_regex(trim(text), '\s+')) // 32 AS len_bucket,
+             len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
              string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
            FROM documents),
          sh AS (
