@@ -140,6 +140,49 @@ object ExtractJob {
     }
   }
 
+  /** S5 image-crop sink analogue (save_doc_images, utils.rs:58-88): the
+    * reference cuts a padded PNG per Image block from the page raster; the
+    * rebuild has no raster, so the sink emits the crop SPECS — one row per
+    * Image block with the exact padded page-space rect the reference would
+    * cut (IMAGE_PADDING=5, utils.rs:7; saturating u32 casts; width/height
+    * floored at 1, padded by 2x5, clamped to the page) plus the reference's
+    * `img_{id}.png` naming (blocks.rs:14-16). Fully declarative: from_json
+    * over blocks_json -> explode -> filter, so a raster service can join on
+    * (url, page_id) and cut.
+    */
+  def cropSpecs(extracted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val blockSchema = ArrayType(StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("kind", StructType(Seq(
+        StructField("block_type", StringType),
+        StructField("id", IntegerType),
+        StructField("caption", StringType)))),
+      StructField("pages_id", ArrayType(IntegerType)),
+      StructField("bbox", StructType(Seq(
+        StructField("x0", FloatType), StructField("y0", FloatType),
+        StructField("x1", FloatType), StructField("y1", FloatType)))))))
+    val imgBlocks = extracted
+      .select(col("url"), explode(from_json(col("blocks_json"), blockSchema)).as("b"))
+      .filter(col("b.kind.block_type") === "Image")
+    val pad = lit(5f) // IMAGE_PADDING
+    val w = greatest(col("b.bbox.x1") - col("b.bbox.x0"), lit(1f))
+    val h = greatest(col("b.bbox.y1") - col("b.bbox.y0"), lit(1f))
+    imgBlocks.select(
+      col("url"),
+      element_at(col("b.pages_id"), 1).as("page_id"),
+      col("b.kind.id").as("image_id"),
+      concat(lit("img_"), col("b.kind.id"), lit(".png")).as("image_path"),
+      // Rust `as u32` truncates and saturates negatives to 0
+      greatest(floor(col("b.bbox.x0") - pad), lit(0)).cast("int").as("x"),
+      greatest(floor(col("b.bbox.y0") - pad), lit(0)).cast("int").as("y"),
+      least(w.cast("int") + lit(10),
+        lit(graft.core.HtmlFront.PageWidth.toInt)).as("width"),
+      least(h.cast("int") + lit(10),
+        lit(graft.core.HtmlFront.PageHeight.toInt)).as("height"),
+      col("b.kind.caption").as("caption"))
+  }
+
   /** Per-partition lineage rows (partition id, doc count, bytes, failure
     * taxonomy) — a plain Catalyst aggregate over the extraction output.
     */

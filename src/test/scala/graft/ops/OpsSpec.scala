@@ -133,17 +133,17 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(langs(0L) == "en")
   }
 
-  test("LSH ANN is a high-recall subset of brute-force ANN") {
+  test("LSH ANN matches brute-force ANN exactly at the suite's parameters") {
+    // tables=32 x bits=2 is tuned for recall 1.0 — the driver's qs2 oracle
+    // IS exact brute-force top-k, so the spec holds the same bar
     val sf = "/root/testdata/sf0.001"
     val brute = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val lsh = Similarity.annLsh(spark, sf, nQueries = 5, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(brute.size == 50)
-    val recall = (brute & lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall $recall too low (candidates ${lsh.size})")
-    // every LSH hit must be a real vector pair with correct ordering semantics
-    assert(lsh.forall { case (q, n) => q < 5 && n != q })
+    assert(lsh == brute, s"missing: ${brute -- lsh}; extra: ${lsh -- brute}")
+    assert(lsh.forall { case (q, n, _) => q < 5 && n != q })
   }
 
   test("IVF ANN is a high-recall subset of brute-force ANN") {

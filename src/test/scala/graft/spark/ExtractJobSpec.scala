@@ -97,6 +97,29 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sparse.extractedText.contains("OCRDECOY"), sparse.extractedText)
   }
 
+  test("crop specs: one padded page-space rect per Image block (S5 sink)") {
+    val ss = spark; import ss.implicits._
+    // figures family = every Families(4)-indexed doc
+    val pages = spark.range(0, 12, 1, 2).map(i =>
+      PagesTable.genDoc(i * PagesTable.Families.length +
+        PagesTable.Families.indexOf("figures")))
+    val extracted = ExtractJob.extract(pages).toDF()
+    val nImageBlocks = extracted.select("blocks_json").as[String].collect()
+      .map(j => "\"block_type\":\"Image\"".r.findAllIn(j).length).sum
+    val crops = ExtractJob.cropSpecs(extracted).collect()
+    assert(crops.length == nImageBlocks, s"${crops.length} vs $nImageBlocks")
+    assert(crops.nonEmpty)
+    crops.foreach { r =>
+      assert(r.getAs[Int]("x") >= 0 && r.getAs[Int]("y") >= 0)
+      assert(r.getAs[Int]("width") >= 11 && r.getAs[Int]("width") <= 612)
+      assert(r.getAs[Int]("height") >= 11 && r.getAs[Int]("height") <= 792)
+      assert(r.getAs[String]("image_path") == s"img_${r.getAs[Int]("image_id")}.png")
+    }
+    // the default 300x150 figure at the 36pt margin: padded rect 310x160, x=31
+    assert(crops.exists(r => r.getAs[Int]("width") == 310 &&
+      r.getAs[Int]("height") == 160 && r.getAs[Int]("x") == 31))
+  }
+
   test("resume idempotence: partial commit then full run, no dup urls") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new SnapshotStore(dir)
