@@ -61,6 +61,7 @@ object SparkEntry {
     "qd4_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "qd5_embed_dup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingDupPairsLsh(s, d, 0.5)),
+    "qd6_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -287,6 +288,40 @@ object SparkEntry {
              ON a.lang = b.lang AND a.len_bucket = b.len_bucket
              AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.06""",
+    // connected components over the near-dup pair graph, replayed as a
+    // recursive reachability CTE (cluster id = min reachable doc id)
+    "qd6_dedup_clusters" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, len_bucket, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         comp AS (
+           SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         sizes AS (
+           SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+         SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
+           comp.doc_id = comp.cluster_id AS keep
+         FROM comp JOIN sizes USING (cluster_id)""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

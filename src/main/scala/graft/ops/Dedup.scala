@@ -238,4 +238,64 @@ object Dedup {
       .filter(col("n_in_block") > maxBucket)
       .withColumn("dropped_pairs",
         col("n_in_block") * (col("n_in_block") - 1) / lit(2))
+
+  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
+    * graph. Pairs alone both over- and under-remove (near-dup is transitive
+    * in practice: A~B, B~C usually means one survivor among {A,B,C}) — the
+    * production dedup shape is one keeper per component, which is how the
+    * reference's caption/image pairing also resolves chained merges
+    * (merge.rs's grouped passes), lifted here to corpus scale.
+    *
+    * Algorithm: min-label propagation (each node takes the min label among
+    * itself and its neighbors) to a FIXPOINT, at most `maxRounds` rounds.
+    * Iterative dataflow MUST materialize per round: each round references
+    * the previous labels twice, so a lazy unrolled plan re-derives the
+    * (expensive) edge join 2^rounds times — measured 419 s vs ~5 s for the
+    * same answer. So: the edge list is persisted once, each round's labels
+    * are eagerly localCheckpoint'ed (truncating lineage; they hold only the
+    * CLUSTERED docs, a tiny fraction of the corpus), the loop stops one
+    * round after nothing changes (components are quasi-cliques of diameter
+    * 1-3), and the edge cache is released before returning. Superseded
+    * round blocks are freed by Spark's ContextCleaner as they go out of
+    * scope. For adversarially deep graphs swap in pointer-doubling
+    * (large-star/small-star), O(log n) rounds.
+    *
+    * Output: one row per clustered doc: (doc_id, cluster_id = component's
+    * min doc_id, cluster_size, keep = doc_id == cluster_id).
+    */
+  def dedupClusters(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame = {
+    val edges = ngramJaccardPairs(spark, dir, shingleSize, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = adj.select(col("src").as("doc_id"))
+        .distinct().withColumn("label", col("doc_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var round = 0
+      while (!converged && round < maxRounds) {
+        val nbrMin = adj.join(labels, adj("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+          .filter(col("label") =!= col("prev")).isEmpty
+        labels = next
+        round += 1
+      }
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      // materialize before releasing the edge cache the plan no longer needs
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("keep"))
+        .localCheckpoint(true)
+    } finally adj.unpersist()
+  }
 }

@@ -126,6 +126,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh == brute, s"lsh=$lsh brute=$brute")
   }
 
+  test("dedup clusters close the near-dup graph transitively") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-chain").toString
+    // A~B and B~C by one-word edits, but A and C differ by two words:
+    // at threshold 0.6 (w=2 shingles) only the chained edges exist, so the
+    // {A,B,C} cluster REQUIRES transitive closure, not just pair output
+    // middle-word edits change TWO bigrams each: one edit keeps j ~0.69
+    // (edge), two cumulative edits drop j(A,C) to ~0.47 (no direct edge)
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    val b = a.replace("zeta", "xi")
+    val c = b.replace("iota", "omega")
+    val rows = Seq(
+      (0L, a, "en", "s", a.length.toLong), (1L, b, "en", "s", 1L),
+      (2L, c, "en", "s", 2L),
+      (3L, "one two three four five six seven eight nine ten eleven twelve", "en", "s", 3L),
+      (4L, "one two three four five six seven eight nine ten eleven thirteen", "en", "s", 4L),
+      (5L, "totally unrelated content with many different words in this row", "en", "s", 5L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccardPairs(spark, dir, 2, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L), (3L, 4L)), pairs.toString)
+    val clusters = Dedup.dedupClusters(spark, dir, 2, 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(clusters.toSet == Set(
+      (0L, 0L, 3L, true), (1L, 0L, 3L, false), (2L, 0L, 3L, false),
+      (3L, 3L, 2L, true), (4L, 3L, 2L, false)), clusters.mkString(","))
+  }
+
   test("langid marker heuristic detects the German doc") {
     val langs = TextAnalysis.langId(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
