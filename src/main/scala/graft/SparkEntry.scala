@@ -80,6 +80,10 @@ object SparkEntry {
       TextAnalysis.fingerprints(s, d).select(col("doc_id"), col("md5_fp"))),
     "qt5_bigram_freq" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bigramFreq(s, d)),
+    "qt6_cms_bigrams" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.cmsBigrams(s, d)),
+    "qt7_hash_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hashSample(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -208,6 +212,37 @@ object SparkEntry {
          e AS (SELECT unnest(bigrams) AS bigram FROM b)
          SELECT bigram, COUNT(*) AS n_docs FROM e
          GROUP BY bigram HAVING COUNT(*) >= 10""",
+    // Count-Min Sketch cells replayed exactly: same md5-affine lane hashes
+    // as qd2, every (d, w) cell of the 4x64 grid incl. zeros
+    "qt6_cms_bigrams" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         e AS (SELECT unnest(sh) AS item FROM b),
+         h AS (
+           SELECT CAST('0x' || substr(md5(item),1,15) AS BIGINT) AS a,
+                  CAST('0x' || substr(md5(item),16,15) AS BIGINT) AS bb
+           FROM e),
+         cells AS (
+           SELECT d.d, CAST(((a + d.d * bb) % 2305843009213693951) % 64 AS INT) AS w,
+                  COUNT(*) AS n
+           FROM h CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+           GROUP BY 1, 2),
+         grid AS (
+           SELECT CAST(dd.d AS INT) AS d, CAST(ww.w AS INT) AS w
+           FROM (SELECT unnest(range(0, 4)) AS d) dd
+           CROSS JOIN (SELECT unnest(range(0, 64)) AS w) ww)
+         SELECT grid.d, grid.w, COALESCE(cells.n, 0) AS n
+         FROM grid LEFT JOIN cells ON grid.d = cells.d AND grid.w = cells.w""",
+    "qt7_hash_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 15) AS BIGINT) % 1000 < 100""",
     "qd1_exact_dedup" ->
       """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

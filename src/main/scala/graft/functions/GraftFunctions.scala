@@ -216,6 +216,83 @@ object GraftImpl {
   }
 }
 
+/** cms_sketch(item, depth, width): Count-Min Sketch aggregate — the
+  * bounded-memory frequency summary a 100 TB corpus-statistics pass needs
+  * (a full groupBy materializes the whole key space; the sketch is a fixed
+  * depth x width grid with map-side partial aggregation, merged cellwise).
+  *
+  * Lane hashes use the same portable md5-affine family as the minhash
+  * profile — h_d(item) = ((a + d*b) mod (2^61-1)) mod width with a/b the
+  * two 60-bit hex halves of md5(item) — so every CELL VALUE is exactly
+  * reproducible in the DuckDB oracle (deterministic, not just
+  * epsilon-bounded). depth <= 7 keeps a + d*b inside signed-64 range.
+  */
+case class CmsSketch(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Long]] {
+  require(depth >= 1 && depth <= 7, s"depth must be 1..7, got $depth")
+  require(width >= 1, s"width must be >= 1, got $width")
+
+  private val mersenne61 = 2305843009213693951L
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buffer: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.asInstanceOf[UTF8String].getBytes)
+        .map("%02x".format(_)).mkString
+      val a = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val b = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      var d = 0
+      while (d < depth) {
+        val cell = (((a + d.toLong * b) % mersenne61) % width).toInt
+        buffer(d * width + cell) += 1
+        d += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): CmsSketch =
+    copy(child = newChildren.head)
+  override def prettyName: String = "cms_sketch"
+}
+
 /** simhash64(text): 64-bit SimHash of a string (document-level near-dup key). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   // input contract: StringType (AbstractDataType/ExpectsInputTypes are
@@ -312,6 +389,9 @@ object GraftFunctions {
       exprs => MinHashSig(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("srp_sigs",
       exprs => SrpSigs(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
+    reg.createOrReplaceTempFunction("cms_sketch",
+      exprs => CmsSketch(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+        .toAggregateExpression(), "built-in")
   }
 
   private def intLit(e: Expression): Int = e match {
@@ -345,5 +425,11 @@ object GraftFunctions {
     ensureRegistered()
     call_function("srp_sigs", vec, org.apache.spark.sql.functions.lit(tables),
       org.apache.spark.sql.functions.lit(bits))
+  }
+
+  def cmsSketch(item: Column, depth: Int, width: Int): Column = {
+    ensureRegistered()
+    call_function("cms_sketch", item, org.apache.spark.sql.functions.lit(depth),
+      org.apache.spark.sql.functions.lit(width))
   }
 }

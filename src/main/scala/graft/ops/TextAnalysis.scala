@@ -82,6 +82,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minCount)
 
+  /** Count-Min Sketch of the corpus bigram frequencies — the bounded-memory
+    * shape of corpus statistics at 100 TB: instead of materializing the full
+    * bigram key space (qt5's explode+groupBy), a fixed depth x width grid is
+    * partially aggregated map-side and merged cellwise (one custom Catalyst
+    * TypedImperativeAggregate, graft.functions.CmsSketch). Output is the
+    * flattened grid, one row per cell — deterministic (md5-affine lane
+    * hashes), so the DuckDB oracle reproduces every cell VALUE.
+    */
+  def cmsBigrams(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 64): DataFrame =
+    docs(spark, dir)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("item"))
+      .agg(graft.functions.GraftFunctions.cmsSketch(col("item"), depth, width)
+        .as("sketch"))
+      .select(posexplode(col("sketch")).as(Seq("pos", "n")))
+      .select(
+        (col("pos") / lit(width)).cast("int").as("d"),
+        pmod(col("pos"), lit(width)).cast("int").as("w"),
+        col("n"))
+
+  /** Deterministic hash sampling: keep documents whose salted-md5 bucket
+    * (0..999) falls under rate*1000 — the standard way to cut a FIXED eval/
+    * holdout slice from a moving corpus: reproducible across engines, runs
+    * and parallelism (vs rand(), which is none of those), and membership is
+    * stable as the corpus grows. Map-only, scan pruned to the id column.
+    */
+  def hashSample(spark: SparkSession, dir: String, rate: Double = 0.1,
+      salt: String = "graft"): DataFrame = {
+    val bucket = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 1000
+    docs(spark, dir)
+      .filter(bucket < math.round(rate * 1000).toInt)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

@@ -155,6 +155,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 3L, 2L, true), (4L, 3L, 2L, false)), clusters.mkString(","))
   }
 
+  test("count-min sketch: full grid, per-lane mass conservation, determinism") {
+    val ss = spark; import ss.implicits._
+    val cells = TextAnalysis.cmsBigrams(spark, dupDir, depth = 4, width = 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(cells.length == 4 * 32)
+    // every lane's cells sum to the total item count (mass conservation)
+    import org.apache.spark.sql.functions.{col, explode}
+    val totalItems = spark.read.parquet(s"$dupDir/documents.parquet")
+      .select(explode(Dedup.shingles(col("text"), 2))).count()
+    val laneSums = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(laneSums.values.toSet == Set(totalItems), laneSums.toString)
+    // deterministic: identical grid on re-evaluation
+    val again = TextAnalysis.cmsBigrams(spark, dupDir, depth = 4, width = 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(cells.sorted.sameElements(again.sorted))
+    // the aggregate partial-merges map-side (ObjectHashAggregate pair)
+    val plan = TextAnalysis.cmsBigrams(spark, dupDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("langid marker heuristic detects the German doc") {
     val langs = TextAnalysis.langId(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
