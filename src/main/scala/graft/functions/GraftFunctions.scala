@@ -246,14 +246,25 @@ case class CmsSketch(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
+  // one digest instance per task thread (update() is single-threaded per task)
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
   override def update(buffer: Array[Long], input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(v.asInstanceOf[UTF8String].getBytes)
-        .map("%02x".format(_)).mkString
-      val a = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      val b = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      md5.reset()
+      val dg = md5.digest(v.asInstanceOf[UTF8String].getBytes)
+      // a = hex digits 0-14 (bytes 0..6 + high nibble of byte 7),
+      // b = hex digits 15-29 (low nibble of byte 7 + bytes 8..14) —
+      // parsed straight from the digest, no hex-string round-trip
+      var hi7 = 0L
+      var i = 0
+      while (i < 7) { hi7 = (hi7 << 8) | (dg(i) & 0xffL); i += 1 }
+      val a = (hi7 << 4) | ((dg(7) & 0xf0L) >>> 4)
+      var lo7 = 0L
+      i = 8
+      while (i < 15) { lo7 = (lo7 << 8) | (dg(i) & 0xffL); i += 1 }
+      val b = ((dg(7) & 0x0fL) << 56) | lo7
       var d = 0
       while (d < depth) {
         val cell = (((a + d.toLong * b) % mersenne61) % width).toInt

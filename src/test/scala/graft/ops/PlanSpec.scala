@@ -114,6 +114,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("cms sketch and hash sample scans are pruned to the needed columns") {
+    val cms = formatted(TextAnalysis.cmsBigrams(spark, sf))
+    val cmsRead = cms.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(cmsRead.contains("text") && !cmsRead.contains("lang"), cmsRead)
+    val samp = formatted(TextAnalysis.hashSample(spark, sf))
+    val sampRead = samp.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!sampRead.contains("text"), sampRead)
+    assert(sampRead.contains("doc_id") && sampRead.contains("n_chars"), sampRead)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
