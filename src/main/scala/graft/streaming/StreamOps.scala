@@ -78,6 +78,20 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup: the streaming leg of the corpus-dedup story.
+    * Keyed on the same normalized-md5 fingerprint as the batch pass
+    * (graft.ops.Dedup.fingerprintCol); dropDuplicatesWithinWatermark keeps
+    * ONE state entry per unique fingerprint and ages it out past the
+    * watermark horizon — the standard bounded-state tradeoff (a duplicate
+    * arriving later than the horizon is admitted; the batch pass catches
+    * it). Input: a docs stream with (doc_id, ts, text).
+    */
+  def streamingDedup(docs: DataFrame, horizon: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.ops.Dedup.fingerprintCol(col("text")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming extraction: pages stream -> the same pure per-document
     * extraction -> foreachBatch MERGE into the snapshot store. Stateless, so
     * exactly-once lands on the store's idempotent merge.

@@ -77,6 +77,29 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one doc per fingerprint within the watermark") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.streamingDedup(
+        input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (0L, ts(0), "the quick brown fox"),
+        (1L, ts(1), "THE  quick   brown fox"), // normalized dup of doc 0
+        (2L, ts(2), "completely different text"))
+      q.processAllAvailable()
+      input.addData((3L, ts(3), "the quick brown fox")) // dup again
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(2L))
+      // exactly one of the three fox docs survives
+      assert((ids & Set(0L, 1L, 3L)).size == 1, ids.toString)
+    } finally q.stop()
+  }
+
   test("streaming extraction merges idempotently into the snapshot store") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
