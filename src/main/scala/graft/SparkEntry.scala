@@ -88,6 +88,7 @@ object SparkEntry {
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
     "qm3_frame_sample" -> (Multimodal.sampleFrames _),
+    "qm4_letterbox" -> ((s: SparkSession, d: String) => Multimodal.letterboxSpecs(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
@@ -437,6 +438,25 @@ object SparkEntry {
          FROM (SELECT doc_id, n_frames,
                  unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx
                FROM f)""",
+    // the reference's letterbox preprocessing math over the stub meta
+    "qm4_letterbox" ->
+      """WITH m AS (
+           SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+         dims AS (
+           SELECT doc_id,
+             CAST(64 + (n_bytes % 512) AS INT) AS width,
+             CAST(64 + ((n_bytes // 7) % 512) AS INT) AS height
+           FROM m),
+         s AS (
+           SELECT doc_id, width, height,
+             LEAST(1024.0 / width, 1024.0 / height) AS r,
+             CAST(round(width * LEAST(1024.0 / width, 1024.0 / height)) AS INT) AS new_w,
+             CAST(round(height * LEAST(1024.0 / width, 1024.0 / height)) AS INT) AS new_h
+           FROM dims)
+         SELECT doc_id, width, height, round(r, 6) AS scale, new_w, new_h,
+           CAST(1024 - new_w AS INT) AS pad_x, CAST(1024 - new_h AS INT) AS pad_y,
+           round(144.0 / 255.0, 6) AS pad_fill
+         FROM s""",
     "qt4_fingerprint" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_fp

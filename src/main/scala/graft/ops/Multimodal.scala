@@ -80,6 +80,32 @@ object Multimodal {
       }
   }
 
+  /** Letterbox specs for model-input batching — the reference's ONNX
+    * preprocessing math (scale_wh: r = min(W/w, H/h), resize to
+    * (round(w*r), round(h*r)), pad the rest with 144/255 —
+    * layout/model.rs:334-400) as a declarative column op over the decoded
+    * media meta. The raster resize itself belongs to the decode stage
+    * (StubDecoder territory: no codecs in this container); this op emits the
+    * exact spec a vision-model batcher needs, including the letterbox
+    * margins used to project detections back to image space. Math runs in
+    * f64 (the analytics side; the reference's f32 rounds to the same
+    * integers at these magnitudes).
+    */
+  def letterboxSpecs(spark: SparkSession, dir: String,
+      targetW: Int = 1024, targetH: Int = 1024): DataFrame = {
+    val scale = least(lit(targetW.toDouble) / col("width"),
+      lit(targetH.toDouble) / col("height"))
+    decodeMeta(spark, dir).toDF()
+      .select(col("doc_id"), col("width"), col("height"))
+      .withColumn("new_w", round(col("width") * scale).cast("int"))
+      .withColumn("new_h", round(col("height") * scale).cast("int"))
+      .select(col("doc_id"), col("width"), col("height"),
+        round(scale, 6).as("scale"), col("new_w"), col("new_h"),
+        (lit(targetW) - col("new_w")).as("pad_x"),
+        (lit(targetH) - col("new_h")).as("pad_y"),
+        round(lit(144.0 / 255.0), 6).as("pad_fill"))
+  }
+
   /** Frame-sampling shape: explode a deterministic frame index per media row
     * (every 10th frame), the partition-preserving fan-out a video pipeline
     * needs (no shuffle — explode is a generator, stays in the same stage).

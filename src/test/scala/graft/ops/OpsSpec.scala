@@ -225,5 +225,16 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
     val frames = Multimodal.sampleFrames(spark, dupDir).collect()
     assert(frames.nonEmpty)
+    // letterbox: the binding dimension fills the 1024 target exactly,
+    // margins are non-negative, aspect preserved within rounding
+    val lb = Multimodal.letterboxSpecs(spark, dupDir).collect()
+    assert(lb.length == meta.length)
+    lb.foreach { r =>
+      val (nw, nh) = (r.getAs[Int]("new_w"), r.getAs[Int]("new_h"))
+      assert(math.max(nw, nh) == 1024, r.toString)
+      assert(r.getAs[Int]("pad_x") >= 0 && r.getAs[Int]("pad_y") >= 0)
+      val aspect = r.getAs[Int]("width").toDouble / r.getAs[Int]("height")
+      assert(math.abs(nw.toDouble / nh - aspect) < 0.02, r.toString)
+    }
   }
 }
