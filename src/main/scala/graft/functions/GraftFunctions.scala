@@ -195,6 +195,24 @@ object GraftImpl {
     inter.toDouble / union.toDouble
   }
 
+  /** The two 60-bit halves of an md5 digest, parsed straight from the
+    * digest bytes: a = hex digits 0-14 (bytes 0..6 + high nibble of byte 7),
+    * b = hex digits 15-29 (low nibble of byte 7 + bytes 8..14). Equals
+    * parsing the hex string — PropertySpec pins that equivalence, since the
+    * DuckDB oracles compute the same halves via substr(md5(x), ...).
+    */
+  def md5Halves(dg: Array[Byte]): (Long, Long) = {
+    var hi7 = 0L
+    var i = 0
+    while (i < 7) { hi7 = (hi7 << 8) | (dg(i) & 0xffL); i += 1 }
+    val a = (hi7 << 4) | ((dg(7) & 0xf0L) >>> 4)
+    var lo7 = 0L
+    i = 8
+    while (i < 15) { lo7 = (lo7 << 8) | (dg(i) & 0xffL); i += 1 }
+    val b = ((dg(7) & 0x0fL) << 56) | lo7
+    (a, b)
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -254,17 +272,7 @@ case class CmsSketch(
     if (v != null) {
       md5.reset()
       val dg = md5.digest(v.asInstanceOf[UTF8String].getBytes)
-      // a = hex digits 0-14 (bytes 0..6 + high nibble of byte 7),
-      // b = hex digits 15-29 (low nibble of byte 7 + bytes 8..14) —
-      // parsed straight from the digest, no hex-string round-trip
-      var hi7 = 0L
-      var i = 0
-      while (i < 7) { hi7 = (hi7 << 8) | (dg(i) & 0xffL); i += 1 }
-      val a = (hi7 << 4) | ((dg(7) & 0xf0L) >>> 4)
-      var lo7 = 0L
-      i = 8
-      while (i < 15) { lo7 = (lo7 << 8) | (dg(i) & 0xffL); i += 1 }
-      val b = ((dg(7) & 0x0fL) << 56) | lo7
+      val (a, b) = GraftImpl.md5Halves(dg)
       var d = 0
       while (d < depth) {
         val cell = (((a + d.toLong * b) % mersenne61) % width).toInt

@@ -21,6 +21,19 @@ class PropertySpec extends AnyFunSuite {
     label <- Gen.oneOf(LayoutLabels.Id2Label)
   } yield LayoutBox(0, BBox(x0, y0, x0 + w, y0 + h), label, p)
 
+  test("md5 halves parsed from digest bytes equal the hex-string reference") {
+    // the DuckDB oracles compute CAST('0x'||substr(md5(x),1,15)) and
+    // substr(...,16,15); the fast byte-twiddling parse must agree exactly
+    check("md5Halves", Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val dg = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = dg.map("%02x".format(_)).mkString
+      val (a, b) = graft.functions.GraftImpl.md5Halves(dg)
+      a == java.lang.Long.parseLong(hex.substring(0, 15), 16) &&
+        b == java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    })
+  }
+
   test("NMS output pairwise relaxed IoU <= threshold, order proba-desc") {
     check("nms", Prop.forAll(Gen.listOfN(15, genBox)) { boxes =>
       val kept = Nms.nms(boxes.zipWithIndex.map { case (b, i) => b.copy(id = i) })
