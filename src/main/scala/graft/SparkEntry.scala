@@ -84,6 +84,8 @@ object SparkEntry {
       TextAnalysis.cmsBigrams(s, d)),
     "qt7_hash_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hashSample(s, d)),
+    "qt8_contamination" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.contamination(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -244,6 +246,21 @@ object SparkEntry {
     "qt7_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 15) AS BIGINT) % 1000 < 100""",
+    "qt8_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+3], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-3, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 = 0),
+         co AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 <> 0)
+         SELECT co.doc_id, ev.eval_id, COUNT(*) AS n_shared_grams
+         FROM co JOIN ev USING (g)
+         GROUP BY 1, 2""",
     "qd1_exact_dedup" ->
       """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

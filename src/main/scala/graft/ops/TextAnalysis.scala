@@ -118,6 +118,29 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing any `gramWords`-gram
+    * with an eval/benchmark set — the n-gram-collision method used to scrub
+    * LLM training corpora against eval benchmarks before training. The eval
+    * set is carved deterministically from the same table here (doc_id %
+    * evalMod == 0); in production it is a separate small table — either way
+    * the eval gram side is tiny relative to the corpus, so it BROADCASTS
+    * and the corpus side is one explode + hash join + groupBy (no shuffle
+    * of corpus grams). Real pipelines use 13-grams; the synthetic corpus
+    * draws from a ~70-word vocabulary, so 4-grams play the same role at
+    * test scale (the width is the parameter).
+    */
+  def contamination(spark: SparkSession, dir: String, gramWords: Int = 4,
+      evalMod: Int = 29): DataFrame = {
+    val grams = docs(spark, dir).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

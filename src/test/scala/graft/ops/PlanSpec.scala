@@ -124,6 +124,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sampRead.contains("doc_id") && sampRead.contains("n_chars"), sampRead)
   }
 
+  test("contamination joins the corpus against a BROADCAST eval-gram side") {
+    val plan = planOf(TextAnalysis.contamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
