@@ -86,6 +86,8 @@ object SparkEntry {
       TextAnalysis.hashSample(s, d)),
     "qt8_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.contamination(s, d)),
+    "qt9_tfidf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfidfTopTerms(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -261,6 +263,20 @@ object SparkEntry {
          SELECT co.doc_id, ev.eval_id, COUNT(*) AS n_shared_grams
          FROM co JOIN ev USING (g)
          GROUP BY 1, 2""",
+    "qt9_tfidf" ->
+      """WITH wds AS (
+           SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM wds GROUP BY 1, 2),
+         dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         nn AS (SELECT COUNT(*) AS n FROM documents),
+         s AS (
+           SELECT doc_id, term, tf * ln(n / df) AS score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY tf * ln(n / df) DESC, term ASC) AS rnk
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
+         SELECT doc_id, term, ROUND(score, 6) AS tfidf, rnk
+         FROM s WHERE rnk <= 3""",
     "qd1_exact_dedup" ->
       """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

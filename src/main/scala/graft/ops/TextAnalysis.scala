@@ -141,6 +141,31 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Per-document TF-IDF top terms — the classic keyword/feature extraction
+    * pass: tf from a within-doc word count, idf = ln(N/df) with df and N
+    * computed corpus-wide, top-k per doc via window (ties broken by term).
+    * The df table and the N scalar are tiny -> both broadcast; the only
+    * corpus-sized shuffle is the (doc, word) count.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs(spark, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val tf = words.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val score = col("tf") * log(col("n") / col("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(score.desc, col("term").asc)
+    tf.join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), round(score, 6).as("tfidf"), col("rnk"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */
