@@ -239,34 +239,44 @@ object Dedup {
       .withColumn("dropped_pairs",
         col("n_in_block") * (col("n_in_block") - 1) / lit(2))
 
-  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
-    * graph. Pairs alone both over- and under-remove (near-dup is transitive
-    * in practice: A~B, B~C usually means one survivor among {A,B,C}) — the
-    * production dedup shape is one keeper per component, which is how the
-    * reference's caption/image pairing also resolves chained merges
-    * (merge.rs's grouped passes), lifted here to corpus scale.
+  /** Connected components over an undirected edge list (columns doc_a,
+    * doc_b): one row per clustered node, (doc_id, label = component's min
+    * doc_id).
     *
-    * Algorithm: min-label propagation (each node takes the min label among
-    * itself and its neighbors) to a FIXPOINT, at most `maxRounds` rounds.
-    * Iterative dataflow MUST materialize per round: each round references
-    * the previous labels twice, so a lazy unrolled plan re-derives the
+    * Algorithm: min-label propagation with per-round POINTER JUMPING — after
+    * each neighbor-min step, every node also chases its label one link
+    * (l(v) <- min(l(v), l(l(v))), the parallel union-find path-halving
+    * step). Labels race toward the component min through label links, not
+    * just edges, so a diameter-D component converges in O(log D) rounds
+    * instead of O(D): a 41-node chain takes 6 rounds vs 41 for plain
+    * propagation (OpsSpec pins both behaviors).
+    *
+    * Iterative dataflow MUST materialize per round: a round references the
+    * previous labels more than once, so a lazy unrolled plan re-derives the
     * (expensive) edge join 2^rounds times — measured 419 s vs ~5 s for the
     * same answer. So: the edge list is persisted once, each round's labels
-    * are eagerly localCheckpoint'ed (truncating lineage; they hold only the
-    * CLUSTERED docs, a tiny fraction of the corpus), the loop stops one
-    * round after nothing changes (components are quasi-cliques of diameter
-    * 1-3), and the edge cache is released before returning. Superseded
-    * round blocks are freed by Spark's ContextCleaner as they go out of
-    * scope. For adversarially deep graphs swap in pointer-doubling
-    * (large-star/small-star), O(log n) rounds.
+    * (and the pre-jump propagation result, which the jump self-join reads
+    * twice) are eagerly localCheckpoint'ed — they hold only the CLUSTERED
+    * docs, a tiny fraction of the corpus — and the edge cache is released
+    * before returning. Superseded round blocks are freed by Spark's
+    * ContextCleaner as they go out of scope.
     *
-    * Output: one row per clustered doc: (doc_id, cluster_id = component's
-    * min doc_id, cluster_size, keep = doc_id == cluster_id).
+    * NON-CONVERGENCE IS AN ERROR: if `maxRounds` rounds pass without a
+    * fixpoint this throws IllegalStateException rather than returning
+    * partially-propagated (silently under-merged) labels. With pointer
+    * jumping the default budget of 16 rounds covers components of diameter
+    * ~2^15; `pointerJump = false` exposes the plain O(D) propagation for
+    * comparison tests.
     */
-  def dedupClusters(spark: SparkSession, dir: String, shingleSize: Int = 2,
-      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame = {
-    val edges = ngramJaccardPairs(spark, dir, shingleSize, threshold)
-      .select(col("doc_a"), col("doc_b"))
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 16,
+      pointerJump: Boolean = true): DataFrame =
+    ccWithRounds(edges, maxRounds, pointerJump)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took (exposed for
+    * the convergence-rate specs).
+    */
+  private[graft] def ccWithRounds(edges: DataFrame, maxRounds: Int,
+      pointerJump: Boolean): (DataFrame, Int) = {
     val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -279,23 +289,54 @@ object Dedup {
       while (!converged && round < maxRounds) {
         val nbrMin = adj.join(labels, adj("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        val prop0 = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint(true)
+        val next = if (pointerJump) {
+          // materialize before the self-join reads prop twice
+          val prop = prop0.localCheckpoint(true)
+          val links = prop.select(col("doc_id").as("j_id"), col("label").as("j_label"))
+          prop.join(links, prop("label") === links("j_id"), "left")
+            .select(col("doc_id"),
+              least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
+            .localCheckpoint(true)
+        } else prop0.localCheckpoint(true)
         converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
           .filter(col("label") =!= col("prev")).isEmpty
         labels = next
         round += 1
       }
-      val sizes = labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      // materialize before releasing the edge cache the plan no longer needs
-      labels.select(col("doc_id"), col("label").as("cluster_id"))
-        .join(sizes, Seq("cluster_id"))
-        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
-          (col("doc_id") === col("cluster_id")).as("keep"))
-        .localCheckpoint(true)
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxRounds rounds " +
+          "(labels would be silently under-merged); raise maxRounds — with " +
+          s"pointerJump=$pointerJump rounds grow as " +
+          (if (pointerJump) "log2(diameter)" else "diameter"))
+      (labels, round)
     } finally adj.unpersist()
+  }
+
+  /** Near-duplicate CLUSTERS: connected components over the near-dup pair
+    * graph. Pairs alone both over- and under-remove (near-dup is transitive
+    * in practice: A~B, B~C usually means one survivor among {A,B,C}) — the
+    * production dedup shape is one keeper per component, which is how the
+    * reference's caption/image pairing also resolves chained merges
+    * (merge.rs's grouped passes), lifted here to corpus scale. The CC core
+    * is [[connectedComponents]] (pointer-jumping, O(log diameter) rounds,
+    * throws on non-convergence).
+    *
+    * Output: one row per clustered doc: (doc_id, cluster_id = component's
+    * min doc_id, cluster_size, keep = doc_id == cluster_id).
+    */
+  def dedupClusters(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame = {
+    val edges = ngramJaccardPairs(spark, dir, shingleSize, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges, maxRounds)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"))
   }
 }

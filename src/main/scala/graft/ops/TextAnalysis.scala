@@ -144,8 +144,15 @@ object TextAnalysis {
   /** Per-document TF-IDF top terms — the classic keyword/feature extraction
     * pass: tf from a within-doc word count, idf = ln(N/df) with df and N
     * computed corpus-wide, top-k per doc via window (ties broken by term).
-    * The df table and the N scalar are tiny -> both broadcast; the only
-    * corpus-sized shuffle is the (doc, word) count.
+    *
+    * The document-frequency table is VOCABULARY-sized (one row per distinct
+    * term: 10^8-10^9 rows on a web corpus), so it is deliberately NOT
+    * broadcast-hinted: the tf<->df join is a plain equi-join on `term` that
+    * AQE size-gates — at test scale it auto-broadcasts, at web scale it
+    * falls back to a shuffle join whose df side re-hashes one key column
+    * (tf is already shuffled on (doc_id, term); the extra exchange is a
+    * single key re-hash, not a corpus re-scan). Only the 1-row N scalar is
+    * hint-broadcast.
     */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -159,7 +166,7 @@ object TextAnalysis {
     val score = col("tf") * log(col("n") / col("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(score.desc, col("term").asc)
-    tf.join(broadcast(df), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -155,6 +155,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 3L, 2L, true), (4L, 3L, 2L, false)), clusters.mkString(","))
   }
 
+  test("connected components: pointer jumping converges in O(log D) and the " +
+      "non-convergence guard fires for plain propagation") {
+    val ss = spark; import ss.implicits._
+    // path graph 0-1-2-...-40: diameter 40, all one component
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = Dedup.ccWithRounds(chain, maxRounds = 16, pointerJump = true)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L), got.toString)
+    // log2(41) ~ 5.4; one extra round detects the fixpoint
+    assert(rounds <= 7, s"pointer jumping took $rounds rounds on a 41-chain")
+    // plain min-label propagation needs diameter=40 rounds — the guard must
+    // throw at maxRounds=16 instead of returning under-merged labels
+    val e = intercept[IllegalStateException] {
+      Dedup.ccWithRounds(chain, maxRounds = 16, pointerJump = false)
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+    // the guard also protects the pointer-jumping path when the budget is cut
+    intercept[IllegalStateException] {
+      Dedup.ccWithRounds(chain, maxRounds = 2, pointerJump = true)
+    }
+    // sanity: plain propagation with enough budget agrees exactly
+    val (plain, plainRounds) =
+      Dedup.ccWithRounds(chain, maxRounds = 64, pointerJump = false)
+    assert(plain.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    assert(plainRounds > 16, s"plain propagation took only $plainRounds rounds")
+  }
+
   test("count-min sketch: full grid, per-lane mass conservation, determinism") {
     val ss = spark; import ss.implicits._
     val cells = TextAnalysis.cmsBigrams(spark, dupDir, depth = 4, width = 32)

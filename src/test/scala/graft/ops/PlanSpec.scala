@@ -130,6 +130,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("tfidf: the vocabulary-sized df join is size-gated, never hint-forced") {
+    // at web scale the document-frequency table (one row per distinct term)
+    // is NOT broadcastable; the plan must carry no broadcast HINT on it, so
+    // that with broadcasting disabled (i.e. "df side too big") the join
+    // degrades to a shuffle join instead of a forced broadcast build
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf(TextAnalysis.tfidfTopTerms(spark, sf))
+      val joinLines = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("term")).toSeq
+      assert(joinLines.nonEmpty, plan)
+      assert(!joinLines.exists(_.contains("BroadcastHashJoin")), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
