@@ -62,6 +62,8 @@ object SparkEntry {
     "qd5_embed_dup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingDupPairsLsh(s, d, 0.5)),
     "qd6_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "qd7_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashLshPairsPortable(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -391,6 +393,36 @@ object SparkEntry {
          SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
            comp.doc_id = comp.cluster_id AS keep
          FROM comp JOIN sizes USING (cluster_id)""",
+    // banded portable-minhash LSH: the oracle replays the SAME md5-affine
+    // lane signatures (qd2's family), the SAME 4x2 band-collision predicate,
+    // and the exact-Jaccard verify — so recall curve aside, every emitted
+    // pair and jaccard value must match bit-for-bit
+    "qd7_minhash_lsh_pairs" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0)
+         SELECT doc_a, doc_b, ROUND(j, 6) AS jaccard FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh))
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+             (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+             (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+             (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+             (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
+         WHERE j >= 0.2""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -65,12 +65,32 @@ object Dedup {
         element_at(sig, b * rowsPerBand + r + 1)): _*)
     }: _*)
 
+  /** Drop rows whose bucket (by `key`) holds more than `maxBucket` members —
+    * the quadratic-blowup guard every within-bucket self-join needs: a
+    * corpus with a k-doc EXACT-dup group puts all k members in the same
+    * bucket of EVERY band (k^2 candidates per band, unsalvageable by
+    * salting). Bucket sizes come from a groupBy on the same key the
+    * self-join shuffles on, so the admit join re-uses that partitioning
+    * rather than broadcasting an unbounded bucket list.
+    */
+  private def capBuckets(buckets: DataFrame, key: String, maxBucket: Int): DataFrame =
+    buckets.join(
+      buckets.groupBy(col(key)).agg(count(lit(1)).as("n_in_bucket"))
+        .filter(col("n_in_bucket") <= maxBucket).drop("n_in_bucket"),
+      Seq(key))
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
     *
     * numHashes=64, bands=16 x rows=4 targets the ~0.5+ Jaccard region.
     * Pipeline: signature (map-only) -> explode bands -> groupBy band bucket
     * (shuffle 1) -> pairs within bucket -> distinct -> verify join (shuffle 2)
     * computing true Jaccard on the shingle sets.
+    *
+    * `maxBucket` bounds the quadratic worst case (see [[capBuckets]]):
+    * run [[exactDedupKeepFirst]] FIRST so exact-dup groups never reach the
+    * band buckets, and treat an over-cap bucket as a signal (it is either an
+    * un-removed exact-dup group or a degenerate shingle set), inspectable
+    * via [[minhashLshOversize]].
     */
   def minhashLshPairs(
       spark: SparkSession,
@@ -78,17 +98,17 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.5
+      threshold: Double = 0.5,
+      maxBucket: Int = 4096
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val base = docs(spark, dir)
-      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val base = shingleBase(spark, dir, shingleSize)
     val withBands = base
       .select(col("doc_id"), col("sh"),
         bandKeys(minhashSignature(col("sh"), numHashes), bands, rowsPerBand).as("bands"))
     val buckets = withBands.select(col("doc_id"), explode(col("bands")).as("band"))
-    val cand = buckets.as("a").join(buckets.as("b"),
+    val admitted = capBuckets(buckets, "band", maxBucket)
+    val cand = admitted.as("a").join(admitted.as("b"),
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -101,6 +121,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** PORTABLE MinHash-LSH near-dup pairs — the flagship dedup-at-scale shape
+    * as a driver-suite entry: banded minhash bucketing -> within-bucket
+    * candidates -> exact-Jaccard verify, with every hash replayable in the
+    * DuckDB oracle (the [[minhashPortable]] md5-affine lane family;
+    * bands*rowsPerBand <= 8 lanes keeps the affine multiplier i <= 7 inside
+    * int64). Same plan shape as [[minhashLshPairs]]: one bucket shuffle, one
+    * verify join, bucket width capped by `maxBucket` ([[capBuckets]];
+    * skipped buckets enumerable via [[minhashLshOversize]] — at the test
+    * scale factors the widest bucket is ~180 docs, far under the cap, so
+    * the oracle's uncapped replay stays exact).
+    *
+    * Collision recall is the banded-minhash curve 1-(1-j^rows)^bands (4x2:
+    * ~13% at j=0.2, ~99.6% at j=0.8) — the ORACLE REPLAYS THE SAME BAND
+    * PREDICATE, so the parity gate checks the implementation exactly,
+    * independent of the curve.
+    */
+  /** (doc_id, sh, exploded band key) for the portable banded-minhash schemes:
+    * md5-affine lane signatures over the shingle set, grouped into
+    * `rowsPerBand`-lane band keys "<band>|<sig>|<sig>" — decimal strings of
+    * nonneg longs, so string equality == numeric equality and the oracle can
+    * replay the key as per-lane equalities.
+    */
+  private def portableBandBuckets(base: DataFrame, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val lanes = bands * rowsPerBand
+    require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes lanes")
+    val mersenne61 = 2305843009213693951L // 2^61 - 1, prime
+    val sigCols = (0 until lanes).map { i =>
+      array_min(zip_with(col("av"), col("bv"),
+        (a, b) => (a + lit(i.toLong) * b) % lit(mersenne61))).as(s"sig_$i")
+    }
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+    }
+    base
+      .withColumn("av", transform(col("sh"),
+        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+      .withColumn("bv", transform(col("sh"),
+        s => conv(substring(md5(s), 16, 15), 16, 10).cast("long")))
+      .select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
+  }
+
+  private def shingleBase(spark: SparkSession, dir: String, shingleSize: Int): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  def minhashLshPairsPortable(
+      spark: SparkSession,
+      dir: String,
+      shingleSize: Int = 2,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.2,
+      maxBucket: Int = 4096
+  ): DataFrame = {
+    val base = shingleBase(spark, dir, shingleSize)
+    val buckets = portableBandBuckets(base, bands, rowsPerBand)
+    val admitted = capBuckets(buckets, "bkey", maxBucket)
+    val cand = admitted.as("a").join(admitted.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Diagnostics for [[minhashLshPairsPortable]]'s maxBucket guard: the band
+    * buckets it skipped and the candidate pairs each drop (qd4's
+    * [[ngramJaccardOversize]] pattern applied to band buckets).
+    */
+  def minhashLshOversize(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 2, maxBucket: Int = 4096): DataFrame =
+    portableBandBuckets(shingleBase(spark, dir, shingleSize), bands, rowsPerBand)
+      .groupBy(col("bkey")).agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") > maxBucket)
+      .withColumn("dropped_pairs",
+        col("n_in_bucket") * (col("n_in_bucket") - 1) / lit(2))
 
   /** Portable MinHash profile — every column exactly reproducible in any
     * engine with md5 + 64-bit integer arithmetic, so the signature VALUES sit

@@ -103,6 +103,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Dedup.ngramJaccardOversize(spark, dupDir, 2, 1).count() > 0)
   }
 
+  test("portable minhash-LSH pairs: exact dups always collide; cap guard works") {
+    // an exact dup (after normalization) has an identical shingle set, hence
+    // identical signatures in every lane -> collides in every band
+    val pairs = Dedup.minhashLshPairsPortable(spark, dupDir, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"exact-dup pair missing from $keys")
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 == 1.0)
+    // capped == uncapped when no bucket is hot
+    val uncapped = Dedup.minhashLshPairsPortable(spark, dupDir, threshold = 0.5,
+      maxBucket = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairs.toSet == uncapped)
+    assert(Dedup.minhashLshOversize(spark, dupDir).count() == 0)
+    // cap of 1 admits nothing; the oversize diagnostic reports what dropped
+    assert(Dedup.minhashLshPairsPortable(spark, dupDir, maxBucket = 1).count() == 0)
+    assert(Dedup.minhashLshOversize(spark, dupDir, maxBucket = 1).count() > 0)
+    // the xxhash64-flavored variant honors the same guard (qd1-first contract)
+    assert(Dedup.minhashLshPairs(spark, dupDir, threshold = 0.4, maxBucket = 1)
+      .count() == 0)
+  }
+
   test("simhash block-combination pairs match brute-force hamming join exactly") {
     val maxH = 12
     val sims = Dedup.simhashDocs(spark, dupDir).collect()
