@@ -157,13 +157,18 @@ object Bench {
     // auditable against co-tenant interference (this VM sees heavy bursty
     // CPU steal — BASELINE.md "Measured results"; contention also shows up
     // WITHOUT steal, e.g. bandwidth/LLC pressure, so no single window can be
-    // trusted). The headline is therefore best-of-N per level INDEPENDENTLY:
-    // the fastest lo and the fastest hi are each the least-interfered
-    // measurement of machine capability at that level, and their ratio can
-    // only understate efficiency (a stolen lo can never inflate it). All
-    // samples are emitted for transparency. Sampling is time-budgeted
-    // (default 240s) so the single JSON line always lands inside the
-    // driver's bench timeout.
+    // trusted). The headline is best-of-N per level INDEPENDENTLY: each
+    // best is the least-interfered measurement of machine capability at
+    // that level. The two legs are NOT symmetric in the ratio: a stolen
+    // (slow) lo INFLATES hi/(factor*lo), so taking the fastest lo guards
+    // the denominator against inflation; a stolen hi deflates, so the
+    // fastest hi guards the numerator against understatement. The residual
+    // failure mode — every lo rep interfered while some hi rep ran clean —
+    // would overstate, which is why all samples + their steal telemetry are
+    // emitted AND the paired efficiency of the fastest-lo rep (lo and hi
+    // adjacent in time, same interference regime) is reported as the
+    // cross-check. Sampling is time-budgeted (default 240s) so the single
+    // JSON line always lands inside the driver's bench timeout.
     def stolenCpuSeconds(): Double = {
       // /proc/stat "cpu" line, field 8 (0-based after the label) = steal in
       // USER_HZ ticks summed over all vCPUs; 100 Hz on this kernel
@@ -193,6 +198,8 @@ object Bench {
     val rateLo = rateSamples.map(_.lo).max
     val rateHi = rateSamples.map(_.hi).max
     val efficiency = rateHi / (factor * rateLo)
+    // same-rep cross-check: the rep with the fastest lo, using ITS OWN hi
+    val pairedEff = rateSamples.maxBy(_.lo).eff
 
     def f(d: Double): String = java.math.BigDecimal.valueOf(d)
       .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
@@ -217,6 +224,7 @@ object Bench {
         (if (scaleMode == "cluster") s""""cores_per_executor":$scaleCores,""" else "") +
         s""""docs_per_sec_lo":${f(rateLo)},"docs_per_sec_hi":${f(rateHi)},""" +
         s""""scaling_factor":${f(factor)},"scaling_efficiency":${f(efficiency)},""" +
+        s""""paired_eff_fastest_lo_rep":${f(pairedEff)},""" +
         s""""selection":"best-of-${rateSamples.length}-per-level",""" +
         s""""samples":$samplesJson}"""
     println(

@@ -260,7 +260,12 @@ object Dedup {
     */
   def simhashPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
     val nBlocks = maxHamming + 2
-    require(nBlocks >= 2 && nBlocks <= 16, s"maxHamming out of range: $maxHamming")
+    // nBlocks >= 4 keeps every block <= 16 bits, so a block value fits its
+    // 20-bit field in the packed key below (at nBlocks <= 3 a 22+-bit block
+    // value would overflow into the pair-index field and cross-combination
+    // buckets would collide)
+    require(nBlocks >= 4 && nBlocks <= 16,
+      s"maxHamming must be in [2, 14], got $maxHamming")
     val bounds = (0 to nBlocks).map(k => k * 64 / nBlocks)
     def blockVal(k: Int): Column = {
       val off = bounds(k)
@@ -339,8 +344,9 @@ object Dedup {
     * skipped and how many candidate pairs that dropped.
     */
   def ngramJaccardOversize(spark: SparkSession, dir: String,
-      shingleSize: Int = 2, maxBucket: Int = 4096): DataFrame =
-    blockSizes(ngramBase(spark, dir, shingleSize))
+      shingleSize: Int = 2, maxBucket: Int = 4096,
+      bucketWords: Int = 4): DataFrame =
+    blockSizes(ngramBase(spark, dir, shingleSize, bucketWords))
       .filter(col("n_in_block") > maxBucket)
       .withColumn("dropped_pairs",
         col("n_in_block") * (col("n_in_block") - 1) / lit(2))

@@ -88,11 +88,17 @@ object Similarity {
     */
   def ivfCentroids(spark: SparkSession, dir: String, k: Int = 16,
       iters: Int = 10, sampleCap: Int = 4096): Array[Array[Float]] = {
-    // deterministic bounded sample via a pushed-down id filter — no global
-    // sort (orderBy+limit would shuffle the whole table to rank it)
-    val sample = embeddings(spark, dir)
+    // deterministic bounded sample via a pushed-down id filter — assumes the
+    // fixture tables' DENSE vec_ids starting at 0 (no shuffle at all). A
+    // sparse/offset id space would make the filter under-sample, so fall
+    // back to orderBy+limit — still deterministic, and limit+sort compiles
+    // to a distributed top-k (TakeOrdered), not a global sort
+    val fast = embeddings(spark, dir)
       .filter(col("vec_id") < sampleCap)
       .select(col("embedding")).collect()
+    val sample = (if (fast.length >= math.min(sampleCap, 4 * k)) fast
+      else embeddings(spark, dir).orderBy(col("vec_id")).limit(sampleCap)
+        .select(col("embedding")).collect())
       .map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "empty embeddings table")
     val dim = sample.head.length
@@ -140,6 +146,14 @@ object Similarity {
     * each query probes its `nprobe` nearest cells and ranks candidates by
     * exact cosine. At scale the cell assignment is a write-once partition
     * key — queries then touch nprobe/k of the corpus.
+    *
+    * Verification (OpsSpec): at nprobe = k the probe set is every cell, so
+    * the result must EQUAL brute force exactly — pins the whole
+    * assignment/probe/rank machinery; at the suite's stated nprobe the spec
+    * floors recall at 0.9. The fixture embeddings are near-uniform random
+    * vectors (no cluster structure — the worst case for coarse
+    * quantization), which is why the suite probes 12/16 cells; on real
+    * clustered embeddings the same code prunes at nprobe/k ~ 1/8.
     */
   def annIvf(spark: SparkSession, dir: String, nQueries: Int = 5, topK: Int = 10,
       k: Int = 16, nprobe: Int = 4): DataFrame = {

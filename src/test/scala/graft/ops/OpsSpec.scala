@@ -245,14 +245,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall { case (q, n, _) => q < 5 && n != q })
   }
 
-  test("IVF ANN is a high-recall subset of brute-force ANN") {
+  test("IVF ANN: exact brute-force parity at nprobe=k; recall >= 0.9 at the " +
+      "suite's nprobe=12") {
     val sf = "/root/testdata/sf0.001"
     val brute = Similarity.annBruteForce(spark, sf, nQueries = 5, k = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.annIvf(spark, sf, nQueries = 5, topK = 10).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall $recall too low (candidates ${ivf.size})")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // nprobe = k probes every cell: the candidate set is the whole corpus,
+    // so ranks AND cosines must equal brute force bit-for-bit — this pins
+    // the assignment/probe/rank machinery, not just the recall curve
+    val exhaustive = Similarity.annIvf(spark, sf, nQueries = 5, topK = 10,
+      k = 16, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(exhaustive == brute,
+      s"missing: ${brute -- exhaustive}; extra: ${exhaustive -- brute}")
+    // the suite's stated operating point (nprobe=12 of 16 — the fixture
+    // vectors are near-uniform random, the quantizer's worst case; measured
+    // recall 0.98 here, 0.94 at sf0.01, 1.00 at sf0.1, all deterministic)
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val ivf = Similarity.annIvf(spark, sf, nQueries = 5, topK = 10, nprobe = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bruteIds & ivf).size.toDouble / bruteIds.size
+    assert(recall >= 0.9, s"IVF recall $recall < 0.9 at nprobe=12")
     assert(ivf.forall { case (q, n) => q < 5 && n != q })
   }
 
