@@ -23,7 +23,7 @@ import graft.spark.{ExtractJob, PagesTable}
   */
 object Bench {
 
-  private def newSession(cpus: Int): SparkSession = {
+  private[graft] def newSession(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
@@ -40,7 +40,7 @@ object Bench {
     * them for forked runs) so the in-process Worker can build the executor
     * launch command; executors get the graft classes via extraClassPath.
     */
-  private def newClusterSession(nExec: Int, cores: Int, memMb: Int): SparkSession = {
+  private[graft] def newClusterSession(nExec: Int, cores: Int, memMb: Int): SparkSession = {
     val classesDir = new java.io.File(
       getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getAbsolutePath
     val s = SparkSession.builder()
@@ -49,6 +49,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", (nExec * cores).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill scratch space: this guest's /tmp is ext4 on a virtio
+      // disk whose concurrent-writer behavior collapses under multi-JVM
+      // shuffle writes (ScaleForensics measured stage-level evidence in
+      // BASELINE.md); production clusters put this on local NVMe — /dev/shm
+      // is this sandbox's equivalent. Overridable for A/B via env.
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch"))
       .config("spark.executor.memory", s"${memMb}m")
       .config("spark.executor.extraClassPath", classesDir)
       // each executor JVM must size its GC/JIT/common pools for ITS core

@@ -94,6 +94,8 @@ object SparkEntry {
       TextAnalysis.contamination(s, d)),
     "qt9_tfidf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfidfTopTerms(s, d)),
+    "qt10_repetition" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.repetitionSignals(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -283,6 +285,41 @@ object SparkEntry {
            FROM tf JOIN dfreq USING (term) CROSS JOIN nn)
          SELECT doc_id, term, ROUND(score, 6) AS tfidf, rnk
          FROM s WHERE rnk <= 3""",
+    // Gopher-style repetition filters: non-distinct bigram slot counts, ties
+    // on the top bigram resolve lexicographically in both engines
+    "qt10_repetition" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, words,
+             CASE WHEN len(words) >= 2 THEN
+               [list_aggregate(words[i:i+1], 'string_agg', ' ')
+                FOR i IN range(1, len(words))]
+             ELSE [] END AS bg
+           FROM w),
+         c AS (
+           SELECT doc_id, bigram, COUNT(*) AS cnt
+           FROM (SELECT doc_id, unnest(bg) AS bigram FROM b) GROUP BY 1, 2),
+         m AS (
+           SELECT doc_id, MAX(cnt) AS top_count,
+             CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+           FROM c GROUP BY 1),
+         tb AS (
+           SELECT c.doc_id, MIN(c.bigram) AS top_bigram
+           FROM c JOIN m ON c.doc_id = m.doc_id AND c.cnt = m.top_count
+           GROUP BY 1),
+         wm AS (
+           SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+             ROUND(1 - len(list_distinct(words)) / CAST(len(words) AS DOUBLE), 6)
+               AS dup_word_frac
+           FROM w)
+         SELECT wm.doc_id, wm.n_words, wm.dup_word_frac, tb.top_bigram,
+           m.top_count, ROUND(m.top_count / CAST(m.n_bigrams AS DOUBLE), 6)
+             AS top_bigram_frac
+         FROM wm JOIN m ON wm.doc_id = m.doc_id
+         JOIN tb ON wm.doc_id = tb.doc_id""",
     "qd1_exact_dedup" ->
       """SELECT n_docs AS group_size, COUNT(*) AS n_groups FROM (
            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,

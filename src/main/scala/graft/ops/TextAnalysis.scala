@@ -173,6 +173,51 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(score, 6).as("tfidf"), col("rnk"))
   }
 
+  /** Repetition / boilerplate signals — the Gopher-style quality filters a
+    * training-data pipeline applies after dedup: documents dominated by a
+    * few repeated n-grams (templated boilerplate, keyword stuffing, decode
+    * loops) are cut before training.
+    *
+    *  - dup_word_frac: 1 - distinct words / total words (map-only: pure
+    *    array expressions, no shuffle);
+    *  - top_bigram / top_bigram_frac: the most frequent NON-distinct word
+    *    bigram and its share of all bigram slots (ties resolve to the
+    *    lexicographically smallest bigram so the result is deterministic).
+    *    The only shuffle is the (doc_id, bigram) count — the same key shape
+    *    as qt5/qt9, partitioned by doc so no key is corpus-wide hot.
+    */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+      .select(col("doc_id"), col("w"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct"))
+    // non-distinct bigram list (guard: a 1-word doc has no bigrams, and
+    // sequence(0, -1) would be a DESCENDING sequence, not empty)
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val counts = base.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = counts.groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_count"), sum(col("cnt")).as("n_bigrams"))
+    val topBigram = counts.join(perDoc, Seq("doc_id"))
+      .filter(col("cnt") === col("top_count"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("bigram")).as("top_bigram"))
+    base.select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_words"), 6)
+          .as("dup_word_frac"))
+      .join(perDoc, Seq("doc_id"))
+      .join(topBigram, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+        col("top_bigram"), col("top_count"),
+        round(col("top_count").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */
