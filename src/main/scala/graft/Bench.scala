@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same scratch-dir rationale as newClusterSession (A/B in BASELINE.md
+      // round 3): the virtio-ext4 /tmp penalizes concurrent shuffle writers
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
