@@ -108,6 +108,22 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("qd7 minhash-LSH pairs: bucket self-join, no cartesian, ids-only distinct") {
+    val df = Dedup.minhashLshPairsPortable(spark, sf)
+    df.collect() // exchange reuse lands in the final adaptive plan
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // both sides of the bucket self-join shuffle the same admitted child —
+    // one Exchange computes the shingling+signature scan, the other reuses
+    assert(plan.contains("ReusedExchange"), plan)
+    // the candidate distinct groups on exactly (doc_a, doc_b) — shingle
+    // arrays must not flow through that Exchange
+    val distinctLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(distinctLines.exists(l =>
+      l.contains("doc_a") && l.contains("doc_b") && !l.contains("sh#")), plan)
+  }
+
   test("embedding-dup LSH path has no cartesian / nested-loop join") {
     val plan = planOf(Similarity.embeddingDupPairsLsh(spark, sf))
     assert(!plan.contains("CartesianProduct"), plan)
