@@ -64,6 +64,8 @@ object SparkEntry {
     "qd6_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "qd7_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairsPortable(s, d)),
+    "qd8_cluster_survivors" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterSurvivors(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -96,6 +98,8 @@ object SparkEntry {
       TextAnalysis.tfidfTopTerms(s, d)),
     "qt10_repetition" -> ((s: SparkSession, d: String) =>
       TextAnalysis.repetitionSignals(s, d)),
+    "qt11_novelty" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.noveltyScores(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -464,6 +468,67 @@ object SparkEntry {
              (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
              (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
          WHERE j >= 0.2""",
+    // qd6's component CTE + qt2's quality score (rounded to 6 dp BEFORE the
+    // rank so ordering is bit-stable), survivor = rank 1 per cluster
+    "qd8_cluster_survivors" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, lang, len_bucket, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sh a JOIN sh b
+             ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+             AND a.doc_id < b.doc_id
+           WHERE len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         comp AS (
+           SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         sizes AS (
+           SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+         q AS (
+           SELECT doc_id,
+             ROUND(LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+               * (1.0 - len(regexp_extract_all(text, '[\.,;:!\?]'))
+                  / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+           FROM documents)
+         SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
+           q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+             ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
+         FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
+    // rare-gram novelty: integer counts + one division, exactly replayable
+    "qt11_novelty" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+         d AS (SELECT g, COUNT(*) AS df FROM e GROUP BY 1)
+         SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           MIN(df) AS min_df, MAX(df) AS max_df,
+           ROUND(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS rare_frac
+         FROM e JOIN d USING (g) GROUP BY doc_id""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -401,21 +401,22 @@ object Dedup {
       while (!converged && round < maxRounds) {
         val nbrMin = adj.join(labels, adj("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        // `prev` rides along so convergence is a filter on the checkpointed
+        // result, not an extra per-round join against the old labels
         val prop0 = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("label").as("prev"),
             least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         val next = if (pointerJump) {
           // materialize before the self-join reads prop twice
           val prop = prop0.localCheckpoint(true)
           val links = prop.select(col("doc_id").as("j_id"), col("label").as("j_label"))
           prop.join(links, prop("label") === links("j_id"), "left")
-            .select(col("doc_id"),
+            .select(col("doc_id"), col("prev"),
               least(col("label"), coalesce(col("j_label"), col("label"))).as("label"))
             .localCheckpoint(true)
         } else prop0.localCheckpoint(true)
-        converged = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
-          .filter(col("label") =!= col("prev")).isEmpty
-        labels = next
+        converged = next.filter(col("label") =!= col("prev")).isEmpty
+        labels = next.select(col("doc_id"), col("label"))
         round += 1
       }
       if (!converged) throw new IllegalStateException(
@@ -450,5 +451,29 @@ object Dedup {
       .join(sizes, Seq("cluster_id"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /** Quality-aware cluster SURVIVORSHIP: within each near-dup cluster keep
+    * the highest-quality copy, not the lowest doc_id — the production
+    * dedup policy (near-duplicates usually differ by boilerplate or
+    * truncation; min-id keeps an arbitrary one, quality keeps the best).
+    * Quality is qt2's composite score ROUNDED to 6 dp BEFORE ranking so the
+    * ordering is bit-stable across engines; ties break on doc_id asc.
+    *
+    * Output: one row per clustered doc: (doc_id, cluster_id, cluster_size,
+    * quality_score, survivor).
+    */
+  def clusterSurvivors(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = dedupClusters(spark, dir, shingleSize, threshold, maxRounds)
+    val quality = TextAnalysis.qualityScores(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("survivor", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        col("quality_score"), col("survivor"))
   }
 }

@@ -218,6 +218,32 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Rare-gram novelty: how much of a document is built from corpus-rare
+    * n-grams — high rare_frac flags either genuinely novel content worth
+    * keeping or garbage (OCR noise, encoding damage) worth cutting, and
+    * pipelines use it both ways with the quality score as the tiebreaker.
+    *
+    * Scale shape: the gram document-frequency table is VOCABULARY-sized, so
+    * the grams<->df join is a plain shuffle equi-join on the gram (AQE
+    * size-gates a broadcast at test scale; qt9's rationale). Outputs are
+    * integers plus one single-division ratio — no float accumulation, so
+    * the oracle reproduces every value exactly regardless of sum order.
+    */
+  def noveltyScores(spark: SparkSession, dir: String, rareDf: Long = 3): DataFrame = {
+    val grams = docs(spark, dir).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), 2)).as("g")) // distinct per doc
+    val df = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") < rareDf, 1L).otherwise(0L)).as("n_rare"),
+        min(col("df")).as("min_df"),
+        max(col("df")).as("max_df"))
+      .withColumn("rare_frac",
+        round(col("n_rare").cast("double") / col("n_grams"), 6))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

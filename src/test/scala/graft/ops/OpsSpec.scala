@@ -177,6 +177,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 3L, 2L, true), (4L, 3L, 2L, false)), clusters.mkString(","))
   }
 
+  test("cluster survivors pick the best-quality doc, not the min id") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-surv").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa mu nu"
+    // doc 1 = doc 0 plus three punctuation words: still a near-dup (shared
+    // bigram core), but the quality formula scores it HIGHER (longer, punct
+    // ratio small), so the survivor must be 1 — min-id would pick 0
+    val rows = Seq(
+      (0L, a, "en", "s", a.length.toLong),
+      (1L, a + " , , ,", "en", "s", (a.length + 6).toLong),
+      (2L, "one two three four five six seven eight nine ten eleven twelve", "en", "s", 3L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q = TextAnalysis.qualityScores(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality_score")).toMap
+    assert(q(1L) > q(0L), q.toString)
+    val surv = Dedup.clusterSurvivors(spark, dir, 2, 0.1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(4)))
+    assert(surv.map(t => (t._1, t._3)).toSet == Set((0L, false), (1L, true)),
+      surv.mkString(","))
+    assert(surv.forall(_._2 == 0L)) // one cluster, labeled by its min id
+  }
+
+  test("novelty: unique-content doc is all-rare, exact-dup pair is no-rare") {
+    val nov = TextAnalysis.noveltyScores(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("rare_frac")).toMap
+    // doc 9 (German) shares no bigram with anything -> every gram df=1
+    assert(nov(9L) == 1.0, nov.toString)
+    // docs 0/1 normalize to the same bigram set -> every gram df >= 2
+    assert(nov(0L) == 0.0 && nov(1L) == 0.0, nov.toString)
+  }
+
   test("connected components: pointer jumping converges in O(log D) and the " +
       "non-convergence guard fires for plain propagation") {
     val ss = spark; import ss.implicits._
