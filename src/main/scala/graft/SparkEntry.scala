@@ -100,6 +100,8 @@ object SparkEntry {
       TextAnalysis.repetitionSignals(s, d)),
     "qt11_novelty" -> ((s: SparkSession, d: String) =>
       TextAnalysis.noveltyScores(s, d)),
+    "qt12_kmv_distinct" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kmvDistinct(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -510,6 +512,22 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
              ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
          FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
+    // KMV sketch content replayed exactly: the k smallest distinct 60-bit
+    // md5-half hashes of the bigram vocabulary, ascending
+    "qt12_kmv_distinct" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         e AS (SELECT unnest(sh) AS g FROM sh),
+         h AS (SELECT DISTINCT CAST('0x' || substr(md5(g),1,15) AS BIGINT) AS h FROM e),
+         topk AS (SELECT h FROM h ORDER BY h LIMIT 256)
+         SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank, h FROM topk""",
     // rare-gram novelty: integer counts + one division, exactly replayable
     "qt11_novelty" ->
       """WITH w AS (

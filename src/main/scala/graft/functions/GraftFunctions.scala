@@ -312,6 +312,87 @@ case class CmsSketch(
   override def prettyName: String = "cms_sketch"
 }
 
+/** kmv_sketch(item, k): K-Minimum-Values distinct-cardinality sketch — the
+  * bounded-memory answer to COUNT(DISTINCT item) at 100 TB (an exact
+  * count-distinct shuffles the whole key space; KMV keeps the k smallest
+  * distinct hash values, merged by set-union-and-trim, and estimates
+  * D ~ (k-1) * 2^60 / h_k with ~1/sqrt(k-2) relative error).
+  *
+  * The hash is the first 60-bit md5 half (the minhash/CMS lane family), so
+  * UNLIKE HyperLogLog the sketch CONTENT is deterministic and exactly
+  * reproducible by the DuckDB oracle: SELECT DISTINCT hash ORDER BY hash
+  * LIMIT k. Returns the ascending array of retained hashes.
+  */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+  require(k >= 2, s"k must be >= 2, got $k")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def update(buffer: java.util.TreeSet[java.lang.Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      md5.reset()
+      val dg = md5.digest(v.asInstanceOf[UTF8String].getBytes)
+      val h = GraftImpl.md5Halves(dg)._1
+      if (buffer.size < k) buffer.add(h)
+      else if (h < buffer.last()) {
+        if (buffer.add(h)) buffer.remove(buffer.last())
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buffer.addAll(other)
+    while (buffer.size > k) buffer.remove(buffer.last())
+    buffer
+  }
+
+  override def eval(buffer: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Long](buffer.size)
+    val it = buffer.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buffer: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.size * 8)
+    buffer.forEach(h => bb.putLong(h))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new java.util.TreeSet[java.lang.Long]()
+    while (bb.hasRemaining) s.add(bb.getLong)
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KmvSketch =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_sketch"
+}
+
 /** simhash64(text): 64-bit SimHash of a string (document-level near-dup key). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   // input contract: StringType (AbstractDataType/ExpectsInputTypes are
@@ -411,6 +492,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cms_sketch",
       exprs => CmsSketch(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("kmv_sketch",
+      exprs => KmvSketch(exprs(0), intLit(exprs(1)))
+        .toAggregateExpression(), "built-in")
   }
 
   private def intLit(e: Expression): Int = e match {
@@ -450,5 +534,10 @@ object GraftFunctions {
     ensureRegistered()
     call_function("cms_sketch", item, org.apache.spark.sql.functions.lit(depth),
       org.apache.spark.sql.functions.lit(width))
+  }
+
+  def kmvSketch(item: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("kmv_sketch", item, org.apache.spark.sql.functions.lit(k))
   }
 }

@@ -102,6 +102,21 @@ object TextAnalysis {
         pmod(col("pos"), lit(width)).cast("int").as("w"),
         col("n"))
 
+  /** KMV distinct-cardinality sketch of the corpus bigram vocabulary — the
+    * bounded-memory COUNT(DISTINCT) companion to qt6's CMS frequency grid:
+    * an exact distinct shuffles the whole vocabulary; the sketch keeps the
+    * k smallest distinct 60-bit md5 hashes (map-side partials, set-union
+    * merge), estimating D ~ (k-1)*2^60/h_k within ~1/sqrt(k-2). Unlike HLL
+    * the retained hashes are deterministic, so the DuckDB oracle reproduces
+    * every row: SELECT DISTINCT hash ORDER BY hash LIMIT k.
+    */
+  def kmvDistinct(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    docs(spark, dir)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("item"))
+      .agg(graft.functions.GraftFunctions.kmvSketch(col("item"), k).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("pos", "h")))
+      .select((col("pos") + 1).cast("int").as("rank"), col("h"))
+
   /** Deterministic hash sampling: keep documents whose salted-md5 bucket
     * (0..999) falls under rate*1000 — the standard way to cut a FIXED eval/
     * holdout slice from a moving corpus: reproducible across engines, runs

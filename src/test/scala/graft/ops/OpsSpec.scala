@@ -257,6 +257,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("kmv sketch: deterministic content, accurate estimate, map-side partials") {
+    val sf = "/root/testdata/sf0.001"
+    val k = 256
+    val rows = TextAnalysis.kmvDistinct(spark, sf, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.length == k)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq) // ascending
+    assert(rows.map(_._2).distinct.length == k) // distinct hashes
+    // estimate D ~ (k-1) * 2^60 / h_k within the ~1/sqrt(k-2) KMV bound
+    import org.apache.spark.sql.functions.{col, explode}
+    val trueD = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .select(col("g")).distinct().count()
+    val hk = rows.last._2.toDouble
+    val est = (k - 1).toDouble * math.pow(2.0, 60) / hk
+    assert(math.abs(est - trueD) / trueD < 0.25,
+      s"KMV estimate $est vs true $trueD")
+    // identical on re-evaluation, and partial-merged map-side
+    val again = TextAnalysis.kmvDistinct(spark, sf, k).collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    assert(rows.sameElements(again))
+    val plan = TextAnalysis.kmvDistinct(spark, sf, k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("langid marker heuristic detects the German doc") {
     val langs = TextAnalysis.langId(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
