@@ -312,10 +312,14 @@ object Dedup {
   ): DataFrame = {
     // shingle arrays pre-sorted once so the pairwise Jaccard is a native
     // two-pointer merge scan (no per-pair hash sets)
+    // admit join on the SAME (lang, len_bucket) key the self-join shuffles
+    // on — partitioning is reused, and unlike a broadcast the admitted
+    // block list never has to fit on the driver (at web scale it is
+    // O(distinct blocks), compact but unbounded)
     val base = ngramBase(spark, dir, shingleSize, bucketWords)
     val admitted = base.join(
-      broadcast(blockSizes(base).filter(col("n_in_block") <= maxBucket)
-        .drop("n_in_block")),
+      blockSizes(base).filter(col("n_in_block") <= maxBucket)
+        .drop("n_in_block"),
       Seq("lang", "len_bucket"))
     admitted.as("a").join(admitted.as("b"),
         col("a.lang") === col("b.lang") &&
@@ -464,11 +468,19 @@ object Dedup {
     * quality_score, survivor).
     */
   def clusterSurvivors(spark: SparkSession, dir: String, shingleSize: Int = 2,
-      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame = {
+      threshold: Double = 0.1, maxRounds: Int = 16): DataFrame =
+    survivorsFrom(
+      dedupClusters(spark, dir, shingleSize, threshold, maxRounds),
+      TextAnalysis.qualityScores(spark, dir)
+        .select(col("doc_id"), col("quality_score")))
+
+  /** Composable half of [[clusterSurvivors]] for pipelines that already hold
+    * a clusters frame (doc_id, cluster_id, cluster_size, ...) and a quality
+    * frame (doc_id, quality_score) — re-deriving the cluster graph just to
+    * re-rank it would repeat its edge join.
+    */
+  def survivorsFrom(clusters: DataFrame, quality: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = dedupClusters(spark, dir, shingleSize, threshold, maxRounds)
-    val quality = TextAnalysis.qualityScores(spark, dir)
-      .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id").asc)
     clusters.join(quality, Seq("doc_id"))
