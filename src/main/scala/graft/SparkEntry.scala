@@ -54,6 +54,7 @@ object SparkEntry {
     "q14_sessionize" -> (Relational.q14Sessionize _),
     "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
     "q16_cube" -> (Relational.q16Cube _),
+    "q17_asof_join" -> (Relational.q17AsofJoin _),
     // ---- dedup (oracle where SQL-expressible) ----
     "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
     "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
@@ -218,6 +219,18 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    // as-of semantics spelled out (join + rank) — fine at oracle scale; the
+    // Spark side uses the union+carry-window form, same deterministic result
+    "q17_asof_join" ->
+      """WITH m AS (
+           SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+           FROM events e JOIN orders o
+             ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+         SELECT event_id, user_id, o_orderkey AS asof_orderkey,
+           o_totalprice AS asof_totalprice
+         FROM m WHERE rn = 1""",
     "qt5_bigram_freq" ->
       """WITH w AS (
            SELECT doc_id,

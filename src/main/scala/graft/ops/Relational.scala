@@ -177,6 +177,36 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
 
+  /** AS-OF JOIN — each event matched to the latest order at-or-before its
+    * timestamp for the same user. Spark has no asof operator; the scalable
+    * composition is the UNION + carry-forward-window trick: tag both sides,
+    * sort per user by (time, tag, orderkey) with orders first at equal time,
+    * and carry the last non-null order columns forward — ONE shuffle + sort
+    * total, vs the join+filter+rank form whose intermediate is
+    * |events| x |orders-per-user|. Ties (several orders at the same
+    * timestamp) resolve to the max orderkey on both engines.
+    */
+  def q17AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts").as("t"), lit(1).as("tag"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey"),
+        lit(null).cast("double").as("o_totalprice"))
+    val ord = t(spark, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+        lit(0).as("tag"), lit(null).cast("long").as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("tag"), col("o_orderkey").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ord.unionByName(ev)
+      .withColumn("asof_orderkey", last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice", last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("asof_orderkey").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof_orderkey"), col("asof_totalprice"))
+  }
+
   /** Sessionization via gap detection: a new session starts after a >30min
     * silence per user; pure window functions (lag + running sum), no UDF.
     */
