@@ -146,6 +146,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("q17 as-of join compiles to union + window — no join operator at all") {
+    val plan = planOf(Relational.q17AsofJoin(spark, sf))
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("Join"), plan) // the union+carry form needs none
+    // exactly one shuffle: the window's hash partitioning on user_id
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 hash exchange, plan:\n$plan")
+  }
+
   test("tfidf: the vocabulary-sized df join is size-gated, never hint-forced") {
     // at web scale the document-frequency table (one row per distinct term)
     // is NOT broadcastable; the plan must carry no broadcast HINT on it, so
