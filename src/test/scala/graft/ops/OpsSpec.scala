@@ -236,6 +236,45 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plainRounds > 16, s"plain propagation took only $plainRounds rounds")
   }
 
+  test("connected components match an in-memory union-find on random graphs") {
+    val ss = spark; import ss.implicits._
+    // deterministic SplitMix64 stream so the graphs are reproducible
+    def mix(x0: Long): Long = {
+      var x = x0 + 0x9e3779b97f4a7c15L
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^ (x >>> 31)
+    }
+    for (seed <- Seq(1L, 2L, 3L)) {
+      val n = 60
+      val nEdges = 50 // sparse -> several components of varied shape
+      val edges = (0 until nEdges).map { i =>
+        val a = math.floorMod(mix(seed * 1000 + i * 2), n).toLong
+        val b = math.floorMod(mix(seed * 1000 + i * 2 + 1), n).toLong
+        if (a == b) (a, (a + 1) % n) else (a, b)
+      }
+      // reference: weighted-quick-union with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct.map { v =>
+        // component label = min node id reachable = root under min-union
+        v -> (0 until n).filter(u => find(u) == find(v.toInt)).min.toLong
+      }.toMap
+      val got = Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), maxRounds = 16)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed $seed: got $got expected $expected")
+    }
+  }
+
   test("count-min sketch: full grid, per-lane mass conservation, determinism") {
     val ss = spark; import ss.implicits._
     val cells = TextAnalysis.cmsBigrams(spark, dupDir, depth = 4, width = 32)
