@@ -96,8 +96,15 @@ object Render {
       case BlockKind.Table => // not implemented in the reference (html.rs:109-111)
     }
 
-  /** Markdown rendered directly from blocks (same content contract as the
-    * reference's html2md path; output shape pinned by goldens).
+  /** Markdown rendered directly from blocks. The reference composes
+    * markdown as html2md(toHtml(blocks)) (render/markdown.rs:14-42), so the
+    * contract here is: toMarkdown(blocks, p) == htmlToMd(toHtml(blocks, p))
+    * for the constrained HTML dialect toHtml emits — Html2MdDiffSpec pins
+    * that equivalence over the whole golden corpus, and goldens pin the
+    * bytes. In particular, when no image path is configured the HTML
+    * renderer skips Image blocks entirely (html.rs:88-108), so markdown
+    * must drop them too — captions and all (they stay in extracted_text,
+    * a different contract).
     */
   def toMarkdown(blocks: Seq[Block], imgSrcPath: Option[String]): String = {
     val parts = blocks.iterator.flatMap { b =>
@@ -114,7 +121,7 @@ object Render {
           imgSrcPath.map { path =>
             val img = s"![]($path/img_$imageId.png)"
             caption.fold(img)(c => img + "\n" + c)
-          }.orElse(caption.filter(_.nonEmpty))
+          }
         case BlockKind.Table => None
       }
     }

@@ -50,7 +50,12 @@ class RenderSpec extends AnyFunSuite {
     assert(md.contains("# Doc Title"))
     assert(md.contains("* one\n* two"))
     assert(md.contains("Body text."))
-    assert(md.contains("A caption")) // caption surfaces even without img path
+    // reference semantics: with no img path the HTML renderer skips Image
+    // blocks entirely (html.rs:88-108) and markdown = html2md(html), so the
+    // caption must NOT leak into markdown (it stays in extracted_text)
+    assert(!md.contains("A caption"))
+    val withImg = Render.toMarkdown(blocks, Some("figures"))
+    assert(withImg.contains("![](figures/img_0.png)\nA caption"))
   }
 
   test("extracted text includes list items and captions, skips empties") {
