@@ -111,6 +111,10 @@ object SparkEntry {
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
+    // S7 debug-overlay sink as spec rows (draw_blocks geometry; golden-pinned
+    // upstream, no DuckDB-expressible oracle for a generated corpus)
+    "qx3_overlay_specs" -> ((s: SparkSession, _: String) =>
+      ExtractJob.overlaySpecs(extractedCorpus(s))),
     "qx2_extract_stats" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s)
         .withColumn("family", element_at(split(col("url"), "/"), 4))

@@ -183,6 +183,47 @@ object ExtractJob {
       col("b.kind.caption").as("caption"))
   }
 
+  /** S7 debug-overlay sink analogue (draw_blocks, draw.rs:128-161): the
+    * reference draws a hollow rect per block (BLOCK_COLOR #d18b00) plus a
+    * block-type legend above it onto the page raster. Same treatment as
+    * [[cropSpecs]]: no raster here, so emit the overlay SPECS — one row per
+    * block with the exact integer rect the reference would draw (`as i32`
+    * truncating casts, width/height floored at 1 AFTER the i32 conversion)
+    * and the legend's position/size (legend_size = max(page_w, page_h)/70,
+    * legend at (x0, y0 - legend_size), draw.rs:148-158). A raster service
+    * joins on (url, page_id) and draws; never affects extracted text.
+    */
+  def overlaySpecs(extracted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val blockSchema = ArrayType(StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("kind", StructType(Seq(
+        StructField("block_type", StringType)))),
+      StructField("pages_id", ArrayType(IntegerType)),
+      StructField("bbox", StructType(Seq(
+        StructField("x0", FloatType), StructField("y0", FloatType),
+        StructField("x1", FloatType), StructField("y1", FloatType)))))))
+    val legendSize = math.max(graft.core.HtmlFront.PageWidth.toInt,
+      graft.core.HtmlFront.PageHeight.toInt) / 70
+    val b = extracted
+      .select(col("url"), explode(from_json(col("blocks_json"), blockSchema)).as("b"))
+    // Rust `as i32` truncates toward zero == Spark's float->int cast
+    val xi = col("b.bbox.x0").cast("int")
+    val yi = col("b.bbox.y0").cast("int")
+    b.select(
+      col("url"),
+      element_at(col("b.pages_id"), 1).as("page_id"),
+      col("b.id").as("block_id"),
+      col("b.kind.block_type").as("label"),
+      xi.as("x"), yi.as("y"),
+      greatest(col("b.bbox.x1").cast("int") - xi, lit(1)).as("width"),
+      greatest(col("b.bbox.y1").cast("int") - yi, lit(1)).as("height"),
+      xi.as("legend_x"),
+      (col("b.bbox.y0") - lit(legendSize.toFloat)).cast("int").as("legend_y"),
+      lit(legendSize).as("legend_size"),
+      lit("d18b00ff").as("color_rgba"))
+  }
+
   /** Per-partition lineage rows (partition id, doc count, bytes, failure
     * taxonomy) — a plain Catalyst aggregate over the extraction output.
     */

@@ -120,6 +120,29 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Int]("height") == 160 && r.getAs[Int]("x") == 31))
   }
 
+  test("overlay specs: one rect + legend per block, draw_blocks geometry (S7 sink)") {
+    val ss = spark; import ss.implicits._
+    val pages = spark.range(0, 8, 1, 2).map(i => PagesTable.genDoc(i))
+    val extracted = ExtractJob.extract(pages).toDF()
+    val nBlocks = extracted.agg(org.apache.spark.sql.functions.sum("n_blocks"))
+      .collect().head.getLong(0)
+    val specs = ExtractJob.overlaySpecs(extracted).collect()
+    assert(specs.length == nBlocks, s"${specs.length} vs $nBlocks")
+    assert(specs.nonEmpty)
+    val legendSize = math.max(graft.core.HtmlFront.PageWidth.toInt,
+      graft.core.HtmlFront.PageHeight.toInt) / 70
+    specs.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("height") >= 1)
+      // legend sits legend_size above the rect top (draw.rs:153-156); both
+      // are truncated from the same float so they differ by exactly the size
+      assert(r.getAs[Int]("legend_size") == legendSize)
+      assert(math.abs(r.getAs[Int]("y") - legendSize - r.getAs[Int]("legend_y")) <= 1)
+      assert(r.getAs[Int]("legend_x") == r.getAs[Int]("x"))
+      assert(r.getAs[String]("color_rgba") == "d18b00ff")
+      assert(r.getAs[String]("label").nonEmpty)
+    }
+  }
+
   test("resume idempotence: partial commit then full run, no dup urls") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new SnapshotStore(dir)
