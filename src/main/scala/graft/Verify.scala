@@ -32,13 +32,18 @@ object Verify {
     // the DuckDB oracles still enumerate all-pairs — if a block ever grows
     // past the cap at some scale factor, parity breaks. Surface that here so
     // a hash mismatch on those queries is immediately attributable.
-    val oversizeNgram = graft.ops.Dedup.ngramJaccardOversize(spark, sfDir).count()
-    val oversizeLsh = graft.ops.Dedup.minhashLshOversize(spark, sfDir).count()
-    if (oversizeNgram > 0 || oversizeLsh > 0)
-      System.err.println(
-        s"[verify] WARNING: bucket caps dropped blocks at $sfDir — " +
-          s"ngram blocks over cap: $oversizeNgram, lsh buckets over cap: " +
-          s"$oversizeLsh; qd4/qd6/qd7 oracle parity will NOT hold")
+    // diagnostics only — must never prevent the oracle_sql.json write below
+    try {
+      val oversizeNgram = graft.ops.Dedup.ngramJaccardOversize(spark, sfDir).count()
+      val oversizeLsh = graft.ops.Dedup.minhashLshOversize(spark, sfDir).count()
+      if (oversizeNgram > 0 || oversizeLsh > 0)
+        System.err.println(
+          s"[verify] WARNING: bucket caps dropped blocks at $sfDir — " +
+            s"ngram blocks over cap: $oversizeNgram, lsh buckets over cap: " +
+            s"$oversizeLsh; qd4/qd6/qd7 oracle parity will NOT hold")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] oversize diagnostics failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
