@@ -122,22 +122,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** PORTABLE MinHash-LSH near-dup pairs — the flagship dedup-at-scale shape
-    * as a driver-suite entry: banded minhash bucketing -> within-bucket
-    * candidates -> exact-Jaccard verify, with every hash replayable in the
-    * DuckDB oracle (the [[minhashPortable]] md5-affine lane family;
-    * bands*rowsPerBand <= 8 lanes keeps the affine multiplier i <= 7 inside
-    * int64). Same plan shape as [[minhashLshPairs]]: one bucket shuffle, one
-    * verify join, bucket width capped by `maxBucket` ([[capBuckets]];
-    * skipped buckets enumerable via [[minhashLshOversize]] — at the test
-    * scale factors the widest bucket is ~180 docs, far under the cap, so
-    * the oracle's uncapped replay stays exact).
-    *
-    * Collision recall is the banded-minhash curve 1-(1-j^rows)^bands (4x2:
-    * ~13% at j=0.2, ~99.6% at j=0.8) — the ORACLE REPLAYS THE SAME BAND
-    * PREDICATE, so the parity gate checks the implementation exactly,
-    * independent of the curve.
-    */
   /** (doc_id, sh, exploded band key) for the portable banded-minhash schemes:
     * md5-affine lane signatures over the shingle set, grouped into
     * `rowsPerBand`-lane band keys "<band>|<sig>|<sig>" — decimal strings of
@@ -171,6 +155,22 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** PORTABLE MinHash-LSH near-dup pairs — the flagship dedup-at-scale shape
+    * as a driver-suite entry: banded minhash bucketing -> within-bucket
+    * candidates -> exact-Jaccard verify, with every hash replayable in the
+    * DuckDB oracle (the [[minhashPortable]] md5-affine lane family;
+    * bands*rowsPerBand <= 8 lanes keeps the affine multiplier i <= 7 inside
+    * int64). Same plan shape as [[minhashLshPairs]]: one bucket shuffle, one
+    * verify join, bucket width capped by `maxBucket` ([[capBuckets]];
+    * skipped buckets enumerable via [[minhashLshOversize]] — at the test
+    * scale factors the widest bucket is ~180 docs, far under the cap, so
+    * the oracle's uncapped replay stays exact).
+    *
+    * Collision recall is the banded-minhash curve 1-(1-j^rows)^bands (4x2:
+    * ~13% at j=0.2, ~99.6% at j=0.8) — the ORACLE REPLAYS THE SAME BAND
+    * PREDICATE, so the parity gate checks the implementation exactly,
+    * independent of the curve.
+    */
   def minhashLshPairsPortable(
       spark: SparkSession,
       dir: String,
