@@ -234,7 +234,8 @@ object GraftImpl {
   }
 }
 
-/** cms_sketch(item, depth, width): Count-Min Sketch aggregate — the
+/** cms_sketch(item, depth, width): Count-Min Sketch aggregate (Cormode &
+  * Muthukrishnan, J. Algorithms 2005) — the
   * bounded-memory frequency summary a 100 TB corpus-statistics pass needs
   * (a full groupBy materializes the whole key space; the sketch is a fixed
   * depth x width grid with map-side partial aggregation, merged cellwise).
@@ -312,11 +313,12 @@ case class CmsSketch(
   override def prettyName: String = "cms_sketch"
 }
 
-/** kmv_sketch(item, k): K-Minimum-Values distinct-cardinality sketch — the
-  * bounded-memory answer to COUNT(DISTINCT item) at 100 TB (an exact
-  * count-distinct shuffles the whole key space; KMV keeps the k smallest
-  * distinct hash values, merged by set-union-and-trim, and estimates
-  * D ~ (k-1) * 2^60 / h_k with ~1/sqrt(k-2) relative error).
+/** kmv_sketch(item, k): K-Minimum-Values distinct-cardinality sketch
+  * (Bar-Yossef et al., "Counting distinct elements in a data stream",
+  * RANDOM'02) — the bounded-memory answer to COUNT(DISTINCT item) at 100 TB
+  * (an exact count-distinct shuffles the whole key space; KMV keeps the k
+  * smallest distinct hash values, merged by set-union-and-trim, and
+  * estimates D ~ (k-1) * 2^60 / h_k with ~1/sqrt(k-2) relative error).
   *
   * The hash is the first 60-bit md5 half (the minhash/CMS lane family), so
   * UNLIKE HyperLogLog the sketch CONTENT is deterministic and exactly

@@ -362,10 +362,13 @@ object Dedup {
     * Algorithm: min-label propagation with per-round POINTER JUMPING — after
     * each neighbor-min step, every node also chases its label one link
     * (l(v) <- min(l(v), l(l(v))), the parallel union-find path-halving
-    * step). Labels race toward the component min through label links, not
-    * just edges, so a diameter-D component converges in O(log D) rounds
-    * instead of O(D): a 41-node chain takes 6 rounds vs 41 for plain
-    * propagation (OpsSpec pins both behaviors).
+    * step, Shiloach-Vishkin'82; the same O(log)-round family as
+    * large-star/small-star, Kiveris et al. "Connected Components in
+    * MapReduce and Beyond", SoCC'14). Labels race toward the component min
+    * through label links, not just edges, so a diameter-D component
+    * converges in O(log D) rounds instead of O(D): a 41-node chain takes 6
+    * rounds vs 41 for plain propagation (OpsSpec pins both behaviors, plus
+    * a union-find differential on random graphs).
     *
     * Iterative dataflow MUST materialize per round: a round references the
     * previous labels more than once, so a lazy unrolled plan re-derives the
