@@ -213,6 +213,44 @@ object GraftImpl {
     (a, b)
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** One-pass PORTABLE MinHash signature: lane_i = min over shingles of
+    * (a + i*b) mod (2^61 - 1), with a/b the two 60-bit md5 halves of the
+    * shingle ([[md5Halves]] == parsing substr(md5_hex, 1|16, 15), pinned by
+    * PropertySpec). Bit-identical to the composed
+    * transform(md5-conv) x2 + zip_with + array_min per lane, but ONE md5
+    * digest per shingle (the composed form computes it twice) and one
+    * traversal for all lanes instead of `lanes` zip_with passes.
+    * Caller guards empty input (the composed form's array_min(empty) is
+    * null; wrap in when(size > 0, ...)).
+    */
+  def minhashAffine(sh: ArrayData, lanes: Int): ArrayData = {
+    val mersenne61 = 2305843009213693951L
+    val mins = Array.fill(lanes)(Long.MaxValue)
+    val md = md5Local.get()
+    val n = sh.numElements()
+    var i = 0
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      if (s != null) {
+        md.reset()
+        val (a, b) = md5Halves(md.digest(s.getBytes))
+        var j = 0
+        while (j < lanes) {
+          val v = (a + j.toLong * b) % mersenne61
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -460,6 +498,18 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
+/** minhash_affine(shingles, lanes): one-pass portable md5-affine MinHash. */
+case class MinHashAffine(child: Expression, lanes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.minhashAffine(input.asInstanceOf[ArrayData], lanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.minhashAffine($c, $lanes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashAffine =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_affine"
+}
+
 /** srp_sigs(vec, tables, bits): one-pass multi-table SRP-LSH signatures. */
 case class SrpSigs(child: Expression, tables: Int, bits: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -497,6 +547,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kmv_sketch",
       exprs => KmvSketch(exprs(0), intLit(exprs(1)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("minhash_affine",
+      exprs => MinHashAffine(exprs(0), intLit(exprs(1))), "built-in")
   }
 
   private def intLit(e: Expression): Int = e match {
@@ -541,5 +593,10 @@ object GraftFunctions {
   def kmvSketch(item: Column, k: Int): Column = {
     ensureRegistered()
     call_function("kmv_sketch", item, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def minhashAffine(shingles: Column, lanes: Int): Column = {
+    ensureRegistered()
+    call_function("minhash_affine", shingles, org.apache.spark.sql.functions.lit(lanes))
   }
 }

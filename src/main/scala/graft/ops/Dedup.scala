@@ -132,21 +132,17 @@ object Dedup {
       rowsPerBand: Int): DataFrame = {
     val lanes = bands * rowsPerBand
     require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes lanes")
-    val mersenne61 = 2305843009213693951L // 2^61 - 1, prime
-    val sigCols = (0 until lanes).map { i =>
-      array_min(zip_with(col("av"), col("bv"),
-        (a, b) => (a + lit(i.toLong) * b) % lit(mersenne61))).as(s"sig_$i")
-    }
+    // one-pass native signature (graft.functions.MinHashAffine): one md5 per
+    // shingle, all lanes in one traversal — bit-identical to the composed
+    // md5-conv-zip_with form the oracle replays
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
-        (0 until rowsPerBand).map(r => col(s"sig_${b * rowsPerBand + r}")): _*)
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
     }
     base
-      .withColumn("av", transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
-      .withColumn("bv", transform(col("sh"),
-        s => conv(substring(md5(s), 16, 15), 16, 10).cast("long")))
-      .select(col("doc_id") +: sigCols: _*)
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes))
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bkey"))
   }
 
@@ -223,17 +219,13 @@ object Dedup {
       lanes: Int = 4): DataFrame = {
     // i <= 7 keeps a + i*b < 2^63 in plain long arithmetic (a, b < 2^60)
     require(lanes <= 7, s"portable affine lanes need i <= 7, got $lanes")
-    val mersenne61 = 2305843009213693951L // 2^61 - 1, prime
-    val sigs = (0 until lanes).map { i =>
-      array_min(zip_with(col("av"), col("bv"),
-        (a, b) => (a + lit(i.toLong) * b) % lit(mersenne61))).as(s"sig_$i")
-    }
+    // one-pass native signature; the when-guard preserves the composed
+    // form's null semantics for shingle-less docs (array_min(empty) = null)
+    val sigArr = when(size(col("sh")) > 0,
+      graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes))
+    val sigs = (0 until lanes).map(i => element_at(sigArr, i + 1).as(s"sig_$i"))
     docs(spark, dir)
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
-      .withColumn("av", transform(col("sh"),
-        s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
-      .withColumn("bv", transform(col("sh"),
-        s => conv(substring(md5(s), 16, 15), 16, 10).cast("long")))
       .select(col("doc_id") +: size(col("sh")).as("n_shingles") +: sigs: _*)
   }
 
