@@ -103,6 +103,8 @@ object SparkEntry {
       TextAnalysis.noveltyScores(s, d)),
     "qt12_kmv_distinct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvDistinct(s, d)),
+    "qt13_bloom_contamination" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bloomContamination(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -545,6 +547,24 @@ object SparkEntry {
          h AS (SELECT DISTINCT CAST('0x' || substr(md5(g),1,15) AS BIGINT) AS h FROM e),
          topk AS (SELECT h FROM h ORDER BY h LIMIT 256)
          SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INT) AS rank, h FROM topk""",
+    // identical to qt8's oracle: the bloom prefilter has no false negatives
+    // and the exact verify join removes false positives, so the result is
+    // bit-for-bit the same as the unfiltered contamination pass
+    "qt13_bloom_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+3], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-3, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 = 0),
+         co AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 <> 0)
+         SELECT co.doc_id, ev.eval_id, COUNT(*) AS n_shared_grams
+         FROM co JOIN ev USING (g)
+         GROUP BY 1, 2""",
     // rare-gram novelty: integer counts + one division, exactly replayable
     "qt11_novelty" ->
       """WITH w AS (

@@ -156,6 +156,52 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Bloom-prefiltered decontamination — [[contamination]]'s scale upgrade.
+    * qt8 broadcasts the full eval-gram SET; at production width (13-grams
+    * over a large eval suite) that set is GBs. Here the eval grams fold
+    * into a FIXED-size bloom bitset (mBits bits, 2 md5-affine lanes) built
+    * distributedly (per-word or-masks, bit_or partials) and collected once
+    * (mBits/8 bytes — 4 KB at the default); the corpus-gram stream is
+    * pruned against the bitset literal BEFORE the exact join. Exactly
+    * Spark's InjectRuntimeFilter shape, hand-rolled deterministically.
+    *
+    * Correctness is EXACT by construction: a bloom has no false negatives,
+    * and false positives die in the exact verify join — so the output
+    * equals [[contamination]] bit-for-bit and shares qt8's oracle.
+    */
+  def bloomContamination(spark: SparkSession, dir: String, gramWords: Int = 4,
+      evalMod: Int = 29, mBits: Int = 32768): DataFrame = {
+    require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
+    val mersenne61 = 2305843009213693951L
+    val grams = docs(spark, dir).select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id").as("eval_id"), col("g"))
+    val a = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
+    val b = conv(substring(md5(col("g")), 16, 15), 16, 10).cast("long")
+    def pos(i: Int): Column =
+      ((a + lit(i.toLong) * b) % lit(mersenne61)) % lit(mBits.toLong)
+    val bitsRows = evalGrams
+      .select(explode(array(pos(0), pos(1))).as("p"))
+      .select((col("p") / 64).cast("int").as("w"),
+        expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("m"))
+      .groupBy(col("w")).agg(expr("bit_or(m)").as("mask"))
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    bitsRows.foreach(r => bits(r.getInt(0)) = r.getLong(1))
+    val bloom = typedlit(bits.toSeq)
+    val pruned = grams.filter(col("doc_id") % evalMod =!= 0)
+      .withColumn("p0", pos(0)).withColumn("p1", pos(1))
+      .withColumn("bloom", bloom)
+      .filter(
+        expr("(shiftright(element_at(bloom, cast(p0 / 64 as int) + 1), cast(p0 % 64 as int)) & 1) = 1") &&
+        expr("(shiftright(element_at(bloom, cast(p1 / 64 as int) + 1), cast(p1 % 64 as int)) & 1) = 1"))
+      .select(col("doc_id"), col("g"))
+    pruned.join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Per-document TF-IDF top terms — the classic keyword/feature extraction
     * pass: tf from a within-doc word count, idf = ln(N/df) with df and N
     * computed corpus-wide, top-k per doc via window (ties broken by term).

@@ -322,6 +322,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("bloom-prefiltered contamination equals the exact pass bit-for-bit") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = TextAnalysis.contamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val bloomed = TextAnalysis.bloomContamination(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(exact.nonEmpty)
+    assert(bloomed == exact,
+      s"missing: ${exact -- bloomed}; extra: ${bloomed -- exact}")
+    // a tiny bloom still cannot lose matches (false positives only)
+    val tiny = TextAnalysis.bloomContamination(spark, sf, mBits = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tiny == exact)
+  }
+
   test("langid marker heuristic detects the German doc") {
     val langs = TextAnalysis.langId(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
