@@ -551,7 +551,7 @@ object GraftFunctions {
       exprs => MinHashAffine(exprs(0), intLit(exprs(1))), "built-in")
   }
 
-  private def intLit(e: Expression): Int = e match {
+  private[graft] def intLit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"expected int literal, got $other")
   }

@@ -3,7 +3,8 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CmsSketch, CosineSimilarity, GraftFunctions, JaccardSorted,
+  KmvSketch, MinHashAffine, MinHashSig, SimHash64, SrpSigs, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -17,15 +18,31 @@ import graft.functions.{CosineSimilarity, SimHash64}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)
-    ))
-    ext.injectFunction((
-      FunctionIdentifier("cosine_ff"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_ff"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))
-    ))
+    def inject(name: String, clazz: Class[_],
+        builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        builder
+      ))
+    import GraftFunctions.intLit
+    inject("simhash64", classOf[SimHash64], exprs => SimHash64(exprs.head))
+    inject("cosine_ff", classOf[CosineSimilarity],
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
+    inject("word_shingles", classOf[WordShingles],
+      exprs => WordShingles(exprs(0), intLit(exprs(1))))
+    inject("jaccard_sorted", classOf[JaccardSorted],
+      exprs => JaccardSorted(exprs(0), exprs(1)))
+    inject("minhash_sig", classOf[MinHashSig],
+      exprs => MinHashSig(exprs(0), intLit(exprs(1))))
+    inject("minhash_affine", classOf[MinHashAffine],
+      exprs => MinHashAffine(exprs(0), intLit(exprs(1))))
+    inject("srp_sigs", classOf[SrpSigs],
+      exprs => SrpSigs(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
+    inject("cms_sketch", classOf[CmsSketch],
+      exprs => CmsSketch(exprs(0), intLit(exprs(1)), intLit(exprs(2)))
+        .toAggregateExpression())
+    inject("kmv_sketch", classOf[KmvSketch],
+      exprs => KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
   }
 }

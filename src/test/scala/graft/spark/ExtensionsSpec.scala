@@ -27,6 +27,31 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT cosine_ff(array(cast(1.0 as float), cast(0.0 as float)), " +
           "array(cast(0.0 as float), cast(1.0 as float))) AS c").head.getDouble(0)
       assert(math.abs(ortho) < 1e-12)
+      // the full native surface is SQL-callable on the spark-submit path
+      val sh = spark.sql(
+        "SELECT word_shingles('b a c a', 2) AS s").head.getSeq[String](0)
+      assert(sh == Seq("a c", "b a", "c a"), sh.toString) // sorted distinct
+      val jac = spark.sql(
+        "SELECT jaccard_sorted(array('a','b'), array('b','c')) AS j").head.getDouble(0)
+      assert(math.abs(jac - 1.0 / 3.0) < 1e-12)
+      val mh = spark.sql(
+        "SELECT minhash_affine(word_shingles('x y z', 1), 4) AS m").head.getSeq[Long](0)
+      assert(mh.length == 4 && mh.forall(_ >= 0))
+      val sig = spark.sql(
+        "SELECT minhash_sig(word_shingles('x y z', 1), 8) AS m").head.getSeq[Long](0)
+      assert(sig.length == 8)
+      val srp = spark.sql(
+        "SELECT srp_sigs(array(cast(0.5 as float), cast(-0.5 as float)), 4, 3) AS s")
+        .head.getSeq[Long](0)
+      assert(srp.length == 4)
+      val cms = spark.sql(
+        "SELECT cms_sketch(w, 2, 8) AS c FROM (SELECT explode(array('a','b','a')) AS w)")
+        .head.getSeq[Long](0)
+      assert(cms.length == 16 && cms.sum == 6) // 3 items x 2 lanes
+      val kmv = spark.sql(
+        "SELECT kmv_sketch(w, 4) AS k FROM (SELECT explode(array('a','b','a','c')) AS w)")
+        .head.getSeq[Long](0)
+      assert(kmv.length == 3 && kmv == kmv.sorted) // 3 distinct, ascending
     } finally spark.stop()
   }
 }
