@@ -96,7 +96,13 @@ object Relational {
       .select(col("o_orderkey"), col("o_totalprice").as("total_price"))
 
   /** Window rank: top-3 customers per nation by balance, deterministic
-    * tie-break on custkey.
+    * tie-break on custkey. Scale note: the partition key has only 25
+    * values, so at web scale each window partition is corpus/25 — a
+    * low-cardinality-key window like this should be rewritten as a
+    * groupBy(nation).agg(top-k aggregator) or pre-filtered (e.g. keep only
+    * rows above a per-nation balance sketch quantile) before the sort;
+    * kept in the canonical window form here because it is the TPC-H shape
+    * the oracle replays.
     */
   def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
