@@ -101,11 +101,14 @@ object ExtractJob {
       val salts: Map[Int, Long] =
         probe.groupBy(_._2).map { case (p, ids) => p -> ids.head._1 }
       require(salts.size == partitions, s"hash probe covered ${salts.size}/$partitions")
-      val remap = salts.foldLeft(lit(0L)) { case (acc, (p, v)) =>
-        when(col("__pk") === p, lit(v)).otherwise(acc)
-      }
+      // O(1)-DEPTH lookup: a when-chain fold here is O(partitions) DEEP and
+      // the Column->Expression conversion recurses per node — measured
+      // StackOverflowError on the driver at 512 partitions (fine at 256).
+      // A single array literal indexed by __pk keeps the tree flat at any P.
+      val remapArr = Array.tabulate(partitions)(p => salts(p))
       df.withColumn("__pk", pk)
-        .withColumn("__pk", remap)
+        .withColumn("__pk",
+          element_at(typedlit(remapArr.toSeq), col("__pk").cast("int") + 1))
         .repartition(partitions, col("__pk"))
         .drop("__pk")
     }

@@ -34,6 +34,31 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("minhashAffine equals the hex-parsed affine-lane reference") {
+    // the one-pass native expression must match the composed form the
+    // DuckDB oracles replay: lane_i = min over shingles of
+    // (parse(md5hex[0:15]) + i * parse(md5hex[15:30])) mod (2^61 - 1)
+    val mersenne61 = 2305843009213693951L
+    check("minhashAffine", Prop.forAll(Gen.nonEmptyListOf(Gen.asciiPrintableStr)) { words =>
+      val lanes = 8
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        words.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+          .toArray[AnyRef])
+      val got = graft.functions.GraftImpl.minhashAffine(arr, lanes)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      val expected = Array.tabulate(lanes) { i =>
+        words.map { w =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val a = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          val b = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+          (a + i.toLong * b) % mersenne61
+        }.min
+      }
+      got.sameElements(expected)
+    })
+  }
+
   test("NMS output pairwise relaxed IoU <= threshold, order proba-desc") {
     check("nms", Prop.forAll(Gen.listOfN(15, genBox)) { boxes =>
       val kept = Nms.nms(boxes.zipWithIndex.map { case (b, i) => b.copy(id = i) })

@@ -120,6 +120,21 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       r.getAs[Int]("height") == 160 && r.getAs[Int]("x") == 31))
   }
 
+  test("balanced repartition survives >=512 partitions (flat remap expression)") {
+    // regression: the salt remap used to be a when-chain of depth=partitions,
+    // overflowing the driver stack during Column->Expression conversion at
+    // P=512 (a 4M-doc run died); the array-literal lookup keeps depth O(1)
+    val ss = spark; import ss.implicits._
+    val pages = PagesTable.generate(spark, 1200, partitions = 4).toDF()
+    val placed = ExtractJob.skewRepartition(pages, 512, balanced = true)
+    val perPart = placed.rdd.mapPartitionsWithIndex((i, it) =>
+      Iterator.single(i -> it.size)).collect().toMap
+    assert(perPart.values.sum == 1200)
+    // snake dealing: every physical partition gets rows (1200 docs / 512)
+    assert(perPart.count(_._2 > 0) == 512, perPart.count(_._2 > 0).toString)
+    assert(perPart.values.max <= 3, perPart.values.max.toString)
+  }
+
   test("overlay specs: one rect + legend per block, draw_blocks geometry (S7 sink)") {
     val ss = spark; import ss.implicits._
     val pages = spark.range(0, 8, 1, 2).map(i => PagesTable.genDoc(i))
