@@ -28,13 +28,21 @@ object SparkEntry {
 
   /** Deterministic extraction corpus for the qx_* queries (dir-independent:
     * the pages table is generated, per FIXTURES.md — no external data).
+    * Materialized ONCE per session (localCheckpoint) and shared by
+    * qx1/qx2/qx3 — the corpus is their common INPUT, like the parquet
+    * tables are for every other query; re-extracting it per query would
+    * bill each qx entry for corpus generation instead of its own operator.
     */
-  private def extractedCorpus(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val pages = PagesTable.generate(spark, 240, partitions = 16)
-    ExtractJob.extract(ExtractJob.skewRepartition(pages.toDF(), 16)
-      .as[PagesTable.PageRow]).toDF()
-  }
+  private val corpusCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def extractedCorpus(spark: SparkSession): DataFrame =
+    corpusCache.computeIfAbsent(spark, s => {
+      import s.implicits._
+      val pages = PagesTable.generate(s, 240, partitions = 16)
+      ExtractJob.extract(ExtractJob.skewRepartition(pages.toDF(), 16)
+        .as[PagesTable.PageRow]).toDF().localCheckpoint(true)
+    })
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (oracle-checked) ----
