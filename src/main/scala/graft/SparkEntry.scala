@@ -420,11 +420,17 @@ object SparkEntry {
              len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
              string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
            FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT doc_id, lang, len_bucket, list_distinct(list_filter(
              [list_aggregate(words[i:i+1], 'string_agg', ' ')
               FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
-           FROM w)
+           FROM w),
+         bs AS (
+           SELECT lang, len_bucket, COUNT(*) AS n_in_block
+           FROM sh0 GROUP BY 1, 2),
+         sh AS (
+           SELECT sh0.* FROM sh0 JOIN bs USING (lang, len_bucket)
+           WHERE bs.n_in_block <= 4096)
          SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(list_intersect(a.sh, b.sh))
@@ -441,11 +447,17 @@ object SparkEntry {
              len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
              string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
            FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT doc_id, lang, len_bucket, list_distinct(list_filter(
              [list_aggregate(words[i:i+1], 'string_agg', ' ')
               FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
            FROM w),
+         bs AS (
+           SELECT lang, len_bucket, COUNT(*) AS n_in_block
+           FROM sh0 GROUP BY 1, 2),
+         sh AS (
+           SELECT sh0.* FROM sh0 JOIN bs USING (lang, len_bucket)
+           WHERE bs.n_in_block <= 4096),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM sh a JOIN sh b
@@ -505,11 +517,17 @@ object SparkEntry {
              len(string_split_regex(trim(text), '\s+')) // 4 AS len_bucket,
              string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
            FROM documents),
-         sh AS (
+         sh0 AS (
            SELECT doc_id, lang, len_bucket, list_distinct(list_filter(
              [list_aggregate(words[i:i+1], 'string_agg', ' ')
               FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
            FROM w),
+         bs AS (
+           SELECT lang, len_bucket, COUNT(*) AS n_in_block
+           FROM sh0 GROUP BY 1, 2),
+         sh AS (
+           SELECT sh0.* FROM sh0 JOIN bs USING (lang, len_bucket)
+           WHERE bs.n_in_block <= 4096),
          pairs AS (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM sh a JOIN sh b
