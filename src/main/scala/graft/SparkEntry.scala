@@ -113,6 +113,10 @@ object SparkEntry {
       TextAnalysis.kmvDistinct(s, d)),
     "qt13_bloom_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bloomContamination(s, d)),
+    "qt14_df_prune" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dfPrune(s, d)),
+    "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
+      Similarity.int8QuantStats(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -610,6 +614,44 @@ object SparkEntry {
            ROUND(SUM(CASE WHEN df < 3 THEN 1 ELSE 0 END)
              / CAST(COUNT(*) AS DOUBLE), 6) AS rare_frac
          FROM e JOIN d USING (g) GROUP BY doc_id""",
+    // boilerplate strip: integer keep predicate (df*100 <= N*pct) and an
+    // ORDER BY-pos string_agg replaying the order-preserving reconstruction
+    "qt14_df_prune" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         pw AS (
+           SELECT doc_id, unnest(words) AS word,
+             unnest(range(1, len(words)+1)) AS pos
+           FROM w),
+         d AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM pw GROUP BY word),
+         n AS (SELECT COUNT(*) AS n FROM documents)
+         SELECT doc_id,
+           CAST(SUM(CASE WHEN d.df*100 <= n.n*78 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN d.df*100 <= n.n*78 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+           COALESCE(string_agg(CASE WHEN d.df*100 <= n.n*78 THEN word END,
+             ' ' ORDER BY pos), '') AS pruned_text
+         FROM pw JOIN d USING (word) CROSS JOIN n
+         GROUP BY doc_id""",
+    // int8 quantization: f64-widened element math + round-half-away agree
+    // across engines; outputs are integers plus the exact max|x| scale
+    "qs4_int8_quant" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             list_max([abs(CAST(v AS DOUBLE)) FOR v IN embedding]) AS max_abs
+           FROM embeddings),
+         q AS (
+           SELECT vec_id, max_abs, len(embedding) AS n_dim,
+             [CASE WHEN max_abs = 0 THEN 0
+               ELSE CAST(round(CAST(embedding[i] AS DOUBLE)*127/max_abs) AS BIGINT)
+               END FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM e)
+         SELECT vec_id, CAST(n_dim AS INT) AS n_dim, max_abs,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_sum([abs(v) FOR v IN qv]) AS BIGINT) AS q_l1,
+           CAST(list_sum([qv[i]*i FOR i IN range(1, len(qv)+1)]) AS BIGINT) AS q_checksum
+         FROM q""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -232,4 +232,38 @@ object Similarity {
       .filter(col("cosine") > threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Symmetric int8 quantization of the embedding column — the vector
+    * COMPRESSION pass that precedes index build / storage at scale (4x
+    * smaller than f32; SQ8 in the FAISS taxonomy): per vector, scale =
+    * max|x|/127 and q[i] = round(x[i]*127/max|x|) (all-zero vectors map to
+    * all-zero codes). Map-only and codegen'd (transform/zip_with/aggregate
+    * array expressions — no UDF, no shuffle), so it scales embarrassingly.
+    *
+    * Output is one row per vector with integer summaries of the code vector
+    * (sum, L1, position-weighted checksum — order-sensitive, so any
+    * permutation or off-by-one in the codes breaks the hash) plus the exact
+    * max|x| scale. Element math is f64 widened from the stored f32 in BOTH
+    * engines, and round-half-away ties agree, so the DuckDB oracle
+    * reproduces every value bit-for-bit.
+    */
+  def int8QuantStats(spark: SparkSession, dir: String): DataFrame = {
+    val maxAbs = array_max(transform(col("embedding"),
+      v => abs(v.cast("double"))))
+    val q = when(col("max_abs") === 0d,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        v => round(v.cast("double") * 127d / col("max_abs")).cast("long")))
+    embeddings(spark, dir)
+      .withColumn("max_abs", maxAbs)
+      .withColumn("q", q)
+      .select(
+        col("vec_id"),
+        size(col("q")).as("n_dim"),
+        col("max_abs"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + v).as("q_sum"),
+        aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("q_l1"),
+        aggregate(zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
+            (v, i) => v * i), lit(0L), (acc, v) => acc + v).as("q_checksum"))
+  }
 }

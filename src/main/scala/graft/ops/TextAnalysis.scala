@@ -305,6 +305,42 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_grams"), 6))
   }
 
+  /** Corpus-adaptive boilerplate strip — the vocabulary-pruning REWRITE pass
+    * (CCNet/C4-style): words appearing in more than maxDfPct% of documents
+    * are corpus boilerplate; strip them and REASSEMBLE the surviving words in
+    * their original order. Unlike qt9-qt11 (which score documents) this op
+    * rewrites the text column, exercising the ordered-reconstruction shape a
+    * cleaning pipeline needs: posexplode -> corpus df -> join -> groupBy doc
+    * with an order-preserving rebuild (array_sort(collect_list(struct(pos,
+    * word))) — positions are unique per doc, so the sort is deterministic).
+    *
+    * Scale shape: the word<->df join is vocabulary-sized, so like qt9/qt11 it
+    * is NOT broadcast-hinted (AQE size-gates; shuffle join at web scale); the
+    * reconstruction shuffles on doc_id — the same partitioning the corpus
+    * already has downstream of any per-doc op. The keep predicate is integer
+    * math (df*100 <= N*maxDfPct), so the oracle replays it exactly.
+    */
+  def dfPrune(spark: SparkSession, dir: String, maxDfPct: Int = 78): DataFrame = {
+    require(maxDfPct > 0 && maxDfPct < 100, s"maxDfPct in (0,100), got $maxDfPct")
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val words = docs(spark, dir)
+      .select(col("doc_id"), posexplode(norm).as(Seq("pos", "word")))
+    val df = words.groupBy(col("word"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    words.join(df, Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("keep", col("df") * 100 <= col("n") * maxDfPct)
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ").as("pruned_text"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

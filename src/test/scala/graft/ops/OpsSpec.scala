@@ -381,6 +381,53 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf.forall { case (q, n) => q < 5 && n != q })
   }
 
+  test("df-prune strips corpus-frequent words, preserves order, conserves counts") {
+    // crafted corpus: docs 0-3 share the base sentence, so its words have
+    // df=4; "lazy" df=3 (doc 3 says sleepy); doc-3-only tail words df<=2
+    val rows = TextAnalysis.dfPrune(spark, dupDir, maxDfPct = 30).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(0L).getAs[String]("pruned_text") == "lazy")
+    assert(rows(3L).getAs[String]("pruned_text") == "sleepy extra tail words here")
+    // counts conserve: kept + dropped == normalized word count
+    val wc = spark.read.parquet(s"$dupDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim(org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")),
+            "\\s+", " ")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { case (id, r) =>
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_dropped") == wc(id)) }
+    // a threshold above every df keeps everything verbatim (normalized)
+    val all = TextAnalysis.dfPrune(spark, dupDir, maxDfPct = 99).collect()
+    all.foreach(r => assert(r.getAs[Long]("n_dropped") == 0L))
+  }
+
+  test("int8 quantization: exact codes, zero-vector guard, checksum order-sensitivity") {
+    val ss = spark; import ss.implicits._
+    val qDir = Files.createTempDirectory("graft-quant").toString
+    Seq(
+      (0L, Seq(1.0f, -0.5f, 0.0f, 0.25f), 0),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 0),   // zero vector -> all-zero codes
+      (2L, Seq(-2.0f, 1.0f, 0.5f, -0.25f), 1)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$qDir/embeddings.parquet")
+    val out = Similarity.int8QuantStats(spark, qDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // vec 0: q = [127, -64, 0, 32] (round(-63.5) away from zero; round(31.75)=32)
+    assert(out(0L).getAs[Int]("n_dim") == 4)
+    assert(out(0L).getAs[Double]("max_abs") == 1.0)
+    assert(out(0L).getAs[Long]("q_sum") == 127L - 64L + 0L + 32L)
+    assert(out(0L).getAs[Long]("q_l1") == 127L + 64L + 0L + 32L)
+    assert(out(0L).getAs[Long]("q_checksum") == 127L * 1 - 64L * 2 + 0L * 3 + 32L * 4)
+    // zero vector: everything 0, scale 0
+    assert(out(1L).getAs[Double]("max_abs") == 0.0)
+    assert(out(1L).getAs[Long]("q_l1") == 0L)
+    // vec 2: q = [-127, 64, 32, -16]; the position-weighted checksum
+    // distinguishes this from any permutation of the same codes
+    assert(out(2L).getAs[Long]("q_checksum") == -127L * 1 + 64L * 2 + 32L * 3 - 16L * 4)
+  }
+
   test("brute-force ANN ranks by cosine desc with deterministic tie-break") {
     val rows = Similarity.annBruteForce(spark, "/root/testdata/sf0.001", 2, 5).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
