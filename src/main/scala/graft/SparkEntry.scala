@@ -115,6 +115,8 @@ object SparkEntry {
       TextAnalysis.bloomContamination(s, d)),
     "qt14_df_prune" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dfPrune(s, d)),
+    "qt15_stratified_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.stratifiedSample(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
     // ---- multimodal plumbing ----
@@ -634,6 +636,18 @@ object SparkEntry {
              ' ' ORDER BY pos), '') AS pruned_text
          FROM pw JOIN d USING (word) CROSS JOIN n
          GROUP BY doc_id""",
+    // stratified sample: the oracle runs the SINGLE-window per-lang top-k;
+    // the Spark side runs the salted two-phase form — equality of the two IS
+    // the correctness claim (any global top-k row is top-k in its bucket)
+    "qt15_stratified_sample" ->
+      """SELECT lang, doc_id, h, rnk, n_chars FROM (
+           SELECT lang, doc_id, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 15) AS BIGINT) AS h,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 15) AS BIGINT),
+                 doc_id) AS rnk
+           FROM documents)
+         WHERE rnk <= 25""",
     // int8 quantization: f64-widened element math + round-half-away agree
     // across engines; outputs are integers plus the exact max|x| scale
     "qs4_int8_quant" ->

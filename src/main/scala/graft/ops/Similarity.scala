@@ -237,8 +237,10 @@ object Similarity {
     * COMPRESSION pass that precedes index build / storage at scale (4x
     * smaller than f32; SQ8 in the FAISS taxonomy): per vector, scale =
     * max|x|/127 and q[i] = round(x[i]*127/max|x|) (all-zero vectors map to
-    * all-zero codes). Map-only and codegen'd (transform/zip_with/aggregate
-    * array expressions — no UDF, no shuffle), so it scales embarrassingly.
+    * all-zero codes). Map-only: transform/zip_with/aggregate array
+    * expressions — no UDF and no shuffle, so it scales embarrassingly.
+    * (The array HOFs are CodegenFallback, so the Project sits outside
+    * whole-stage codegen; still a single scan->project stage per task.)
     *
     * Output is one row per vector with integer summaries of the code vector
     * (sum, L1, position-weighted checksum — order-sensitive, so any

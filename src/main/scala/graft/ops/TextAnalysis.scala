@@ -305,6 +305,45 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_grams"), 6))
   }
 
+  /** Deterministic stratified sampling: the k hash-smallest documents PER
+    * GROUP (lang) — the fixed per-stratum quota cut (eval slices balanced
+    * across languages/sources) that [[hashSample]]'s global rate cut can't
+    * express. Membership is reproducible across engines, runs and
+    * parallelism (salted md5 order, doc_id tiebreak), like qt7.
+    *
+    * Scale shape: lang has ~10^1 values over 10^12 rows, so a naive
+    * row_number window over lang is a handful of giant hot partitions (the
+    * documented q07 caveat). This op runs the SALTED TWO-PHASE top-k
+    * instead: phase 1 ranks within (lang, salt) — buckets x |lang| evenly
+    * sized partitions — and keeps k per bucket; phase 2 ranks the surviving
+    * buckets*k rows per lang, now tiny. Any global top-k row is top-k within
+    * its own bucket, so the result EQUALS the single-window form — which is
+    * what the DuckDB oracle runs, making the equivalence machine-checked.
+    *
+    * (Spark 3.5+'s rank-limit pushdown additionally plants a Partial
+    * WindowGroupLimit before each exchange — map-side top-k pruning that
+    * bounds shuffled rows at k per map partition per key; the salt still
+    * matters because the FINAL sort of a naive per-lang window runs k*P
+    * rows in only |lang| reducer partitions. PlanSpec asserts both shapes.)
+    */
+  def stratifiedSample(spark: SparkSession, dir: String, k: Int = 25,
+      buckets: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#strat"))), 1, 15), 16, 10)
+      .cast("long")
+    val w1 = Window.partitionBy(col("lang"), col("salt"))
+      .orderBy(col("h"), col("doc_id"))
+    val w2 = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("h", h)
+      .withColumn("salt", pmod(col("doc_id"), lit(buckets)))
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rnk", row_number().over(w2)).filter(col("rnk") <= k)
+      .select(col("lang"), col("doc_id"), col("h"), col("rnk"), col("n_chars"))
+  }
+
   /** Corpus-adaptive boilerplate strip — the vocabulary-pruning REWRITE pass
     * (CCNet/C4-style): words appearing in more than maxDfPct% of documents
     * are corpus boilerplate; strip them and REASSEMBLE the surviving words in

@@ -428,6 +428,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[Long]("q_checksum") == -127L * 1 + 64L * 2 + 32L * 3 - 16L * 4)
   }
 
+  test("stratified sample: salted two-phase top-k equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val twoPhase = TextAnalysis.stratifiedSample(spark, sf, k = 7, buckets = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).sorted
+    // reference: one window over the hot key directly
+    val h = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#strat"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    val single = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("h", h)
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 7)
+      .select(col("lang"), col("doc_id"), col("rnk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(twoPhase.sameElements(single))
+    // every stratum fills its quota (each lang has >= 7 docs at sf0.001)
+    val perLang = twoPhase.groupBy(_._1).view.mapValues(_.length)
+    perLang.foreach { case (_, n) => assert(n == 7) }
+  }
+
   test("brute-force ANN ranks by cosine desc with deterministic tie-break") {
     val rows = Similarity.annBruteForce(spark, "/root/testdata/sf0.001", 2, 5).collect()
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>

@@ -172,6 +172,47 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("df-prune: the vocabulary-sized df join is size-gated, never hint-forced") {
+    // same contract as tfidf: the word<->df join must survive a web-scale
+    // vocabulary, so disabling broadcast must degrade it to a shuffle join
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf(TextAnalysis.dfPrune(spark, sf))
+      val joinLines = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("word")).toSeq
+      assert(joinLines.nonEmpty, plan)
+      assert(!joinLines.exists(_.contains("BroadcastHashJoin")), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("int8 quantization is map-only: zero exchanges, no UDF") {
+    // scan -> Project chain only; the array HOFs (transform/aggregate) are
+    // CodegenFallback in Spark, so no WSCG span covers them — but the stage
+    // stays a single map task with no shuffle and no (Batch)EvalPython/UDF
+    val plan = planOf(Similarity.int8QuantStats(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(plan.contains("FileScan parquet"), plan)
+  }
+
+  test("stratified sample: phase-1 window is keyed by (lang, salt), not lang alone") {
+    // the whole point of the two-phase form: the first (full-data) window
+    // must partition on the salted key so no lang-sized hot partition exists;
+    // only the second (k*buckets rows per lang) window may key on lang alone
+    val plan = planOf(TextAnalysis.stratifiedSample(spark, sf))
+    val windows = plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("WindowGroupLimit")).toSeq
+    assert(windows.size == 2, plan)
+    // executed plans list the LAST operator first: windows(1) is phase 1
+    assert(windows(1).contains("salt"), plan)
+    assert(!windows(0).contains("salt"), plan)
+    // Spark 4's rank-limit pushdown must also fire: a Partial WindowGroupLimit
+    // prunes each map partition to k rows BEFORE either exchange
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
