@@ -1,0 +1,230 @@
+package graft.spark
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, TextAnalysis}
+
+/** The composed corpus-cleaning pipeline — the ops library's individual
+  * passes (exact dedup -> MinHash-LSH near-dup pairs -> connected-component
+  * clustering -> quality-aware survivorship -> quality gate) chained the way
+  * a production training-data job runs them, with per-stage lineage counts.
+  *
+  * Two design points the suite queries can't show on their own:
+  *
+  *  - STAGE ORDER IS LOAD-BEARING: exact dedup runs FIRST, so the LSH stage
+  *    never sees a k-member exact-dup group (which would put k docs in every
+  *    band bucket and cost k^2 candidates per band — the documented hot-band
+  *    hazard of minhashLshPairs). The pipeline IS the qd1-before-qd7
+  *    contract, executed.
+  *  - STAGES CHECKPOINT THROUGH THE STORE: each major stage writes parquet
+  *    and the next reads it back (at scale: an Iceberg table per stage).
+  *    That bounds lineage, makes every stage independently resumable and
+  *    auditable, and matches how multi-day cleaning jobs actually survive
+  *    preemption — the extraction job's MERGE/resume story, applied to
+  *    cleaning.
+  */
+object CleanJob {
+
+  /** Deterministic documents-table generator with a CONTROLLED duplicate
+    * structure (pure function of the row index, SplitMix64 — no RNG, per
+    * the determinism invariant). Per decade of ids [10k, 10k+9]:
+    * id%10==7 is an EXACT copy of the decade base (10k), id%10==8 is a
+    * NEAR dup of the base (2 words substituted), everything else is fresh
+    * text of 30-79 words over a 64-word vocabulary. So n docs carry n/10
+    * exact dups and n/10 near dups with known membership.
+    */
+  object DocCorpus {
+    final case class DocRow(doc_id: Long, text: String, lang: String,
+        source: String, n_chars: Long)
+
+    private val Vocab: Vector[String] = Vector(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+      "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi",
+      "rho", "sigma", "tau", "upsilon", "phi", "chi", "psi", "omega",
+      "spark", "shuffle", "partition", "broadcast", "catalyst", "tungsten",
+      "parquet", "iceberg", "column", "row", "batch", "stream", "window",
+      "join", "filter", "project", "scan", "sort", "merge", "hash",
+      "corpus", "token", "gram", "sketch", "sample", "bucket", "band",
+      "cluster", "quality", "lineage", "snapshot", "commit", "resume",
+      "vector", "cosine", "index", "probe", "code", "scale", "graft")
+    require(Vocab.length == 64)
+
+    private val Langs = Vector("en", "fr", "de", "es", "pt")
+
+    private final class Rng(var state: Long) {
+      def nextLong(): Long = {
+        state += 0x9e3779b97f4a7c15L
+        var z = state
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z ^ (z >>> 31)
+      }
+      def nextInt(bound: Int): Int =
+        (Math.floorMod(nextLong(), bound.toLong)).toInt
+    }
+
+    private def freshWords(id: Long): Array[String] = {
+      val rng = new Rng(id * 0x5851f42d4c957f2dL + 0x14057b7ef767814fL)
+      val n = 30 + rng.nextInt(50)
+      Array.fill(n)(Vocab(rng.nextInt(Vocab.length)))
+    }
+
+    private[spark] def genDoc(id: Long): DocRow = {
+      val decadeBase = id - (id % 10)
+      val words = (id % 10) match {
+        case 7 => freshWords(decadeBase) // exact copy of the base doc
+        case 8 => // near dup: substitute 2 words at seeded positions
+          val w = freshWords(decadeBase)
+          val rng = new Rng(id * 0x2545f4914f6cdd1dL + 0x9e3779b97f4a7c15L)
+          w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
+          w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
+          w
+        case _ => freshWords(id)
+      }
+      val text = words.mkString(" ")
+      val rng = new Rng(id + 0xdeadbeefL)
+      DocRow(id, text, Langs(rng.nextInt(Langs.length)),
+        s"src${id % 20}", text.length.toLong)
+    }
+
+    def generate(spark: SparkSession, n: Long,
+        partitions: Int): Dataset[DocRow] = {
+      import spark.implicits._
+      spark.range(0, n, 1, partitions).as[Long].mapPartitions(_.map(genDoc))
+    }
+  }
+
+  final case class CleanStats(
+      nInput: Long,
+      exactRemoved: Long,
+      nearPairs: Long,
+      nearClusters: Long,
+      nearRemoved: Long,
+      qualityRemoved: Long,
+      nFinal: Long)
+
+  /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
+    * stage outputs under `outDir`. Returns lineage counts (which must
+    * conserve: nFinal == nInput - exactRemoved - nearRemoved -
+    * qualityRemoved, asserted here so a silently-lossy stage cannot ship).
+    */
+  def run(spark: SparkSession, corpusDir: String, outDir: String,
+      lshThreshold: Double = 0.5, minQuality: Double = 0.35): CleanStats = {
+    val docsIn = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val nInput = docsIn.count()
+
+    // stage 1: exact dedup (keep the smallest doc_id per normalized md5).
+    // One hash shuffle; survivors checkpoint to parquet for the next stage.
+    val keep = docsIn
+      .withColumn("fp", Dedup.fingerprintCol(col("text")))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val exactDir = s"$outDir/stage_exact"
+    docsIn.join(keep, Seq("doc_id"))
+      .write.mode("overwrite").parquet(s"$exactDir/documents.parquet")
+    val exactKept = spark.read.parquet(s"$exactDir/documents.parquet").count()
+
+    // stage 2: near-dup candidate pairs on the exact-deduped corpus —
+    // banded MinHash-LSH with exact-Jaccard verification (qd7's operator)
+    val pairs = Dedup.minhashLshPairs(spark, exactDir,
+        shingleSize = 3, threshold = lshThreshold)
+      .select(col("doc_a"), col("doc_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nearPairs = pairs.count()
+
+    // stage 3: transitive closure (pointer-jumping CC — throws rather than
+    // under-merge) + quality-aware survivorship (qd8's operator)
+    val stats = try {
+      val labels = Dedup.connectedComponents(pairs)
+      val sizes = labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      val clusters = labels
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .join(sizes, Seq("cluster_id"))
+      val quality = TextAnalysis.qualityScores(spark, exactDir)
+        .select(col("doc_id"), col("quality_score"))
+      val survivors = Dedup.survivorsFrom(clusters, quality)
+      val nearClusters = survivors.filter(col("survivor")).count()
+      val dropIds = survivors.filter(!col("survivor")).select(col("doc_id"))
+      val nearDir = s"$outDir/stage_near"
+      spark.read.parquet(s"$exactDir/documents.parquet")
+        .join(dropIds, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$nearDir/documents.parquet")
+      val nearKept = spark.read.parquet(s"$nearDir/documents.parquet").count()
+
+      // stage 4: quality gate on the deduped corpus -> the final clean table
+      val finalQuality = TextAnalysis.qualityScores(spark, nearDir)
+        .filter(col("quality_score") >= minQuality)
+        .select(col("doc_id"))
+      spark.read.parquet(s"$nearDir/documents.parquet")
+        .join(finalQuality, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
+      val nFinal = spark.read.parquet(s"$outDir/clean/documents.parquet").count()
+
+      CleanStats(
+        nInput = nInput,
+        exactRemoved = nInput - exactKept,
+        nearPairs = nearPairs,
+        nearClusters = nearClusters,
+        nearRemoved = exactKept - nearKept,
+        qualityRemoved = nearKept - nFinal,
+        nFinal = nFinal)
+    } finally pairs.unpersist()
+
+    require(stats.nFinal ==
+      stats.nInput - stats.exactRemoved - stats.nearRemoved - stats.qualityRemoved,
+      s"lineage does not conserve: $stats")
+    stats
+  }
+}
+
+/** Production entry point (spark-submit) for the cleaning pipeline.
+  *
+  *   spark-submit --class graft.spark.CleanJobRunner \
+  *     --conf spark.sql.extensions=graft.spark.GraftExtensions \
+  *     graft.jar <corpusPath|gen:N> <outDir> [partitions]
+  *
+  * `gen:N` materializes the seeded dup-structured corpus first (no external
+  * data in the sandbox); a real run points at an Iceberg documents table.
+  * Prints one JSON line with per-stage lineage and end-to-end throughput.
+  */
+object CleanJobRunner {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: CleanJobRunner <corpusPath|gen:N> <outDir> [partitions]")
+    val input = args(0)
+    val outDir = args(1)
+    val builder = SparkSession.builder()
+      .appName("graft-clean")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-clean-scratch"))
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val partitions = if (args.length > 2) args(2).toInt
+      else spark.sparkContext.defaultParallelism * 2
+    spark.conf.set("spark.sql.shuffle.partitions", partitions)
+
+    val corpusDir = if (input.startsWith("gen:")) {
+      val n = input.stripPrefix("gen:").toLong
+      val dir = s"$outDir/corpus"
+      CleanJob.DocCorpus.generate(spark, n, partitions)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    } else input
+
+    val t0 = System.nanoTime()
+    val stats = CleanJob.run(spark, corpusDir, outDir)
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"clean_pipeline","n_input":${stats.nInput},""" +
+      f""""exact_removed":${stats.exactRemoved},"near_pairs":${stats.nearPairs},""" +
+      f""""near_clusters":${stats.nearClusters},"near_removed":${stats.nearRemoved},""" +
+      f""""quality_removed":${stats.qualityRemoved},"n_final":${stats.nFinal},""" +
+      f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
+    spark.stop()
+  }
+}

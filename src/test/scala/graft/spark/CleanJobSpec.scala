@@ -1,0 +1,70 @@
+package graft.spark
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed cleaning pipeline on the dup-structured generated corpus:
+  * stage counts must match the generator's known membership, and lineage
+  * must conserve end to end.
+  */
+class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-clean-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("corpus generator is deterministic with the declared dup structure") {
+    val a = CleanJob.DocCorpus.genDoc(123)
+    val b = CleanJob.DocCorpus.genDoc(123)
+    assert(a == b)
+    // id%10==7 is an exact copy of the decade base
+    assert(CleanJob.DocCorpus.genDoc(47).text == CleanJob.DocCorpus.genDoc(40).text)
+    // id%10==8 differs from the base by at most 2 word substitutions
+    val base = CleanJob.DocCorpus.genDoc(40).text.split(" ")
+    val near = CleanJob.DocCorpus.genDoc(48).text.split(" ")
+    assert(base.length == near.length)
+    assert(base.zip(near).count { case (x, y) => x != y } <= 2)
+  }
+
+  test("pipeline removes the planted dups and lineage conserves") {
+    val out = Files.createTempDirectory("graft-clean").toString
+    val n = 500L
+    CleanJob.DocCorpus.generate(spark, n, partitions = 4)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    val stats = CleanJob.run(spark, s"$out/corpus", out)
+
+    assert(stats.nInput == n)
+    // 50 planted exact dups (+ any near-dups whose 2 seeded substitutions
+    // both drew the original word, degenerating to exact)
+    assert(stats.exactRemoved >= n / 10 && stats.exactRemoved <= n / 10 + 3,
+      stats.toString)
+    // the planted near dups pair with their decade base; a handful fall
+    // under the Jaccard threshold (short docs, double-substitution)
+    assert(stats.nearRemoved >= (n / 10) * 8 / 10 &&
+      stats.nearRemoved <= n / 10, stats.toString)
+    // pairs are (base, near) two-cliques: one survivor each
+    assert(stats.nearClusters == stats.nearRemoved, stats.toString)
+    // run() asserts conservation internally; re-check from the outputs
+    val finalCount = spark.read.parquet(s"$out/clean/documents.parquet").count()
+    assert(finalCount == stats.nFinal)
+    assert(stats.nFinal ==
+      n - stats.exactRemoved - stats.nearRemoved - stats.qualityRemoved)
+    // the clean table has no remaining exact dups
+    val distinctTexts = spark.read.parquet(s"$out/clean/documents.parquet")
+      .select("text").distinct().count()
+    assert(distinctTexts == stats.nFinal)
+  }
+}
