@@ -75,6 +75,8 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(s, d)),
     "qd8_cluster_survivors" -> ((s: SparkSession, d: String) =>
       Dedup.clusterSurvivors(s, d)),
+    "qd9_incremental_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.incrementalDedup(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -563,6 +565,50 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
              ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
          FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
+    // incremental dedup: batch split, fingerprint check, qd7's band
+    // predicate + Jaccard verify — all replayed asymmetrically
+    "qd9_incremental_dedup" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0),
+         fp AS (
+           SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM documents),
+         exact AS (
+           SELECT DISTINCT b.doc_id FROM fp b
+           WHERE b.doc_id % 7 = 0 AND EXISTS (
+             SELECT 1 FROM fp c WHERE c.doc_id % 7 <> 0 AND c.fp = b.fp)),
+         near AS (
+           SELECT b.doc_id AS batch_id, COUNT(*) AS n_near,
+             ROUND(MAX(len(list_intersect(b.sh, c.sh))
+               / len(list_distinct(list_concat(b.sh, c.sh)))), 6) AS best_jaccard
+           FROM sigs b JOIN sigs c ON b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0 AND (
+             (b.sig[1] = c.sig[1] AND b.sig[2] = c.sig[2]) OR
+             (b.sig[3] = c.sig[3] AND b.sig[4] = c.sig[4]) OR
+             (b.sig[5] = c.sig[5] AND b.sig[6] = c.sig[6]) OR
+             (b.sig[7] = c.sig[7] AND b.sig[8] = c.sig[8]))
+           WHERE len(list_intersect(b.sh, c.sh))
+               / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.2
+           GROUP BY b.doc_id)
+         SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+           CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near,
+           n.best_jaccard
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
+         LEFT JOIN exact e ON e.doc_id = d.doc_id
+         LEFT JOIN near n ON n.batch_id = d.doc_id""",
     // KMV sketch content replayed exactly: the k smallest distinct 60-bit
     // md5-half hashes of the bigram vocabulary, ascending
     "qt12_kmv_distinct" ->

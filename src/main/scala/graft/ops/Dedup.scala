@@ -192,6 +192,67 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Incremental (batch-vs-corpus) dedup — the daily-ingest gate: each doc
+    * of the incoming BATCH is checked against the existing CORPUS for exact
+    * dups (normalized fingerprint) and near dups (the [[minhashLshPairsPortable]]
+    * band predicate + exact-Jaccard verify, asymmetric batch x corpus join).
+    * [[dedupClusters]]/[[clusterSurvivors]] re-close the whole corpus;
+    * streaming dedup handles within-stream repeats — this is the third leg:
+    * new data against an already-clean store. Here the batch is carved
+    * deterministically (doc_id % batchMod == 0) so the oracle can replay
+    * the split; in production it is yesterday's snapshot vs today's ingest.
+    *
+    * Scale shape: the fingerprint check is one hash semi-join; the near
+    * check shuffles band keys once on each side and joins — the batch side
+    * is typically orders of magnitude smaller, so its exchange is cheap and
+    * the corpus-side band table is the reusable daily index. Output is one
+    * row per batch doc (exact_dup flag, near-partner count, best Jaccard),
+    * so downstream admission control is a single filter.
+    */
+  def incrementalDedup(
+      spark: SparkSession,
+      dir: String,
+      batchMod: Int = 7,
+      shingleSize: Int = 2,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.2,
+      maxBucket: Int = 4096
+  ): DataFrame = {
+    val inBatch = col("doc_id") % batchMod === 0
+    val fps = docs(spark, dir)
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+    val exactDup = fps.filter(inBatch).as("b")
+      .join(fps.filter(!inBatch).as("c"), col("b.fp") === col("c.fp"),
+        "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    val base = shingleBase(spark, dir, shingleSize)
+    val buckets = portableBandBuckets(base, bands, rowsPerBand)
+    val admitted = capBuckets(buckets, "bkey", maxBucket)
+    val cand = admitted.filter(inBatch).as("b")
+      .join(admitted.filter(!inBatch).as("c"), col("b.bkey") === col("c.bkey"))
+      .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val near = cand
+      .join(base.select(col("doc_id").as("batch_id"), col("sh").as("sh_b")),
+        "batch_id")
+      .join(base.select(col("doc_id").as("corpus_id"), col("sh").as("sh_c")),
+        "corpus_id")
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_b"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_near"),
+        round(max(col("jaccard")), 6).as("best_jaccard"))
+    docs(spark, dir).filter(inBatch).select(col("doc_id"))
+      .join(exactDup, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(0)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("best_jaccard"))
+  }
+
   /** Diagnostics for [[minhashLshPairsPortable]]'s maxBucket guard: the band
     * buckets it skipped and the candidate pairs each drop (qd4's
     * [[ngramJaccardOversize]] pattern applied to band buckets).

@@ -102,7 +102,8 @@ object CleanJob {
       nearClusters: Long,
       nearRemoved: Long,
       qualityRemoved: Long,
-      nFinal: Long)
+      nFinal: Long,
+      stageSecs: Map[String, Double] = Map.empty)
 
   /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
     * stage outputs under `outDir`. Returns lineage counts (which must
@@ -111,19 +112,28 @@ object CleanJob {
     */
   def run(spark: SparkSession, corpusDir: String, outDir: String,
       lshThreshold: Double = 0.5, minQuality: Double = 0.35): CleanStats = {
+    val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      stageSecs(name) = (System.nanoTime() - t0) / 1e9
+      r
+    }
     val docsIn = spark.read.parquet(s"$corpusDir/documents.parquet")
     val nInput = docsIn.count()
 
     // stage 1: exact dedup (keep the smallest doc_id per normalized md5).
     // One hash shuffle; survivors checkpoint to parquet for the next stage.
-    val keep = docsIn
-      .withColumn("fp", Dedup.fingerprintCol(col("text")))
-      .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
     val exactDir = s"$outDir/stage_exact"
-    docsIn.join(keep, Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$exactDir/documents.parquet")
-    val exactKept = spark.read.parquet(s"$exactDir/documents.parquet").count()
+    val exactKept = timed("exact") {
+      val keep = docsIn
+        .withColumn("fp", Dedup.fingerprintCol(col("text")))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      docsIn.join(keep, Seq("doc_id"))
+        .write.mode("overwrite").parquet(s"$exactDir/documents.parquet")
+      spark.read.parquet(s"$exactDir/documents.parquet").count()
+    }
 
     // stage 2: near-dup candidate pairs on the exact-deduped corpus —
     // banded MinHash-LSH with exact-Jaccard verification (qd7's operator)
@@ -131,45 +141,56 @@ object CleanJob {
         shingleSize = 3, threshold = lshThreshold)
       .select(col("doc_a"), col("doc_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearPairs = pairs.count()
+    val nearPairs = timed("lsh_pairs")(pairs.count())
 
     // stage 3: transitive closure (pointer-jumping CC — throws rather than
-    // under-merge) + quality-aware survivorship (qd8's operator)
+    // under-merge) + quality-aware survivorship (qd8's operator). The
+    // quality pass (5 regexes over every doc) runs ONCE here and is
+    // persisted: the final gate reuses it instead of re-scoring the corpus.
     val stats = try {
-      val labels = Dedup.connectedComponents(pairs)
-      val sizes = labels.groupBy(col("label").as("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-      val clusters = labels
-        .select(col("doc_id"), col("label").as("cluster_id"))
-        .join(sizes, Seq("cluster_id"))
       val quality = TextAnalysis.qualityScores(spark, exactDir)
         .select(col("doc_id"), col("quality_score"))
-      val survivors = Dedup.survivorsFrom(clusters, quality)
-      val nearClusters = survivors.filter(col("survivor")).count()
-      val dropIds = survivors.filter(!col("survivor")).select(col("doc_id"))
-      val nearDir = s"$outDir/stage_near"
-      spark.read.parquet(s"$exactDir/documents.parquet")
-        .join(dropIds, Seq("doc_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$nearDir/documents.parquet")
-      val nearKept = spark.read.parquet(s"$nearDir/documents.parquet").count()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nearDir = s"$outDir/stage_near"
+        val (nearClusters, nearKept) = timed("cc_survivors") {
+          val labels = Dedup.connectedComponents(pairs)
+          val sizes = labels.groupBy(col("label").as("cluster_id"))
+            .agg(count(lit(1)).as("cluster_size"))
+          val clusters = labels
+            .select(col("doc_id"), col("label").as("cluster_id"))
+            .join(sizes, Seq("cluster_id"))
+          val survivors = Dedup.survivorsFrom(clusters, quality)
+          val nC = survivors.filter(col("survivor")).count()
+          val dropIds = survivors.filter(!col("survivor")).select(col("doc_id"))
+          spark.read.parquet(s"$exactDir/documents.parquet")
+            .join(dropIds, Seq("doc_id"), "left_anti")
+            .write.mode("overwrite").parquet(s"$nearDir/documents.parquet")
+          (nC, spark.read.parquet(s"$nearDir/documents.parquet").count())
+        }
 
-      // stage 4: quality gate on the deduped corpus -> the final clean table
-      val finalQuality = TextAnalysis.qualityScores(spark, nearDir)
-        .filter(col("quality_score") >= minQuality)
-        .select(col("doc_id"))
-      spark.read.parquet(s"$nearDir/documents.parquet")
-        .join(finalQuality, Seq("doc_id"))
-        .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
-      val nFinal = spark.read.parquet(s"$outDir/clean/documents.parquet").count()
+        // stage 4: quality gate on the deduped corpus -> the final table
+        // (reuses the persisted stage-3 scores; nearDir docs are a subset
+        // of the scored exactDir docs)
+        val nFinal = timed("quality_gate") {
+          val passing = quality.filter(col("quality_score") >= minQuality)
+            .select(col("doc_id"))
+          spark.read.parquet(s"$nearDir/documents.parquet")
+            .join(passing, Seq("doc_id"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
+          spark.read.parquet(s"$outDir/clean/documents.parquet").count()
+        }
 
-      CleanStats(
-        nInput = nInput,
-        exactRemoved = nInput - exactKept,
-        nearPairs = nearPairs,
-        nearClusters = nearClusters,
-        nearRemoved = exactKept - nearKept,
-        qualityRemoved = nearKept - nFinal,
-        nFinal = nFinal)
+        CleanStats(
+          nInput = nInput,
+          exactRemoved = nInput - exactKept,
+          nearPairs = nearPairs,
+          nearClusters = nearClusters,
+          nearRemoved = exactKept - nearKept,
+          qualityRemoved = nearKept - nFinal,
+          nFinal = nFinal,
+          stageSecs = stageSecs.toMap)
+      } finally quality.unpersist()
     } finally pairs.unpersist()
 
     require(stats.nFinal ==
@@ -220,10 +241,13 @@ object CleanJobRunner {
     val t0 = System.nanoTime()
     val stats = CleanJob.run(spark, corpusDir, outDir)
     val wall = (System.nanoTime() - t0) / 1e9
+    val stages = stats.stageSecs
+      .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
     println(f"""{"metric":"clean_pipeline","n_input":${stats.nInput},""" +
       f""""exact_removed":${stats.exactRemoved},"near_pairs":${stats.nearPairs},""" +
       f""""near_clusters":${stats.nearClusters},"near_removed":${stats.nearRemoved},""" +
       f""""quality_removed":${stats.qualityRemoved},"n_final":${stats.nFinal},""" +
+      f""""stage_secs":{$stages},""" +
       f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
     spark.stop()
   }

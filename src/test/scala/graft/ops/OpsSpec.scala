@@ -428,6 +428,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[Long]("q_checksum") == -127L * 1 + 64L * 2 + 32L * 3 - 16L * 4)
   }
 
+  test("incremental dedup flags batch docs against the corpus by kind") {
+    // batchMod=2: batch = even ids {0,2,4,6,8}, corpus = odd {1,3,5,7,9}.
+    // doc 0 is an exact dup of corpus doc 1 (case/ws variant); docs 2 and 4
+    // near-dup corpus docs 3 and 5; docs 6 and 8 are clean.
+    val out = Dedup.incrementalDedup(spark, dupDir, batchMod = 2,
+        threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(0L, 2L, 4L, 6L, 8L))
+    assert(out(0L)._1 == 1, out.toString) // exact vs doc 1
+    assert(out(2L)._2 >= 1, out.toString) // near vs doc 3
+    assert(out(4L)._2 >= 1, out.toString) // near vs doc 5
+    assert(out(6L) == ((0, 0L)), out.toString)
+    assert(out(8L) == ((0, 0L)), out.toString)
+  }
+
   test("stratified sample: salted two-phase top-k equals the single-window form") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
