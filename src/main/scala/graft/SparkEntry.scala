@@ -63,6 +63,8 @@ object SparkEntry {
     "q15_exists_subquery" -> (Relational.q15ExistsSubquery _),
     "q16_cube" -> (Relational.q16Cube _),
     "q17_asof_join" -> (Relational.q17AsofJoin _),
+    "q18_range_join" -> ((s: SparkSession, d: String) =>
+      Relational.q18RangeJoin(s, d)),
     // ---- dedup (oracle where SQL-expressible) ----
     "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
     "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
@@ -253,6 +255,20 @@ object SparkEntry {
          SELECT event_id, user_id, o_orderkey AS asof_orderkey,
            o_totalprice AS asof_totalprice
          FROM m WHERE rn = 1""",
+    // range join: the oracle runs the direct inequality predicate; the
+    // Spark side runs the binned equi-join — equality IS the claim
+    "q18_range_join" ->
+      """WITH e AS (
+           SELECT event_id, event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events)
+         SELECT a.event_type, COUNT(*) AS n_pairs,
+           MIN(abs(a.sec - b.sec)) AS min_gap_s,
+           MAX(abs(a.sec - b.sec)) AS max_gap_s
+         FROM e a JOIN e b
+           ON a.event_type = b.event_type AND a.event_id < b.event_id
+           AND abs(a.sec - b.sec) <= 120
+         GROUP BY a.event_type""",
     "qt5_bigram_freq" ->
       """WITH w AS (
            SELECT doc_id,

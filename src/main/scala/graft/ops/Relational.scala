@@ -213,6 +213,40 @@ object Relational {
         col("asof_orderkey"), col("asof_totalprice"))
   }
 
+  /** Binned RANGE JOIN — time-proximity pairs (same event_type, timestamps
+    * within `windowS` seconds). Spark has no native range-join operator: the
+    * naive `a.ts BETWEEN b.ts - w AND b.ts + w` predicate plans as a
+    * nested-loop/cartesian, quadratic at scale. The standard recipe turns
+    * the inequality into an EQUI-join on time bins of width `windowS`: one
+    * side explodes each row into its bin and both neighbors (a qualifying
+    * pair's bins differ by at most 1, and by exactly one offset, so every
+    * pair is matched exactly once — no dedup pass), the other side keeps
+    * its bin, and the exact |diff| predicate filters after the hash join.
+    * 3x fanout on one side buys an O(n) shuffle on (type, bin) — a key that
+    * time-spreads, so it is never hot the way bare event_type would be.
+    * PlanSpec asserts the no-nested-loop claim. Integer-second math both
+    * engines reproduce exactly (DuckDB epoch() is fractional -> floor).
+    */
+  def q18RangeJoin(spark: SparkSession, dir: String,
+      windowS: Long = 120L): DataFrame = {
+    val e = t(spark, dir, "events").select(
+      col("event_id"), col("event_type"),
+      unix_timestamp(col("ts")).as("sec"))
+    val b = (col("sec") / windowS).cast("long")
+    val a = e.select(col("event_id").as("id_a"), col("event_type"),
+        col("sec").as("sec_a"),
+        explode(array(b - 1, b, b + 1)).as("bin"))
+    val bb = e.select(col("event_id").as("id_b"), col("event_type"),
+      col("sec").as("sec_b"), b.as("bin"))
+    a.join(bb, Seq("event_type", "bin"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("sec_a") - col("sec_b")) <= windowS)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("sec_a") - col("sec_b"))).as("min_gap_s"),
+        max(abs(col("sec_a") - col("sec_b"))).as("max_gap_s"))
+  }
+
   /** Sessionization via gap detection: a new session starts after a >30min
     * silence per user; pure window functions (lag + running sum), no UDF.
     */

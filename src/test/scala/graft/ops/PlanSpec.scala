@@ -197,6 +197,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("FileScan parquet"), plan)
   }
 
+  test("range join compiles to a binned equi-join — no nested loop, no cartesian") {
+    val plan = planOf(Relational.q18RangeJoin(spark, sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the equi key must include the time bin, not just the hot event_type
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("Join") && l.contains("event_type")).getOrElse("")
+    assert(joinLine.contains("bin"), plan)
+  }
+
   test("stratified sample: phase-1 window is keyed by (lang, salt), not lang alone") {
     // the whole point of the two-phase form: the first (full-data) window
     // must partition on the salted key so no lang-sized hot partition exists;
