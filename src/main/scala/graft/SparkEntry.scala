@@ -121,6 +121,8 @@ object SparkEntry {
       TextAnalysis.dfPrune(s, d)),
     "qt15_stratified_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.stratifiedSample(s, d)),
+    "qt16_lm_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.lmScore(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
     // ---- multimodal plumbing ----
@@ -698,6 +700,32 @@ object SparkEntry {
              ' ' ORDER BY pos), '') AS pruned_text
          FROM pw JOIN d USING (word) CROSS JOIN n
          GROUP BY doc_id""",
+    // bigram-LM score: integer counts -> exact rational -> ln rounded to 9
+    // digits -> SORTED in-order f64 fold — order-pinned float aggregation
+    "qt16_lm_score" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(
+             [words[i] || ' ' || words[i+1]
+              FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS bg
+           FROM w),
+         inst AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+         cb AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+         cu AS (SELECT unnest(words) AS word FROM w),
+         cuc AS (SELECT word, COUNT(*) AS cu FROM cu GROUP BY word),
+         v AS (SELECT COUNT(*) AS v FROM cuc),
+         lp AS (
+           SELECT inst.doc_id,
+             ROUND(ln((cb.cb + 1.0) / (cuc.cu + v.v)), 9) AS logp
+           FROM inst JOIN cb USING (bg)
+             JOIN cuc ON cuc.word = inst.w1 CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS avg_logp
+         FROM lp GROUP BY doc_id""",
     // stratified sample: the oracle runs the SINGLE-window per-lang top-k;
     // the Spark side runs the salted two-phase form — equality of the two IS
     // the correctness claim (any global top-k row is top-k in its bucket)

@@ -305,6 +305,45 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_grams"), 6))
   }
 
+  /** Bigram-LM quality scoring — the perplexity-style filter (CCNet trains
+    * a KenLM and cuts by per-doc perplexity; this is the same shape with a
+    * corpus-trained add-one-smoothed bigram model): score(doc) = mean over
+    * its bigram INSTANCES of ln((c(w1w2)+1)/(c(w1)+V)). High (less negative)
+    * = well-predicted/templated text, low = unusual — pipelines cut both
+    * tails with the quality score as tiebreaker.
+    *
+    * Scale shape: bigram and unigram count tables are VOCABULARY-sized —
+    * plain AQE-gated joins (qt9's rationale); everything else is map-side.
+    * Float discipline: the per-instance logs are rounded to 9 digits (kills
+    * last-ulp libm differences between engines), then summed in SORTED
+    * order (array_sort + in-order fold on both sides), so the f64
+    * accumulation is order-pinned and the oracle reproduces it exactly —
+    * the portable-hash idea applied to floating-point aggregation.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val inst = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+    val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cu = base.select(explode(col("w")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    val logp = round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 9)
+    inst.join(cb, Seq("bg"))
+      .join(cu.withColumnRenamed("word", "w1"), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp", logp)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(array_sort(collect_list(col("logp"))), lit(0.0d),
+          (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logp"))
+  }
+
   /** Deterministic stratified sampling: the k hash-smallest documents PER
     * GROUP (lang) — the fixed per-stratum quota cut (eval slices balanced
     * across languages/sources) that [[hashSample]]'s global rate cut can't

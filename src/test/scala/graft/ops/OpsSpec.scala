@@ -428,6 +428,19 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[Long]("q_checksum") == -127L * 1 + 64L * 2 + 32L * 3 - 16L * 4)
   }
 
+  test("bigram-LM score: normalization-identical docs score identically; " +
+      "shared boilerplate scores above novel text") {
+    val out = TextAnalysis.lmScore(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // docs 0/1 are case/whitespace variants -> same bigrams, same score
+    assert(out(0L) == out(1L), out.toString)
+    // every doc: n_bigrams = words-1, and log-probs are negative
+    assert(out.values.forall { case (n, lp) => n >= 1 && lp < 0.0 })
+    // doc 2 repeats the shared base sentence (corpus-frequent bigrams);
+    // doc 7 is one-off text -> the model predicts doc 2 better
+    assert(out(2L)._2 > out(7L)._2, out.toString)
+  }
+
   test("incremental dedup flags batch docs against the corpus by kind") {
     // batchMod=2: batch = even ids {0,2,4,6,8}, corpus = odd {1,3,5,7,9}.
     // doc 0 is an exact dup of corpus doc 1 (case/ws variant); docs 2 and 4
