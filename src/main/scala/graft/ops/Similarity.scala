@@ -235,7 +235,8 @@ object Similarity {
 
   /** Symmetric int8 quantization of the embedding column — the vector
     * COMPRESSION pass that precedes index build / storage at scale (4x
-    * smaller than f32; SQ8 in the FAISS taxonomy): per vector, scale =
+    * smaller than f32; SQ8 in the FAISS taxonomy — Johnson et al.
+    * "Billion-scale similarity search with GPUs", 2017): per vector, scale =
     * max|x|/127 and q[i] = round(x[i]*127/max|x|) (all-zero vectors map to
     * all-zero codes). Map-only: transform/zip_with/aggregate array
     * expressions — no UDF and no shuffle, so it scales embarrassingly.

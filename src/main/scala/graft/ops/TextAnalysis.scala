@@ -305,8 +305,10 @@ object TextAnalysis {
         round(col("n_rare").cast("double") / col("n_grams"), 6))
   }
 
-  /** Bigram-LM quality scoring — the perplexity-style filter (CCNet trains
-    * a KenLM and cuts by per-doc perplexity; this is the same shape with a
+  /** Bigram-LM quality scoring — the perplexity-style filter (CCNet,
+    * Wenzek et al. "CCNet: Extracting High Quality Monolingual Datasets
+    * from Web Crawl Data", 2019, trains a KenLM and cuts by per-doc
+    * perplexity; this is the same shape with a
     * corpus-trained add-one-smoothed bigram model): score(doc) = mean over
     * its bigram INSTANCES of ln((c(w1w2)+1)/(c(w1)+V)). High (less negative)
     * = well-predicted/templated text, low = unusual — pipelines cut both
@@ -384,7 +386,9 @@ object TextAnalysis {
   }
 
   /** Corpus-adaptive boilerplate strip — the vocabulary-pruning REWRITE pass
-    * (CCNet/C4-style): words appearing in more than maxDfPct% of documents
+    * (the C4 cleaning family, Raffel et al. "Exploring the Limits of
+    * Transfer Learning", 2020, section 2.2; CCNet applies the same
+    * df-threshold idea): words appearing in more than maxDfPct% of documents
     * are corpus boilerplate; strip them and REASSEMBLE the surviving words in
     * their original order. Unlike qt9-qt11 (which score documents) this op
     * rewrites the text column, exercising the ordered-reconstruction shape a
