@@ -161,7 +161,7 @@ object Similarity {
     val centroids = ivfCentroids(spark, dir, k)
     val cents = centroids.map(c => tlit(c.toSeq))
     val cos = cents.map(c => GraftFunctions.cosineFF(col("embedding"), c))
-    val cosArr = array(cos: _*)
+    val cosArr = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cos): _*)
     // nearest cell = first argmax (deterministic)
     val assigned = embeddings(spark, dir)
       .withColumn("__cos", cosArr)

@@ -69,7 +69,7 @@ object ExtractJobRunner {
         sum(col("doc_count")).as("docs"),
         max(col("max_doc_bytes")).as("max_doc_bytes"),
         sum(col("parse_errors") + col("empty_docs") + col("oversize_docs") +
-          col("exceptions")).as("failures")).head
+          col("exceptions")).as("failures")).head()
       val mean = stats.getDouble(1)
       val ratio = if (mean > 0) stats.getLong(0) / mean else 0.0
       // a document is indivisible: the achievable bound is maxDoc + mean share
