@@ -66,7 +66,7 @@ object Bench {
       // slice, not the host's 32 vCPUs — without this, n executors spawn
       // n full-size GC worker sets and thrash each other
       .config("spark.executor.extraJavaOptions",
-        s"-XX:ActiveProcessorCount=$cores")
+        s"-XX:ActiveProcessorCount=$cores -XX:+UseParallelGC")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
