@@ -39,6 +39,20 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(base.zip(near).count { case (x, y) => x != y } <= 2)
   }
 
+  test("pipeline degenerate inputs: single doc and empty near-dup graph") {
+    val ss = spark; import ss.implicits._
+    val out = Files.createTempDirectory("graft-clean-tiny").toString
+    CleanJob.DocCorpus.generate(spark, 1L, partitions = 1)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    val stats = CleanJob.run(spark, s"$out/corpus", out)
+    assert(stats.nInput == 1 && stats.exactRemoved == 0 &&
+      stats.nearPairs == 0 && stats.nearRemoved == 0)
+    assert(stats.nFinal + stats.qualityRemoved == 1)
+    // CC on an empty edge list converges immediately to an empty labeling
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.Dedup.connectedComponents(empty).count() == 0)
+  }
+
   test("pipeline removes the planted dups and lineage conserves") {
     val out = Files.createTempDirectory("graft-clean").toString
     val n = 500L
