@@ -65,6 +65,8 @@ object SparkEntry {
     "q17_asof_join" -> (Relational.q17AsofJoin _),
     "q18_range_join" -> ((s: SparkSession, d: String) =>
       Relational.q18RangeJoin(s, d)),
+    "q19_topk_aggregate" -> ((s: SparkSession, d: String) =>
+      Relational.q19TopkAggregate(s, d)),
     // ---- dedup (oracle where SQL-expressible) ----
     "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
     "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
@@ -79,6 +81,8 @@ object SparkEntry {
       Dedup.clusterSurvivors(s, d)),
     "qd9_incremental_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.incrementalDedup(s, d)),
+    "qd10_lsh_dedup_closure" -> ((s: SparkSession, d: String) =>
+      Dedup.lshDedupClosure(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -186,6 +190,15 @@ object SparkEntry {
       """SELECT o_orderkey, o_totalprice AS total_price FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
     "q07_window_rank" ->
+      """SELECT c_nationkey AS nationkey, c_custkey AS custkey,
+         CAST(c_acctbal AS DOUBLE) AS acctbal, rnk FROM (
+           SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+           FROM customer) WHERE rnk <= 3""",
+    // the SAME window SQL as q07: the Spark side runs the bounded top_k_rank
+    // aggregate; equality with the single-window form IS the claim
+    "q19_topk_aggregate" ->
       """SELECT c_nationkey AS nationkey, c_custkey AS custkey,
          CAST(c_acctbal AS DOUBLE) AS acctbal, rnk FROM (
            SELECT c_nationkey, c_custkey, c_acctbal,
@@ -627,6 +640,56 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 7 = 0) d
          LEFT JOIN exact e ON e.doc_id = d.doc_id
          LEFT JOIN near n ON n.batch_id = d.doc_id""",
+    // the scale-path dedup composition under one oracle: qd7's band-predicate
+    // pairs (md5-affine lanes, 4x2 bands, exact-Jaccard verify) -> qd6's
+    // recursive reachability -> qd8's quality-rank survivorship
+    "qd10_lsh_dedup_closure" ->
+      """WITH RECURSIVE w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+             (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+             (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+             (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+             (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
+           WHERE len(list_intersect(a.sh, b.sh))
+             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION ALL SELECT doc_b, doc_a FROM pairs),
+         reach(doc_id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+         comp AS (
+           SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+         sizes AS (
+           SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
+         q AS (
+           SELECT doc_id,
+             ROUND(LEAST(len(string_split_regex(trim(text), '\s+')) / 100.0, 1.0)
+               * (1.0 - len(regexp_extract_all(text, '[\.,;:!\?]'))
+                  / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+           FROM documents)
+         SELECT comp.doc_id, comp.cluster_id, sizes.cluster_size,
+           q.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+             ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
+         FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
     // KMV sketch content replayed exactly: the k smallest distinct 60-bit
     // md5-half hashes of the bigram vocabulary, ascending
     "qt12_kmv_distinct" ->

@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
@@ -251,6 +252,58 @@ object GraftImpl {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** One-pass per-document repetition profile (qt10's map-only core):
+    * normalize exactly like the composed form (lower -> whitespace runs ->
+    * tokens; the composed split-on-" " of the \s+-collapsed string yields the
+    * maximal non-whitespace runs), then count words, distinct words, and
+    * NON-distinct bigram multiplicities in one traversal with one HashMap —
+    * replacing qt10's explode + (doc_id, bigram) groupBy + two per-doc joins.
+    * Returns null for docs with < 2 words (no bigram slots — the composed
+    * form's inner joins drop them; callers filter nulls).
+    *
+    * Fields: (n_words, n_distinct, top_bigram, top_count, n_bigrams), with
+    * top_bigram = the lexicographically SMALLEST max-count bigram in UTF-8
+    * byte order (= Spark min() on StringType = DuckDB MIN on VARCHAR).
+    */
+  def repetitionProfile(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val lowered = text.toLowerCase.toString
+    val n = lowered.length
+    val tokens = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(lowered.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(lowered.charAt(i))) i += 1
+      if (i > start) tokens.add(lowered.substring(start, i))
+    }
+    val m = tokens.size()
+    if (m < 2) return null
+    val distinct = new java.util.HashSet[String]()
+    val counts = new java.util.HashMap[String, Int]()
+    distinct.add(tokens.get(0))
+    var t = 1
+    while (t < m) {
+      distinct.add(tokens.get(t))
+      counts.merge(tokens.get(t - 1) + " " + tokens.get(t), 1, Integer.sum)
+      t += 1
+    }
+    var topCount = 0
+    var top: UTF8String = null
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue > topCount) {
+        topCount = e.getValue
+        top = UTF8String.fromString(e.getKey)
+      } else if (e.getValue == topCount) {
+        val u = UTF8String.fromString(e.getKey)
+        if (u.compareTo(top) < 0) top = u
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      m.toLong, distinct.size.toLong, top, topCount.toLong, (m - 1).toLong)
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -433,6 +486,112 @@ case class KmvSketch(
   override def prettyName: String = "kmv_sketch"
 }
 
+object TopKRank {
+  /** (sort_key, payload) heap entry; WORST-first comparator for the bounded
+    * min-heap (worst = lowest key, then highest payload — the element the
+    * (key DESC, payload ASC) ranking would evict first).
+    */
+  final case class Entry(key: Double, payload: Long)
+  val worstFirst: java.util.Comparator[Entry] =
+    (a: Entry, b: Entry) => {
+      val c = java.lang.Double.compare(a.key, b.key)
+      if (c != 0) c else java.lang.Long.compare(b.payload, a.payload)
+    }
+}
+
+/** top_k_rank(sortKey, payload, k): the k best (sortKey DESC, payload ASC)
+  * pairs per group as a rank-ordered array<struct<sort_key,payload>> — the
+  * SCALE-SAFE top-k-per-group shape. A row_number window over a
+  * low-cardinality key (q07: 25 nations over the whole corpus) materializes
+  * and SORTS corpus/|key| rows per partition; this aggregate keeps a fixed
+  * k-entry heap per group with map-side partial aggregation (each map task
+  * contributes at most k entries per group to the shuffle) and merge =
+  * heap union — the qt12 KMV pattern applied to ranking. Duplicate
+  * (key, payload) pairs are retained (heap, not set), matching the window
+  * form's rank semantics on duplicate rows.
+  *
+  * Explode the result with posexplode: rank = pos + 1. Equality with the
+  * window form is exact — any global top-k row is top-k in every partial —
+  * proven by OpsSpec against q07 and by the q19 oracle (which REPLAYS the
+  * single-window form in DuckDB).
+  */
+case class TopKRankAgg(
+    keyExpr: Expression,
+    payloadExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[java.util.PriorityQueue[TopKRank.Entry]] {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(keyExpr, payloadExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("sort_key", DoubleType, nullable = false),
+    StructField("payload", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[TopKRank.Entry] =
+    new java.util.PriorityQueue[TopKRank.Entry](k + 1, TopKRank.worstFirst)
+
+  override def update(buffer: java.util.PriorityQueue[TopKRank.Entry],
+      input: org.apache.spark.sql.catalyst.InternalRow): java.util.PriorityQueue[TopKRank.Entry] = {
+    val kv = keyExpr.eval(input)
+    val pv = payloadExpr.eval(input)
+    if (kv != null && pv != null) {
+      val e = TopKRank.Entry(kv.asInstanceOf[Double], pv.asInstanceOf[Long])
+      if (buffer.size < k) buffer.add(e)
+      else if (TopKRank.worstFirst.compare(buffer.peek(), e) < 0) {
+        buffer.poll(); buffer.add(e)
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: java.util.PriorityQueue[TopKRank.Entry],
+      other: java.util.PriorityQueue[TopKRank.Entry]): java.util.PriorityQueue[TopKRank.Entry] = {
+    val it = other.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (buffer.size < k) buffer.add(e)
+      else if (TopKRank.worstFirst.compare(buffer.peek(), e) < 0) {
+        buffer.poll(); buffer.add(e)
+      }
+    }
+    buffer
+  }
+
+  override def eval(buffer: java.util.PriorityQueue[TopKRank.Entry]): Any = {
+    val arr = buffer.toArray(new Array[TopKRank.Entry](buffer.size))
+    // best-first output order = rank order (key DESC, payload ASC)
+    java.util.Arrays.sort(arr, TopKRank.worstFirst.reversed())
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      arr.map(e => org.apache.spark.sql.catalyst.InternalRow(e.key, e.payload)
+        .asInstanceOf[AnyRef]))
+  }
+
+  override def serialize(buffer: java.util.PriorityQueue[TopKRank.Entry]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buffer.size * 16)
+    buffer.forEach { e => bb.putDouble(e.key); bb.putLong(e.payload) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[TopKRank.Entry] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val q = createAggregationBuffer()
+    while (bb.hasRemaining) q.add(TopKRank.Entry(bb.getDouble, bb.getLong))
+    q
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRankAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRankAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKRankAgg =
+    copy(keyExpr = newChildren(0), payloadExpr = newChildren(1))
+  override def prettyName: String = "top_k_rank"
+}
+
 /** simhash64(text): 64-bit SimHash of a string (document-level near-dup key). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   // input contract: StringType (AbstractDataType/ExpectsInputTypes are
@@ -459,6 +618,41 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_ff"
+}
+
+/** repetition_profile(text): one-pass per-doc repetition stats struct
+  * (n_words, n_distinct, top_bigram, top_count, n_bigrams); null if the doc
+  * has < 2 words. Map-only replacement for qt10's explode+groupBy+joins.
+  */
+case class RepetitionProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_bigram", StringType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.repetitionProfile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // defineCodeGen assumes a non-null result from the static call; this
+    // call returns null for <2-word docs, so emit the null re-check by hand
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.isNull} = ${childGen.isNull};
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} = null;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.functions.GraftImpl.repetitionProfile(${childGen.value});
+          ${ev.isNull} = (${ev.value} == null);
+        }
+      """
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
+    copy(child = newChild)
+  override def prettyName: String = "repetition_profile"
 }
 
 /** word_shingles(text, w): distinct sorted word w-grams. */
@@ -549,6 +743,11 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_affine",
       exprs => MinHashAffine(exprs(0), intLit(exprs(1))), "built-in")
+    reg.createOrReplaceTempFunction("top_k_rank",
+      exprs => TopKRankAgg(exprs(0), exprs(1), intLit(exprs(2)))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("repetition_profile",
+      exprs => RepetitionProfile(exprs.head), "built-in")
   }
 
   private[graft] def intLit(e: Expression): Int = e match {
@@ -598,5 +797,18 @@ object GraftFunctions {
   def minhashAffine(shingles: Column, lanes: Int): Column = {
     ensureRegistered()
     call_function("minhash_affine", shingles, org.apache.spark.sql.functions.lit(lanes))
+  }
+
+  def repetitionProfile(text: Column): Column = {
+    ensureRegistered(); call_function("repetition_profile", text)
+  }
+
+  /** Bounded top-k-per-group aggregate: callers cast key to double and
+    * payload to long (the aggregate's fixed heap-entry shape).
+    */
+  def topKRank(sortKey: Column, payload: Column, k: Int): Column = {
+    ensureRegistered()
+    call_function("top_k_rank", sortKey.cast("double"), payload.cast("long"),
+      org.apache.spark.sql.functions.lit(k))
   }
 }

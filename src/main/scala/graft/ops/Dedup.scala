@@ -530,6 +530,35 @@ object Dedup {
       TextAnalysis.qualityScores(spark, dir)
         .select(col("doc_id"), col("quality_score")))
 
+  /** LSH-fed dedup CLOSURE — the composition [[graft.spark.CleanJob]] actually
+    * runs at scale, as ONE oracled suite entry: [[minhashLshPairsPortable]]'s
+    * banded pairs feed [[connectedComponents]] (pointer-jumping), and the
+    * components are ranked by qt2's quality score ([[survivorsFrom]]).
+    * qd6/qd8 exercise the same CC/survivorship core over the qd4 feeder,
+    * whose (lang, len_bucket) blocking is toy-scale (at web scale nearly
+    * every block would exceed the cap and be excluded); THIS entry puts the
+    * scale-path feeder — banded LSH, whose bucket widths stay narrow by
+    * construction — under the same DuckDB hash gate.
+    *
+    * Output schema = [[clusterSurvivors]]: one row per clustered doc,
+    * (doc_id, cluster_id, cluster_size, quality_score, survivor).
+    */
+  def lshDedupClosure(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.2,
+      maxRounds: Int = 16): DataFrame = {
+    val edges = minhashLshPairsPortable(spark, dir, shingleSize, bands,
+        rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges, maxRounds)
+    val sizes = labels.groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val clusters = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .join(sizes, Seq("cluster_id"))
+    survivorsFrom(clusters,
+      TextAnalysis.qualityScores(spark, dir)
+        .select(col("doc_id"), col("quality_score")))
+  }
+
   /** Composable half of [[clusterSurvivors]] for pipelines that already hold
     * a clusters frame (doc_id, cluster_id, cluster_size, ...) and a quality
     * frame (doc_id, quality_score) — re-deriving the cluster graph just to

@@ -114,6 +114,24 @@ object Relational {
         col("c_acctbal").cast("double").as("acctbal"), col("rnk"))
   }
 
+  /** q07's answer in the SCALE-SAFE shape: top-3 customers per nation via the
+    * bounded top_k_rank aggregate (graft.functions.TopKRankAgg) instead of a
+    * row_number window. The window form sorts corpus/25 rows per nation
+    * partition; this is one hash aggregate whose map side contributes at most
+    * k heap entries per nation to the shuffle — no per-nation global sort
+    * anywhere in the plan (PlanSpec asserts no Window/Sort). Result is
+    * row-for-row equal to [[q07WindowRank]] (OpsSpec), and the DuckDB oracle
+    * REPLAYS THE WINDOW FORM, so the equivalence is under the hash gate.
+    */
+  def q19TopkAggregate(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    t(spark, dir, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(graft.functions.GraftFunctions
+        .topKRank(col("c_acctbal"), col("c_custkey"), k).as("topk"))
+      .select(col("nationkey"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("nationkey"), col("e.payload").as("custkey"),
+        col("e.sort_key").as("acctbal"), (col("pos") + 1).cast("int").as("rnk"))
+
   /** Distinct aggregation (expands to a two-phase aggregate). */
   def q08DistinctAgg(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")

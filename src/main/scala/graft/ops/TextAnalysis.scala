@@ -239,15 +239,35 @@ object TextAnalysis {
     * few repeated n-grams (templated boilerplate, keyword stuffing, decode
     * loops) are cut before training.
     *
-    *  - dup_word_frac: 1 - distinct words / total words (map-only: pure
-    *    array expressions, no shuffle);
+    *  - dup_word_frac: 1 - distinct words / total words;
     *  - top_bigram / top_bigram_frac: the most frequent NON-distinct word
     *    bigram and its share of all bigram slots (ties resolve to the
     *    lexicographically smallest bigram so the result is deterministic).
-    *    The only shuffle is the (doc_id, bigram) count — the same key shape
-    *    as qt5/qt9, partitioned by doc so no key is corpus-wide hot.
+    *
+    * Entirely MAP-ONLY: all five signals come from one pass of the native
+    * repetition_profile expression (graft.functions.RepetitionProfile) —
+    * per-doc state, zero shuffles. The earlier composed form (explode ->
+    * (doc_id, bigram) count -> two per-doc joins) shuffled every bigram
+    * instance just to re-aggregate it per doc; it survives as
+    * [[repetitionSignalsComposed]] for the differential spec.
     */
-  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.repetitionProfile(col("text")).as("p"))
+      .filter(col("p").isNotNull) // < 2 words: no bigram slots (oracle drops too)
+      .select(col("doc_id"), col("p.n_words").as("n_words"),
+        round(lit(1.0) - col("p.n_distinct").cast("double") / col("p.n_words"), 6)
+          .as("dup_word_frac"),
+        col("p.top_bigram").as("top_bigram"), col("p.top_count").as("top_count"),
+        round(col("p.top_count").cast("double") / col("p.n_bigrams"), 6)
+          .as("top_bigram_frac"))
+
+  /** The pre-round-4 composed form of [[repetitionSignals]] (explode ->
+    * (doc_id, bigram) count -> two per-doc joins), kept as the differential
+    * reference for the one-pass expression: OpsSpec asserts row equality.
+    */
+  private[graft] def repetitionSignalsComposed(spark: SparkSession, dir: String): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
     val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
       .select(col("doc_id"), col("w"),

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{CmsSketch, CosineSimilarity, GraftFunctions, JaccardSorted,
-  KmvSketch, MinHashAffine, MinHashSig, SimHash64, SrpSigs, WordShingles}
+  KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile, SimHash64, SrpSigs,
+  TopKRankAgg, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -44,5 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression())
     inject("kmv_sketch", classOf[KmvSketch],
       exprs => KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
+    inject("top_k_rank", classOf[TopKRankAgg],
+      exprs => TopKRankAgg(exprs(0), exprs(1), intLit(exprs(2)))
+        .toAggregateExpression())
+    inject("repetition_profile", classOf[RepetitionProfile],
+      exprs => RepetitionProfile(exprs.head))
   }
 }

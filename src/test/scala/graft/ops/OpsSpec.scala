@@ -489,6 +489,73 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q19 bounded top-k aggregate equals the q07 window form row-for-row") {
+    val sf = "/root/testdata/sf0.001"
+    val win = Relational.q07WindowRank(spark, sf).collect().map(_.toSeq).toSet
+    val agg = Relational.q19TopkAggregate(spark, sf).collect().map(_.toSeq).toSet
+    assert(agg == win)
+    assert(win.nonEmpty)
+  }
+
+  test("top_k_rank keeps duplicate (key, payload) rows like the window form") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val df = Seq((1, 5.0, 10L), (1, 5.0, 10L), (1, 4.0, 11L), (1, 6.0, 9L))
+      .toDF("g", "k", "p")
+    val rows = df.groupBy(col("g"))
+      .agg(graft.functions.GraftFunctions.topKRank(col("k"), col("p"), 3).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "e")))
+      .select(col("e.sort_key"), col("e.payload"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    // row_number over (k DESC, p ASC) keeps both duplicate (5.0, 10) rows
+    assert(rows == Seq((6.0, 9L), (5.0, 10L), (5.0, 10L)), rows.toString)
+  }
+
+  test("repetition one-pass expression equals the composed explode+join form") {
+    for (dir <- Seq(dupDir, "/root/testdata/sf0.001")) {
+      val native = TextAnalysis.repetitionSignals(spark, dir)
+        .collect().map(_.toSeq).toSet
+      val composed = TextAnalysis.repetitionSignalsComposed(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(native == composed, dir)
+      assert(native.nonEmpty, dir)
+    }
+  }
+
+  test("repetition profile degenerate inputs: empty/blank/one-word docs drop") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-rep-degenerate").toString
+    Seq((0L, ""), (1L, "   \t\n "), (2L, "word"), (3L, "a a"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.repetitionSignals(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(3L), rows.mkString(";"))
+    val r = rows.head
+    assert(r.getLong(1) == 2L) // n_words
+    assert(r.getDouble(2) == 0.5) // dup_word_frac: 1 distinct of 2
+    assert(r.getString(3) == "a a" && r.getLong(4) == 1L)
+  }
+
+  test("qd10 LSH closure: clusters cover the qd7 pair graph, one survivor each") {
+    val pairs = Dedup.minhashLshPairsPortable(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val closure = Dedup.lshDedupClosure(spark, dupDir).collect()
+    val cluster = closure.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every pair endpoint is clustered, and both ends share a component
+    pairs.foreach { case (a, b) =>
+      assert(cluster.contains(a) && cluster.contains(b), s"($a,$b)")
+      assert(cluster(a) == cluster(b), s"($a,$b)")
+    }
+    // exactly one survivor per cluster, and it has the max quality (min id tie)
+    closure.groupBy(_.getLong(1)).foreach { case (cid, members) =>
+      assert(members.count(_.getBoolean(4)) == 1, s"cluster $cid")
+      val best = members.minBy(m => (-m.getDouble(3), m.getLong(0)))
+      assert(best.getBoolean(4), s"cluster $cid")
+      assert(members.forall(_.getLong(2) == members.length.toLong), s"cluster $cid")
+    }
+  }
+
   test("multimodal decode plumbing: deterministic stub meta + frame sampling") {
     val meta = Multimodal.decodeMeta(spark, dupDir).collect()
     assert(meta.length == 10)

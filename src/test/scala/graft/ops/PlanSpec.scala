@@ -223,6 +223,27 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"), plan)
   }
 
+  test("q19: bounded top-k aggregate — no Window, no sort anywhere in the plan") {
+    val plan = planOf(Relational.q19TopkAggregate(spark, sf))
+    // the scale claim: no per-nation global sort. "Sort [" is SortExec's
+    // render; "SortMergeJoin"/"SortAggregate" are asserted separately
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("Sort ["), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the TypedImperativeAggregate plans as the two-phase object-hash pair
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("top_k_rank"), plan)
+  }
+
+  test("qt10 repetition is map-only: zero exchanges, native expression") {
+    val plan = planOf(TextAnalysis.repetitionSignals(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("repetition_profile"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(plan.contains("FileScan parquet"), plan)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)

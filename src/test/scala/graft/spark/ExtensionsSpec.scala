@@ -52,6 +52,18 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT kmv_sketch(w, 4) AS k FROM (SELECT explode(array('a','b','a','c')) AS w)")
         .head.getSeq[Long](0)
       assert(kmv.length == 3 && kmv == kmv.sorted) // 3 distinct, ascending
+      val topk = spark.sql(
+        "SELECT top_k_rank(k, p, 2) AS t FROM VALUES " +
+          "(CAST(1.0 AS DOUBLE), CAST(10 AS BIGINT)), (3.0D, 30L), (2.0D, 20L) " +
+          "AS v(k, p)").head
+        .getSeq[org.apache.spark.sql.Row](0)
+      assert(topk.map(r => (r.getDouble(0), r.getLong(1))) ==
+        Seq((3.0, 30L), (2.0, 20L)), topk.toString)
+      val rep = spark.sql("SELECT repetition_profile('a b a b') AS r").head
+        .getStruct(0)
+      assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L &&
+        rep.getString(2) == "a b" && rep.getLong(3) == 2L && rep.getLong(4) == 3L,
+        rep.toString)
     } finally spark.stop()
   }
 }
