@@ -83,10 +83,20 @@ object Bench {
     val scaleHi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", defaults._2).toInt
     val scaleCores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "4").toInt
     val scaleMemMb = sys.env.getOrElse("SPARK_GRAFT_SCALE_MEM_MB", "8192").toInt
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "48000").toInt
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "4").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "96000").toInt
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "6").toInt
+
+    // /proc/stat "cpu" line, field 8 (0-based after the label) = steal in
+    // USER_HZ ticks summed over all vCPUs; 100 Hz on this kernel
+    def stolenCpuSeconds(): Double = {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val cols = line.trim.split("\\s+").drop(1)
+      if (cols.length >= 8) cols(7).toDouble / 100.0 else 0.0
+    }
 
     // ---- part 1: query suite ----
+    val suiteSteal0 = stolenCpuSeconds()
     val spark = newSession(cpus)
     // absorb session cold-start (scheduler, parquet footer reads, codegen of
     // a trivial plan) so the first query's time reflects the query
@@ -107,6 +117,9 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
     val total = results.map(_._2).sum
+    // steal absorbed during the suite pass: lets a reader attribute an
+    // out-of-band suite total to co-tenant interference vs a code regression
+    val suiteSteal = stolenCpuSeconds() - suiteSteal0
 
     // ---- part 2: extraction scaling (pre-materialized corpus, 2 levels) ----
     // Corpus = the Pareto-length `skew` family only (mean ~6.5 KB/doc — the
@@ -114,13 +127,25 @@ object Bench {
     // dominates per-row overhead; uniform 700 B fixture docs would benchmark
     // the task dispatcher, not the engine).
     val corpusDir = s"/tmp/graft_bench_skew_corpus_$scaleDocs"
-    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists()) {
+    // small SEPARATE warm corpus (1/8 size, same skew family): each leg's
+    // warm-up pass only needs to reach JIT/codegen steady state and touch the
+    // shuffle-file path — warming on the FULL corpus (the round-3 protocol)
+    // doubled every leg's wall time, which halved the rep count the time
+    // budget could afford (BENCH_r03 got just 2 reps, both steal-wrecked)
+    val warmDocs = math.max(scaleDocs / 8, 1000)
+    val warmDir = s"/tmp/graft_bench_skew_warm_$warmDocs"
+    if (!new java.io.File(s"$corpusDir/_SUCCESS").exists() ||
+        !new java.io.File(s"$warmDir/_SUCCESS").exists()) {
       import spark.implicits._
       val familyStride = PagesTable.Families.length
       val skewIdx = PagesTable.Families.indexOf("skew")
       spark.range(0, scaleDocs.toLong, 1, cpus * 4)
         .map(i => PagesTable.genDoc(i * familyStride + skewIdx))
         .write.mode("overwrite").parquet(corpusDir)
+      // distinct doc indices (offset past the timed corpus) — same family mix
+      spark.range(scaleDocs.toLong, scaleDocs.toLong + warmDocs, 1, cpus * 4)
+        .map(i => PagesTable.genDoc(i * familyStride + skewIdx))
+        .write.mode("overwrite").parquet(warmDir)
     }
     spark.stop()
 
@@ -135,27 +160,33 @@ object Bench {
         else (newSession(level), level)
       import s.implicits._
       try {
-        val pages = s.read.parquet(corpusDir).as[PagesTable.PageRow]
-        // cluster-default stateless hash placement. NOT balanced=true: its
-        // global Window sort re-executes inside every timed pass (stage
-        // reuse does not cover it) — a serial ~3s floor that masqueraded as
-        // poor scaling (measured: 4->16 threads 0.45 eff balanced vs 0.78
-        // hash on the same corpus/window).
-        val repart = ExtractJob.skewRepartition(pages.toDF(), slots * 4)
-          .as[PagesTable.PageRow]
-        // object-to-object map straight after extract: the two typed ops
-        // chain WITHOUT a row round-trip, so the giant output strings
-        // (extracted_text/markdown/html/blocks_json — still fully BUILT by
-        // extractDocument, that's the measured work) are never encoded into
-        // UnsafeRows just to be counted. Spark's serializer pruning does not
-        // handle flat fields (verified on the plan: a select() still
-        // serializes all 17), so the map is the only way to shed ~26 KB of
-        // UTF8String copies per document from the timed stage.
-        val extracted = ExtractJob.extract(repart)
-          .map(r => r.parse_status)
-          .toDF("parse_status")
-          .filter(org.apache.spark.sql.functions.col("parse_status") === "ok")
-        extracted.count() // warm-up pass (JIT + codegen + shuffle files)
+        def pipeline(dir: String) = {
+          val pages = s.read.parquet(dir).as[PagesTable.PageRow]
+          // cluster-default stateless hash placement. NOT balanced=true: its
+          // global Window sort re-executes inside every timed pass (stage
+          // reuse does not cover it) — a serial ~3s floor that masqueraded as
+          // poor scaling (measured: 4->16 threads 0.45 eff balanced vs 0.78
+          // hash on the same corpus/window).
+          val repart = ExtractJob.skewRepartition(pages.toDF(), slots * 4)
+            .as[PagesTable.PageRow]
+          // object-to-object map straight after extract: the two typed ops
+          // chain WITHOUT a row round-trip, so the giant output strings
+          // (extracted_text/markdown/html/blocks_json — still fully BUILT by
+          // extractDocument, that's the measured work) are never encoded into
+          // UnsafeRows just to be counted. Spark's serializer pruning does not
+          // handle flat fields (verified on the plan: a select() still
+          // serializes all 17), so the map is the only way to shed ~26 KB of
+          // UTF8String copies per document from the timed stage.
+          ExtractJob.extract(repart)
+            .map(r => r.parse_status)
+            .toDF("parse_status")
+            .filter(org.apache.spark.sql.functions.col("parse_status") === "ok")
+        }
+        // warm-up on the 1/8-size corpus: JIT + codegen + shuffle-file path
+        // (compiled code persists across sessions in this JVM, so only the
+        // first rep pays real compilation; later warm passes are ~1s)
+        pipeline(warmDir).count()
+        val extracted = pipeline(corpusDir)
         val t0 = System.nanoTime()
         val n = extracted.count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -168,49 +199,77 @@ object Bench {
     // auditable against co-tenant interference (this VM sees heavy bursty
     // CPU steal — BASELINE.md "Measured results"; contention also shows up
     // WITHOUT steal, e.g. bandwidth/LLC pressure, so no single window can be
-    // trusted). The headline is best-of-N per level INDEPENDENTLY: each
-    // best is the least-interfered measurement of machine capability at
-    // that level. The two legs are NOT symmetric in the ratio: a stolen
-    // (slow) lo INFLATES hi/(factor*lo), so taking the fastest lo guards
-    // the denominator against inflation; a stolen hi deflates, so the
-    // fastest hi guards the numerator against understatement. The residual
-    // failure mode — every lo rep interfered while some hi rep ran clean —
-    // would overstate, which is why all samples + their steal telemetry are
-    // emitted AND the paired efficiency of the fastest-lo rep (lo and hi
-    // adjacent in time, same interference regime) is reported as the
-    // cross-check. Sampling is time-budgeted (default 240s) so the single
-    // JSON line always lands inside the driver's bench timeout.
-    def stolenCpuSeconds(): Double = {
-      // /proc/stat "cpu" line, field 8 (0-based after the label) = steal in
-      // USER_HZ ticks summed over all vCPUs; 100 Hz on this kernel
-      val line = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).getOrElse("")
-      val cols = line.trim.split("\\s+").drop(1)
-      if (cols.length >= 8) cols(7).toDouble / 100.0 else 0.0
-    }
+    // trusted). The STEAL-REJECTION RULE is applied in-process: a leg whose
+    // embedded steal delta exceeds maxStealCpuS is REJECTED from headline
+    // selection (it measured the co-tenant, not the engine — BENCH_r03's
+    // 0.503 came from two hi legs carrying ~20 stolen cpu-s each), and
+    // sampling continues past scaleReps until each level has at least
+    // minAccepted clean legs or the time budget runs out.
+    //
+    // Headline = MEDIAN of the accepted legs per level. The round-2/3
+    // protocol used best-of per level ("interference can only slow a leg"),
+    // but that premise fails on this host: back-to-back ZERO-steal lo legs
+    // differ by up to 24% (measured 4375 vs 5445 docs/s, steal 0.34/0.02 —
+    // transient frequency/bandwidth boost favors the 4-thread leg when the
+    // co-tenant goes idle), so best-of mixes a burst-state lo with a
+    // steady-state hi from a different window and systematically
+    // UNDERSTATES the ratio. The median of steal-clean legs estimates the
+    // steady state both levels share; best-of-accepted and the fastest-lo
+    // rep's own paired efficiency are still emitted as cross-checks, and
+    // every sample with its steal telemetry is embedded. If a level never
+    // produces a clean leg, the headline falls back to median-of-all and
+    // says so in `selection`. Sampling is time-budgeted so the single JSON
+    // line always lands inside the driver's bench timeout.
     final case class Rep(lo: Double, hi: Double, eff: Double,
-        stealLo: Double, stealHi: Double) {
-      def steal: Double = stealLo + stealHi
-    }
+        stealLo: Double, stealHi: Double)
     val budgetMs =
       sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "240").toLong * 1000L
+    val maxStealCpuS =
+      sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_CPU_S", "1.5").toDouble
+    val minAccepted = sys.env.getOrElse("SPARK_GRAFT_MIN_ACCEPTED", "3").toInt
     val factor = scaleHi.toDouble / scaleLo
     val t0 = System.currentTimeMillis()
-    val rateSamples = Iterator.range(0, scaleReps)
-      .takeWhile(r => r == 0 || System.currentTimeMillis() - t0 < budgetMs)
-      .map { _ =>
-        val s0 = stolenCpuSeconds()
-        val lo = extractionRate(scaleLo)
-        val s1 = stolenCpuSeconds()
-        val hi = extractionRate(scaleHi)
-        val s2 = stolenCpuSeconds()
-        Rep(lo, hi, hi / (factor * lo), s1 - s0, s2 - s1)
-      }.toVector
-    val rateLo = rateSamples.map(_.lo).max
-    val rateHi = rateSamples.map(_.hi).max
+    val reps = Vector.newBuilder[Rep]
+    var done = 0
+    var accLoN = 0
+    var accHiN = 0
+    while (done == 0 ||
+        ((done < scaleReps || accLoN < minAccepted || accHiN < minAccepted) &&
+          done < scaleReps * 3 &&
+          System.currentTimeMillis() - t0 < budgetMs)) {
+      val s0 = stolenCpuSeconds()
+      val lo = extractionRate(scaleLo)
+      val s1 = stolenCpuSeconds()
+      val hi = extractionRate(scaleHi)
+      val s2 = stolenCpuSeconds()
+      val rep = Rep(lo, hi, hi / (factor * lo), s1 - s0, s2 - s1)
+      reps += rep
+      done += 1
+      if (rep.stealLo <= maxStealCpuS) accLoN += 1
+      if (rep.stealHi <= maxStealCpuS) accHiN += 1
+    }
+    val rateSamples = reps.result()
+    val accLo = rateSamples.filter(_.stealLo <= maxStealCpuS)
+    val accHi = rateSamples.filter(_.stealHi <= maxStealCpuS)
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+    }
+    val rateLo = median((if (accLo.nonEmpty) accLo else rateSamples).map(_.lo))
+    val rateHi = median((if (accHi.nonEmpty) accHi else rateSamples).map(_.hi))
     val efficiency = rateHi / (factor * rateLo)
+    // conservative cross-check: fastest accepted leg per level (the round-2/3
+    // headline rule; understates when a clean lo leg caught a boost burst)
+    val rateLoBest = (if (accLo.nonEmpty) accLo else rateSamples).map(_.lo).max
+    val rateHiBest = (if (accHi.nonEmpty) accHi else rateSamples).map(_.hi).max
+    val efficiencyBestOf = rateHiBest / (factor * rateLoBest)
     // same-rep cross-check: the rep with the fastest lo, using ITS OWN hi
     val pairedEff = rateSamples.maxBy(_.lo).eff
+    val selection =
+      s"median-of-accepted(lo=${accLo.length}/${rateSamples.length}," +
+        s"hi=${accHi.length}/${rateSamples.length},steal<=$maxStealCpuS)" +
+        (if (accLo.isEmpty || accHi.isEmpty) "-FALLBACK-all-legs-stolen" else "")
 
     def f(d: Double): String = java.math.BigDecimal.valueOf(d)
       .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
@@ -235,11 +294,20 @@ object Bench {
         (if (scaleMode == "cluster") s""""cores_per_executor":$scaleCores,""" else "") +
         s""""docs_per_sec_lo":${f(rateLo)},"docs_per_sec_hi":${f(rateHi)},""" +
         s""""scaling_factor":${f(factor)},"scaling_efficiency":${f(efficiency)},""" +
+        s""""scaling_efficiency_bestof":${f(efficiencyBestOf)},""" +
+        s""""docs_per_sec_lo_best":${f(rateLoBest)},"docs_per_sec_hi_best":${f(rateHiBest)},""" +
         s""""paired_eff_fastest_lo_rep":${f(pairedEff)},""" +
-        s""""selection":"best-of-${rateSamples.length}-per-level",""" +
+        s""""selection":${jstr(selection)},""" +
+        s""""steal_reject_threshold_cpu_s":${f(maxStealCpuS)},""" +
         s""""samples":$samplesJson}"""
+    // quiet-window cross-reference: the repo's own measured quiet bands
+    // (BASELINE.md "Measured results") so a reader can judge whether THIS
+    // window was interfered even when every leg's steal reads zero
+    val quietRef = "BASELINE.md quiet-window record: jvm eff 0.845, " +
+      "cluster eff 0.789 (shm scratch), suite band see 'Measured results'"
     println(
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,""" +
-        s""""errors":$errs,"sf":"$sfDir","extraction":$extraction}""")
+        s""""errors":$errs,"sf":"$sfDir","suite_steal_cpu_s":${f(suiteSteal)},""" +
+        s""""extraction":$extraction,"quiet_window_ref":${jstr(quietRef)}}""")
   }
 }

@@ -36,13 +36,20 @@ object SparkEntry {
   private val corpusCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
 
-  private def extractedCorpus(spark: SparkSession): DataFrame =
+  private def extractedCorpus(spark: SparkSession): DataFrame = {
+    // evict entries whose session has stopped: a long-lived driver that
+    // creates many sessions would otherwise retain each dead session and its
+    // checkpointed corpus blocks for the JVM lifetime (the checkpoint blocks
+    // themselves die with the session's ContextCleaner; this drops the last
+    // strong reference to the session object)
+    corpusCache.entrySet().removeIf(e => e.getKey.sparkContext.isStopped)
     corpusCache.computeIfAbsent(spark, s => {
       import s.implicits._
       val pages = PagesTable.generate(s, 240, partitions = 16)
       ExtractJob.extract(ExtractJob.skewRepartition(pages.toDF(), 16)
         .as[PagesTable.PageRow]).toDF().localCheckpoint(true)
     })
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- relational core (oracle-checked) ----

@@ -168,6 +168,13 @@ object TextAnalysis {
     * Correctness is EXACT by construction: a bloom has no false negatives,
     * and false positives die in the exact verify join — so the output
     * equals [[contamination]] bit-for-bit and shares qt8's oracle.
+    *
+    * Unlike qt8, the verify join carries NO broadcast hint: the bloom bounds
+    * what crosses the wire at a fixed 4 KB, but the eval-gram table itself
+    * still grows with the eval suite, so the exact join is AQE size-gated
+    * (the qt9/qt11 policy) — at test scale it auto-broadcasts, at
+    * production width it falls back to a shuffle join over the (pruned,
+    * bloom-surviving) probe stream.
     */
   def bloomContamination(spark: SparkSession, dir: String, gramWords: Int = 4,
       evalMod: Int = 29, mBits: Int = 32768): DataFrame = {
@@ -197,7 +204,7 @@ object TextAnalysis {
         expr("(shiftright(element_at(bloom, cast(p0 / 64 as int) + 1), cast(p0 % 64 as int)) & 1) = 1") &&
         expr("(shiftright(element_at(bloom, cast(p1 / 64 as int) + 1), cast(p1 % 64 as int)) & 1) = 1"))
       .select(col("doc_id"), col("g"))
-    pruned.join(broadcast(evalGrams), Seq("g"))
+    pruned.join(evalGrams, Seq("g")) // AQE size-gated, not hint-broadcast
       .groupBy(col("doc_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_shared_grams"))
   }

@@ -187,6 +187,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("qt13 bloom verify join is size-gated, never hint-forced") {
+    // the bloom bounds what crosses the wire at a fixed 4 KB, but the
+    // eval-gram table grows with the eval suite — so like qt9/qt14 the
+    // exact verify join must degrade to a shuffle join when the eval side
+    // is declared too big to broadcast
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf(TextAnalysis.bloomContamination(spark, sf))
+      val joinLines = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("g#")).toSeq
+      assert(joinLines.nonEmpty, plan)
+      assert(!joinLines.exists(_.contains("BroadcastHashJoin")), plan)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("int8 quantization is map-only: zero exchanges, no UDF") {
     // scan -> Project chain only; the array HOFs (transform/aggregate) are
     // CodegenFallback in Spark, so no WSCG span covers them — but the stage
