@@ -147,9 +147,23 @@ object Dedup {
   }
 
   private def shingleBase(spark: SparkSession, dir: String, shingleSize: Int): DataFrame =
-    docs(spark, dir)
+    shinglesOf(docs(spark, dir), shingleSize)
+
+  /** (doc_id, sh) from any documents frame — the preprocessed shingle table
+    * the incremental-dedup index persists ([[graft.spark.IncrementalDedupJob]]).
+    */
+  def shinglesOf(documents: DataFrame, shingleSize: Int): DataFrame =
+    documents
       .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
       .filter(size(col("sh")) > 0)
+
+  /** Cap-admitted portable band-key table (doc_id, bkey) from a shingle
+    * frame — the corpus-side LSH index [[incrementalDedup]]'s scaladoc
+    * promises as the reusable daily artifact, exposed for persistence.
+    */
+  def bandTableOf(shingleDf: DataFrame, bands: Int = 4, rowsPerBand: Int = 2,
+      maxBucket: Int = 4096): DataFrame =
+    capBuckets(portableBandBuckets(shingleDf, bands, rowsPerBand), "bkey", maxBucket)
 
   /** PORTABLE MinHash-LSH near-dup pairs — the flagship dedup-at-scale shape
     * as a driver-suite entry: banded minhash bucketing -> within-bucket

@@ -93,6 +93,41 @@ object CleanJob {
       import spark.implicits._
       spark.range(0, n, 1, partitions).as[Long].mapPartitions(_.map(genDoc))
     }
+
+    /** Ingest-batch doc for the incremental-admission demo: FRESH ids
+      * (corpusN + j) whose TEXT has a controlled relationship to a corpus
+      * of `corpusN` [[genDoc]] rows — j%3==0 an exact copy of a corpus
+      * decade-base doc, j%3==1 a 2-word near variant of one (substitutions
+      * seeded by the batch id, so it equals no corpus doc exactly), j%3==2
+      * fresh text. So a batch of m docs carries ~m/3 known exact dups,
+      * ~m/3 known near dups, ~m/3 admissible novelty.
+      */
+    private[spark] def genBatchDoc(corpusN: Long, j: Long): DocRow = {
+      val nDecades = math.max(corpusN / 10, 1L)
+      val base = (j % nDecades) * 10
+      val id = corpusN + j
+      val words = (j % 3) match {
+        case 0 => freshWords(base)
+        case 1 =>
+          val w = freshWords(base)
+          val rng = new Rng(id * 0x9e3779b97f4a7c15L + 0x2545f4914f6cdd1dL)
+          w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
+          w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
+          w
+        case _ => freshWords(id)
+      }
+      val text = words.mkString(" ")
+      val rng = new Rng(id + 0xdeadbeefL)
+      DocRow(id, text, Langs(rng.nextInt(Langs.length)),
+        s"src${id % 20}", text.length.toLong)
+    }
+
+    private[spark] def generateBatch(spark: SparkSession, corpusN: Long,
+        m: Long, partitions: Int): Dataset[DocRow] = {
+      import spark.implicits._
+      spark.range(0, m, 1, partitions).as[Long]
+        .mapPartitions(_.map(j => genBatchDoc(corpusN, j)))
+    }
   }
 
   final case class CleanStats(

@@ -81,4 +81,43 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("text").distinct().count()
     assert(distinctTexts == stats.nFinal)
   }
+
+  test("incremental admission: persisted index equals recompute, flags the " +
+      "planted batch structure") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-incr").toString
+    val n = 3000L
+    CleanJob.DocCorpus.generate(spark, n, partitions = 4)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    val batch = CleanJob.DocCorpus.generateBatch(spark, n, 300, 4).toDF()
+      .localCheckpoint(true)
+    val idx = IncrementalDedupJob.buildIndex(spark, s"$out/corpus", s"$out/index")
+    assert(idx.corpusDocs == n && idx.fpRows == n)
+    assert(idx.bandRows == 4 * idx.shingleRows) // 4 band keys per doc, none capped
+    val withIndex = IncrementalDedupJob.admitBatch(batch,
+      spark.read.parquet(s"$out/index/fp.parquet"),
+      spark.read.parquet(s"$out/index/shingles.parquet"),
+      spark.read.parquet(s"$out/index/bands.parquet"))
+    val docs = spark.read.parquet(s"$out/corpus/documents.parquet")
+    val sh = graft.ops.Dedup.shinglesOf(docs, 2)
+    val recomputed = IncrementalDedupJob.admitBatch(batch,
+      docs.select(col("doc_id"), graft.ops.Dedup.fingerprintCol(col("text")).as("fp")),
+      sh, graft.ops.Dedup.bandTableOf(sh))
+    assert(withIndex.exceptAll(recomputed).count() == 0)
+    assert(recomputed.exceptAll(withIndex).count() == 0)
+    val rows = withIndex.collect()
+    // j%3==0 batch docs copy a corpus decade base verbatim -> exact dups
+    val exact = rows.filter(_.getAs[Int]("exact_dup") == 1).map(_.getLong(0)).toSet
+    assert((0L until 300L).filter(_ % 3 == 0).map(n + _).toSet.subsetOf(exact),
+      s"missed exact dups: ${exact.size}")
+    // j%3==1 near variants: the 4x2 band predicate catches nearly all
+    val nearIds = rows.filter(r => r.getAs[Int]("exact_dup") == 0 &&
+      r.getAs[Long]("n_near") > 0).map(_.getLong(0)).toSet
+    val planted = (0L until 300L).filter(_ % 3 == 1).map(n + _).toSet
+    assert((planted & nearIds).size >= (planted.size * 9) / 10,
+      s"near recall ${(planted & nearIds).size}/${planted.size}")
+    // admitted set excludes every exact dup
+    val admitted = rows.filter(_.getAs[Boolean]("admit")).map(_.getLong(0)).toSet
+    assert((admitted & exact).isEmpty)
+  }
 }
