@@ -64,23 +64,37 @@ object HtmlFront {
   /** The pdfium-synthetic-linebreak pseudo-font (fontSize 0, no weight). */
   private val LinebreakFont = Font("", 0f, -1)
 
+  // interned per-tag fonts: fontFor is called per block (and the default per
+  // unknown tag); constructing a fresh case class each time was measurable
+  // in the allocation profile only in aggregate, but it is free to cache
+  private val SerifFonts = Map(24f -> Font("Serif", 24f, 700),
+    20f -> Font("Serif", 20f, 700), 18f -> Font("Serif", 18f, 700),
+    16f -> Font("Serif", 16f, 700), 14f -> Font("Serif", 14f, 700),
+    13f -> Font("Serif", 13f, 700))
+  private val SansDefault = Font("Sans", 12f, 400)
+  private val SansCaption = Font("Sans", 10f, 400)
+  private val SansBand = Font("Sans", 9f, 400)
+  private val SansFootnote = Font("Sans", 8f, 400)
+  private val SansNav = Font("Sans", 11f, 400)
+  private val MonoFormula = Font("Mono", 12f, 400)
+
   def fontFor(tag: String): Font = tag match {
-    case "h1"         => Font("Serif", 24f, 700)
-    case "h2"         => Font("Serif", 20f, 700)
-    case "h3"         => Font("Serif", 18f, 700)
-    case "h4"         => Font("Serif", 16f, 700)
-    case "h5"         => Font("Serif", 14f, 700)
-    case "h6"         => Font("Serif", 13f, 700)
-    case "p"          => Font("Sans", 12f, 400)
-    case "li"         => Font("Sans", 12f, 400)
-    case "figcaption" => Font("Sans", 10f, 400)
-    case "header"     => Font("Sans", 9f, 400)
-    case "footer"     => Font("Sans", 9f, 400)
-    case "sub"        => Font("Sans", 8f, 400)
-    case "math"       => Font("Mono", 12f, 400)
-    case "td"         => Font("Sans", 10f, 400)
-    case "nav"        => Font("Sans", 11f, 400)
-    case other        => Font("Sans", 12f, 400)
+    case "h1"         => SerifFonts(24f)
+    case "h2"         => SerifFonts(20f)
+    case "h3"         => SerifFonts(18f)
+    case "h4"         => SerifFonts(16f)
+    case "h5"         => SerifFonts(14f)
+    case "h6"         => SerifFonts(13f)
+    case "p"          => SansDefault
+    case "li"         => SansDefault
+    case "figcaption" => SansCaption
+    case "header"     => SansBand
+    case "footer"     => SansBand
+    case "sub"        => SansFootnote
+    case "math"       => MonoFormula
+    case "td"         => SansCaption
+    case "nav"        => SansNav
+    case other        => SansDefault
   }
 
   /** Tag -> DocLayNet label (mirrors ID2LABEL, layout/model.rs:69-81). */
@@ -199,6 +213,20 @@ object HtmlFront {
     else s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
   private def normalizeWs(s: String): String = {
+    // fast path: already normalized (no edge whitespace, no non-space
+    // whitespace, no double spaces) — the overwhelmingly common case for
+    // generator text; returns the SAME string, no rebuild (the rebuild was
+    // one StringBuilder + copy per DOM text node in the allocation profile)
+    val n = s.length
+    var clean = n > 0 && !s.charAt(0).isWhitespace && !s.charAt(n - 1).isWhitespace
+    var i = 0
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace && (c != ' ' || (i + 1 < n && s.charAt(i + 1).isWhitespace)))
+        clean = false
+      i += 1
+    }
+    if (clean) return s
     // collapse runs of whitespace to a single space, trim edges
     val sb = new StringBuilder
     var prevWs = true
@@ -223,7 +251,11 @@ object HtmlFront {
 
   private final class PageState(val nolb: Boolean) {
     val spanStream = new Tokenize.SpanStream
-    private var blockBB: BBox = null
+    // current block bbox as four mutable floats: a BBox instance per char
+    // (the old union-merge) was the single largest allocation site in the
+    // extraction JFR profile — one short-lived object per emitted char
+    private var bbSet = false
+    private var bbX0, bbY0, bbX1, bbY1 = 0f
     val boxes = ArrayBuffer.empty[LayoutBox]
     val ocrLines = ArrayBuffer.empty[Line]
     var bodyY: Float = BodyTop
@@ -245,13 +277,18 @@ object HtmlFront {
         0f, x0, y0, x1, y1, x0, y0, x1, y1, charIdx)
       charIdx += 1
       if (font.size != 0f) {
-        if (blockBB == null) blockBB = BBox(x0, y0, x1, y1)
-        else blockBB = BBox(math.min(blockBB.x0, x0), math.min(blockBB.y0, y0),
-          math.max(blockBB.x1, x1), math.max(blockBB.y1, y1))
+        if (!bbSet) { bbSet = true; bbX0 = x0; bbY0 = y0; bbX1 = x1; bbY1 = y1 }
+        else {
+          if (x0 < bbX0) bbX0 = x0
+          if (y0 < bbY0) bbY0 = y0
+          if (x1 > bbX1) bbX1 = x1
+          if (y1 > bbY1) bbY1 = y1
+        }
       }
     }
-    def markBlock(): Unit = blockBB = null
-    def blockBBox: Option[BBox] = Option(blockBB)
+    def markBlock(): Unit = bbSet = false
+    def blockBBox: Option[BBox] =
+      if (bbSet) Some(BBox(bbX0, bbY0, bbX1, bbY1)) else None
 
     def addBox(label: String, bbox: BBox, proba: Option[Float]): Unit = {
       val id = nextBoxId()
@@ -275,13 +312,11 @@ object HtmlFront {
         throw new ParseException(s"unsupported inline tag <$t>")
     }
     walk(children, base)
-    // join adjacent text fragments with a single space (generator contract)
-    val out = ArrayBuffer.empty[(String, Font)]
-    runs.zipWithIndex.foreach { case ((t, f), idx) =>
-      val txt = if (idx == 0) t else " " + t
-      out += ((txt, f))
-    }
-    out.toVector
+    // adjacent fragments join with a single space (generator contract);
+    // the joining space is EMITTED by layoutRuns before each run after the
+    // first, carrying that run's font — identical chars/geometry to the old
+    // `" " + t` per-fragment concat, without a fresh String per fragment
+    runs.toVector
   }
 
   /** Lay out one block's runs starting at `y0`, word-wrapped at the content
@@ -298,8 +333,17 @@ object HtmlFront {
     val lineHeight = baseFont.size * 1.2f
     var x = xLeft
     var y = y0
+    var runIdx = 0
     for ((text, font) <- runs) {
       val adv = font.size * 0.5f
+      // the single joining space between adjacent inline runs (was the
+      // first char of every non-first run before the concat was removed)
+      if (runIdx > 0) {
+        if (x + adv > xRight) { x = xLeft; y += lineHeight }
+        st.emitRaw(" ", 0, 1, font, x, y, x + adv, y + font.size)
+        x += adv
+      }
+      runIdx += 1
       var ti = 0
       while (ti < text.length) {
         val cp = text.codePointAt(ti)
