@@ -12,16 +12,29 @@ import java.text.Normalizer
   * the goldens pin exactly this behavior:
   *
   *   1. CRLF / CR → LF (ftfy `fix_line_breaks` default);
-  *   2. one round of UTF-8-read-as-Latin-1 mojibake undo ("Ã©" → "é"),
-  *      applied only when the whole string is Latin-1-encodable, its bytes
-  *      are strict UTF-8, and the decode actually changes the string;
+  *   2. UTF-8-read-as-Latin-1 mojibake undo ("Ã©" → "é"), iterated to a
+  *      fixpoint (cap 4 rounds) so DOUBLE and triple encodings — the most
+  *      common real-crawl damage after single latin-1 (ftfy's `fix_encoding`
+  *      also loops until stable) — unwind fully: "ÃÂ©" → "Ã©" → "é".
+  *      Each round applies only when the whole string is Latin-1-encodable,
+  *      its bytes are strict UTF-8, and the decode actually changes the
+  *      string, so already-correct text is never touched and termination is
+  *      guaranteed (every successful round strictly shortens the string);
   *   3. Unicode NFC normalization (ftfy `normalization="NFC"` default).
   */
 object FixText {
 
   def fixText(s: String): String = {
     val lf = fixLineBreaks(s)
-    val demoji = undoLatin1Mojibake(lf)
+    var demoji = lf
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 4) {
+      val next = undoLatin1Mojibake(demoji)
+      changed = next ne demoji // undo returns the SAME instance on no-op
+      demoji = next
+      rounds += 1
+    }
     Normalizer.normalize(demoji, Normalizer.Form.NFC)
   }
 

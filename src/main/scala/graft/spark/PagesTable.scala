@@ -68,9 +68,18 @@ object PagesTable {
     "research", "network", "compute", "storage", "memory", "thread", "kernel"
   )
 
-  private val MojibakeWords: Vector[String] =
-    // UTF-8 bytes of (café, naïve, über, señor) re-read as Latin-1.
-    Vector("cafÃ©", "naÃ¯ve", "Ã¼ber", "seÃ±or")
+  /** One round of "UTF-8 bytes re-read as Latin-1" damage. */
+  private def latin1Round(s: String): String = new String(
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  private val MojibakeWords: Vector[String] = {
+    // UTF-8 bytes of (café, naïve, über, señor) re-read as Latin-1 — once
+    // (the classic single damage) and twice (double-encoded, the most
+    // common real-crawl damage after it; fix_text unwinds both).
+    val singles = Vector("cafÃ©", "naÃ¯ve", "Ã¼ber", "seÃ±or")
+    singles ++ singles.map(latin1Round)
+  }
 
   private def sentence(rng: Rng, nWords: Int): String = {
     val sb = new StringBuilder

@@ -88,4 +88,19 @@ class RenderSpec extends AnyFunSuite {
     // e + combining acute (decomposed) -> NFC precomposed e-acute
     assert(FixText.fixText("cafe\u0301") == "caf\u00e9")
   }
+
+  test("fixText: double and triple UTF-8 mojibake unwind to a fixpoint") {
+    def damage(s: String): String = new String(
+      s.getBytes("UTF-8"), java.nio.charset.StandardCharsets.ISO_8859_1)
+    val single = damage("caf\u00e9")
+    assert(single == "caf\u00c3\u00a9")
+    val double = damage(single)
+    val triple = damage(double)
+    assert(FixText.fixText(double) == "caf\u00e9")
+    assert(FixText.fixText(triple) == "caf\u00e9")
+    assert(FixText.fixText(damage("se\u00f1or na\u00efve \u00fcber")) == "se\u00f1or na\u00efve \u00fcber")
+    assert(FixText.fixText(damage(damage("se\u00f1or na\u00efve \u00fcber"))) == "se\u00f1or na\u00efve \u00fcber")
+    // idempotence: fixed text is a fixpoint of the fixer
+    assert(FixText.fixText(FixText.fixText(double)) == FixText.fixText(double))
+  }
 }
