@@ -134,6 +134,8 @@ object SparkEntry {
       TextAnalysis.stratifiedSample(s, d)),
     "qt16_lm_score" -> ((s: SparkSession, d: String) =>
       TextAnalysis.lmScore(s, d)),
+    "qt17_quantile_hist" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.quantileHist(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
     // ---- multimodal plumbing ----
@@ -796,6 +798,27 @@ object SparkEntry {
            ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
              list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS avg_logp
          FROM lp GROUP BY doc_id""",
+    // histogram-based exact quantiles over the deterministic hash sample:
+    // integer rank math ((n-1)*p div 100 + 1, lower quantile) replays exactly
+    "qt17_quantile_hist" ->
+      """WITH s AS (
+           SELECT lang, n_chars FROM documents
+           WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#quant'), 1, 15) AS BIGINT) % 1000 < 250),
+         h AS (SELECT lang, n_chars, COUNT(*) AS cnt FROM s GROUP BY 1, 2),
+         c AS (
+           SELECT lang, n_chars, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM h),
+         t AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS n_sampled FROM h GROUP BY 1),
+         tot AS (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY 1)
+         SELECT c.lang, tot.n_total, t.n_sampled,
+           MIN(CASE WHEN cum >= ((n_sampled - 1) * 25) // 100 + 1 THEN n_chars END) AS p25,
+           MIN(CASE WHEN cum >= ((n_sampled - 1) * 50) // 100 + 1 THEN n_chars END) AS p50,
+           MIN(CASE WHEN cum >= ((n_sampled - 1) * 75) // 100 + 1 THEN n_chars END) AS p75,
+           MIN(CASE WHEN cum >= ((n_sampled - 1) * 90) // 100 + 1 THEN n_chars END) AS p90
+         FROM c JOIN t USING (lang) JOIN tot USING (lang)
+         GROUP BY c.lang, tot.n_total, t.n_sampled""",
     // stratified sample: the oracle runs the SINGLE-window per-lang top-k;
     // the Spark side runs the salted two-phase form — equality of the two IS
     // the correctness claim (any global top-k row is top-k in its bucket)

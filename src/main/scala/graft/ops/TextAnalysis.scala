@@ -450,6 +450,48 @@ object TextAnalysis {
           x => x.getField("word")), " ").as("pruned_text"))
   }
 
+  /** Per-language length-distribution quantiles (p25/p50/p75/p90 of
+    * n_chars) over a DETERMINISTIC hash sample — the corpus-profiling pass
+    * a cleaning pipeline runs to set its length cutoffs.
+    *
+    * Scale shape, two deliberate choices:
+    *  - the sample is qt7's salted-md5 predicate (reproducible across
+    *    engines/runs/parallelism, unlike rand() or reservoir sampling), so
+    *    the oracle replays membership exactly and the quantiles are EXACT
+    *    values, not approximations with an epsilon;
+    *  - quantiles come from the VALUE HISTOGRAM: groupBy (lang, n_chars)
+    *    counts, then a per-lang cumulative window over the histogram rows.
+    *    A per-lang window over raw rows would hit the q07 low-cardinality
+    *    hazard (corpus/|lang| rows per partition); the histogram has at most
+    *    |distinct n_chars| rows per lang regardless of corpus size. Rank
+    *    selection is integer math (target = (n-1)*p/100 + 1, lower quantile,
+    *    no interpolation), so both engines agree bit-for-bit.
+    */
+  def quantileHist(spark: SparkSession, dir: String, ratePerMille: Int = 250,
+      salt: String = "quant"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#"), lit(salt))), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val sampled = docs(spark, dir)
+      .filter(bucket < ratePerMille)
+      .select(col("lang"), col("n_chars"))
+    val hist = sampled.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val nSampled = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_sampled"))
+    val nTotal = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+    def q(p: Int): Column =
+      min(when(col("cum") >= expr(s"((n_sampled - 1) * $p) div 100 + 1"),
+        col("n_chars"))).as(s"p$p")
+    cum.join(nSampled, Seq("lang"))
+      .join(nTotal, Seq("lang"))
+      .groupBy(col("lang"), col("n_total"), col("n_sampled"))
+      .agg(q(25), q(50), q(75), q(90))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

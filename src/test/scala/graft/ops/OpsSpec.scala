@@ -556,6 +556,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile histogram equals brute-force quantiles of the same sample") {
+    import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.quantileHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // brute force: collect the deterministic sample, sort, index
+    val bucket = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#quant"))), 1, 15), 16, 10)
+      .cast("long") % 1000
+    val sample = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(bucket < 250).select(col("lang"), col("n_chars"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val vs = sample(lang)
+      assert(r.getAs[Long]("n_sampled") == vs.length.toLong, lang)
+      def brute(p: Int): Long = vs(((vs.length - 1) * p) / 100)
+      assert(r.getAs[Long]("p25") == brute(25), s"$lang p25")
+      assert(r.getAs[Long]("p50") == brute(50), s"$lang p50")
+      assert(r.getAs[Long]("p75") == brute(75), s"$lang p75")
+      assert(r.getAs[Long]("p90") == brute(90), s"$lang p90")
+      assert(r.getAs[Long]("p25") <= r.getAs[Long]("p90"), lang)
+    }
+  }
+
   test("multimodal decode plumbing: deterministic stub meta + frame sampling") {
     val meta = Multimodal.decodeMeta(spark, dupDir).collect()
     assert(meta.length == 10)

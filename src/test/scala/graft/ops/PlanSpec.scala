@@ -187,6 +187,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set(key, prev)
   }
 
+  test("qt17: the quantile window runs over the value HISTOGRAM, not rows") {
+    // the q07 low-cardinality hazard dodge: the per-lang cumulative window's
+    // child must be the (lang, n_chars) count aggregate, so each window
+    // partition holds at most |distinct n_chars| rows however big the corpus
+    val plan = planOf(TextAnalysis.quantileHist(spark, sf))
+    val lines = plan.linesIterator.toVector
+    val winIdx = lines.indexWhere(l => l.contains("Window ["))
+    assert(winIdx >= 0, plan)
+    // below the window (its input subtree) an aggregate keyed by both lang
+    // and n_chars must appear before any file scan
+    val below = lines.drop(winIdx + 1).takeWhile(!_.contains("FileScan"))
+    assert(below.exists(l => l.contains("HashAggregate") &&
+      l.contains("lang") && l.contains("n_chars")), plan)
+  }
+
   test("qt13 bloom verify join is size-gated, never hint-forced") {
     // the bloom bounds what crosses the wire at a fixed 4 KB, but the
     // eval-gram table grows with the eval suite — so like qt9/qt14 the
