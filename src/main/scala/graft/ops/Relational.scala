@@ -99,10 +99,11 @@ object Relational {
     * tie-break on custkey. Scale note: the partition key has only 25
     * values, so at web scale each window partition is corpus/25 — a
     * low-cardinality-key window like this should be rewritten as a
-    * groupBy(nation).agg(top-k aggregator) or pre-filtered (e.g. keep only
-    * rows above a per-nation balance sketch quantile) before the sort;
-    * kept in the canonical window form here because it is the TPC-H shape
-    * the oracle replays.
+    * groupBy(nation).agg(top-k aggregator), which is exactly what
+    * [[q19TopkAggregate]] does (bounded top_k_rank aggregate, no per-group
+    * sort; its oracle replays THIS window form, so the equivalence is
+    * hash-checked). Kept in the canonical window form here because it is
+    * the TPC-H shape the oracle replays.
     */
   def q07WindowRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_nationkey"))
