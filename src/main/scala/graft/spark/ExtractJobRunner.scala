@@ -51,12 +51,15 @@ object ExtractJobRunner {
       spark.read.parquet(input).as[PagesTable.PageRow]
 
     val store = new SnapshotStore(storeRoot)
+    val t0 = System.nanoTime()
     val extracted = ExtractJob.run(spark, pages, store, runId, partitions, balanced)
+    val wallS = (System.nanoTime() - t0) / 1e9
 
     val table = store.read(spark)
     val committed = table.map(_.count()).getOrElse(0L)
-    println(s"[graft] run=$runId extracted=$extracted committed=$committed " +
-      s"snapshot=${store.currentSnapshotId.getOrElse(-1L)}")
+    println(f"[graft] run=$runId extracted=$extracted committed=$committed " +
+      f"snapshot=${store.currentSnapshotId.getOrElse(-1L)} " +
+      f"wall_s=$wallS%.1f docs_per_sec=${(extracted / math.max(wallS, 1e-9)).toLong}")
 
     // lineage summary: byte balance across partitions (skew audit)
     import org.apache.spark.sql.functions._
