@@ -138,6 +138,8 @@ object SparkEntry {
       TextAnalysis.quantileHist(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
+    "qs5_ann_int8" -> ((s: SparkSession, d: String) =>
+      Similarity.annInt8(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -849,6 +851,33 @@ object SparkEntry {
            CAST(list_sum([abs(v) FOR v IN qv]) AS BIGINT) AS q_l1,
            CAST(list_sum([qv[i]*i FOR i IN range(1, len(qv)+1)]) AS BIGINT) AS q_checksum
          FROM q""",
+    // int8-code ANN: normalized global-scale SQ8 codes (in-order f64 norm
+    // fold, single-IEEE-op scaling) and pure-integer dot scores — the whole
+    // approximate result hash-matches, not just an epsilon bound
+    "qs5_ann_int8" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN embedding]),
+               (a, b) -> a + b) AS n2
+           FROM embeddings),
+         q AS (
+           SELECT vec_id,
+             CASE WHEN n2 = 0 THEN [CAST(0 AS BIGINT) FOR v IN embedding]
+               ELSE [CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / sqrt(n2)) AS BIGINT)
+                 FOR i IN range(1, len(embedding)+1)] END AS qv
+           FROM e),
+         s AS (
+           SELECT que.vec_id AS query_id, doc.vec_id AS neighbor_id,
+             CAST(list_sum([que.qv[i] * doc.qv[i]
+               FOR i IN range(1, len(doc.qv)+1)]) AS BIGINT) AS qdot
+           FROM q que JOIN q doc
+             ON que.vec_id < 5 AND doc.vec_id <> que.vec_id)
+         SELECT query_id, neighbor_id, rnk, qdot FROM (
+           SELECT query_id, neighbor_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS rnk
+           FROM s) WHERE rnk <= 10""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

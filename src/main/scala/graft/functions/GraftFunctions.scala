@@ -304,6 +304,20 @@ object GraftImpl {
       m.toLong, distinct.size.toLong, top, topCount.toLong, (m - 1).toLong)
   }
 
+  /** Integer dot product of two long arrays (int8-quantized codes live as
+    * longs) — exact, overflow-free for |q| <= 127 up to ~10^12 dims.
+    */
+  def dotI64(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
   /** Cosine similarity of two float arrays, accumulated in double in element
     * order (matches DuckDB's list_cosine_similarity semantics).
     */
@@ -655,6 +669,18 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_profile"
 }
 
+/** dot_i64(a, b): exact integer dot product of two ARRAY<BIGINT> codes. */
+case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftImpl.dotI64(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftImpl.dotI64($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotI64 =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_i64"
+}
+
 /** word_shingles(text, w): distinct sorted word w-grams. */
 case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -748,6 +774,8 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("repetition_profile",
       exprs => RepetitionProfile(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("dot_i64",
+      exprs => DotI64(exprs(0), exprs(1)), "built-in")
   }
 
   private[graft] def intLit(e: Expression): Int = e match {
@@ -801,6 +829,10 @@ object GraftFunctions {
 
   def repetitionProfile(text: Column): Column = {
     ensureRegistered(); call_function("repetition_profile", text)
+  }
+
+  def dotI64(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("dot_i64", a, b)
   }
 
   /** Bounded top-k-per-group aggregate: callers cast key to double and

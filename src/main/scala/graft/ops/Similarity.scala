@@ -233,6 +233,47 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** ANN over int8-QUANTIZED codes — the memory-bandwidth path of
+    * billion-scale search (FAISS SQ8 flat scan: 4x less data per candidate
+    * than f32, integer SIMD dot products). Codes here are GLOBAL-SCALE
+    * normalized SQ8: q[i] = round(v[i]/||v||_2 * 127), so the integer dot of
+    * two code vectors is uniformly proportional to an 8-bit cosine estimate
+    * — ranking by the int dot IS approximate cosine ranking, with NO float
+    * score anywhere in the output (qdot is exact integer arithmetic, which
+    * is what lets the DuckDB oracle hash-match the whole result instead of
+    * settling for an epsilon). Approximation quality vs exact f32 cosine is
+    * measured in OpsSpec (recall@k); production systems re-rank the short
+    * candidate list with the f32 vectors (the qs1 pass over k rows).
+    *
+    * Float discipline for the codes themselves: ||v||^2 accumulates f64 in
+    * ELEMENT ORDER on both engines (in-order fold), and the remaining ops
+    * (sqrt, one divide, one multiply, round-half-away) are single IEEE
+    * operations — bit-deterministic, the qs4 argument.
+    */
+  def annInt8(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val norm2 = aggregate(
+      transform(col("embedding"), v => v.cast("double") * v.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val qcol = when(col("n2") === 0d,
+        transform(col("embedding"), _ => lit(0L)))
+      .otherwise(transform(col("embedding"),
+        v => round(v.cast("double") * 127d / sqrt(col("n2"))).cast("long")))
+    val codes = embeddings(spark, dir)
+      .withColumn("n2", norm2)
+      .select(col("vec_id"), qcol.as("q"))
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", GraftFunctions.dotI64(col("qq"), col("q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("qdot"))
+  }
+
   /** Symmetric int8 quantization of the embedding column — the vector
     * COMPRESSION pass that precedes index build / storage at scale (4x
     * smaller than f32; SQ8 in the FAISS taxonomy — Johnson et al.

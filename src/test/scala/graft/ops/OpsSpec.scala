@@ -556,6 +556,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("int8-code ANN tracks exact f32 cosine ANN (recall@10 >= 0.8)") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Similarity.annBruteForce(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val quant = Similarity.annInt8(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, ids) =>
+      (quant(q) & ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean recall@10 $mean")
+    // integer scores are deterministic: re-run is identical
+    val again = Similarity.annInt8(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(again == quant)
+  }
+
   test("quantile histogram equals brute-force quantiles of the same sample") {
     import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
     val sf = "/root/testdata/sf0.001"

@@ -59,6 +59,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .getSeq[org.apache.spark.sql.Row](0)
       assert(topk.map(r => (r.getDouble(0), r.getLong(1))) ==
         Seq((3.0, 30L), (2.0, 20L)), topk.toString)
+      val dot = spark.sql(
+        "SELECT dot_i64(array(1L, -2L, 3L), array(4L, 5L, 6L)) AS d")
+        .head.getLong(0)
+      assert(dot == 4L - 10L + 18L)
       val rep = spark.sql("SELECT repetition_profile('a b a b') AS r").head
         .getStruct(0)
       assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L &&
