@@ -102,7 +102,7 @@ object CleanJob {
       * fresh text. So a batch of m docs carries ~m/3 known exact dups,
       * ~m/3 known near dups, ~m/3 admissible novelty.
       */
-    private[spark] def genBatchDoc(corpusN: Long, j: Long): DocRow = {
+    private[graft] def genBatchDoc(corpusN: Long, j: Long): DocRow = {
       val nDecades = math.max(corpusN / 10, 1L)
       val base = (j % nDecades) * 10
       val id = corpusN + j
@@ -122,7 +122,7 @@ object CleanJob {
         s"src${id % 20}", text.length.toLong)
     }
 
-    private[spark] def generateBatch(spark: SparkSession, corpusN: Long,
+    private[graft] def generateBatch(spark: SparkSession, corpusN: Long,
         m: Long, partitions: Int): Dataset[DocRow] = {
       import spark.implicits._
       spark.range(0, m, 1, partitions).as[Long]

@@ -92,6 +92,29 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming admission against the PERSISTED dedup index — the streaming
+    * face of [[graft.spark.IncrementalDedupJob]]: a docs stream is admitted
+    * per micro-batch via foreachBatch, where the full batch API (joins +
+    * aggregations against the static index tables) is available without
+    * streaming-aggregation output-mode constraints. This is the production
+    * continuous-ingest shape: the index tables refresh daily (batch job),
+    * the stream admits against the latest snapshot, and the per-batch
+    * admission output lands wherever `sink` points it. Complements
+    * [[streamingDedup]] (which handles WITHIN-stream repeats with bounded
+    * watermark state — run it upstream of this).
+    */
+  def streamingAdmission(docs: DataFrame, corpusFp: DataFrame,
+      corpusSh: DataFrame, corpusBands: DataFrame)(
+      sink: (DataFrame, Long) => Unit) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.spark.IncrementalDedupJob.admitBatch(
+            batch.toDF(), corpusFp, corpusSh, corpusBands), id)
+        }
+      }
+
   /** Streaming extraction: pages stream -> the same pure per-document
     * extraction -> foreachBatch MERGE into the snapshot store. Stateless, so
     * exactly-once lands on the store's idempotent merge.

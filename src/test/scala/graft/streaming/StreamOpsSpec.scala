@@ -119,4 +119,41 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(tbl.select("url").distinct().count() == 10)
     } finally q.stop()
   }
+
+  test("streaming admission flags each micro-batch against the static index") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-stream-admit").toString
+    // corpus + persisted index (the daily batch artifact)
+    graft.spark.CleanJob.DocCorpus.generate(spark, 1000, 4)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    graft.spark.IncrementalDedupJob.buildIndex(spark, s"$out/corpus", s"$out/index")
+    val fp = spark.read.parquet(s"$out/index/fp.parquet")
+    val sh = spark.read.parquet(s"$out/index/shingles.parquet")
+    val bands = spark.read.parquet(s"$out/index/bands.parquet")
+    val results = scala.collection.mutable.Map[Long, Array[org.apache.spark.sql.Row]]()
+    val input = MemoryStream[graft.spark.CleanJob.DocCorpus.DocRow]
+    val q = StreamOps.streamingAdmission(input.toDF(), fp, sh, bands) {
+      (admitted, id) => results.synchronized {
+        results(id) = admitted.collect() }
+    }.start()
+    try {
+      // batch 0: an exact copy of a corpus doc + a fresh doc
+      input.addData(
+        graft.spark.CleanJob.DocCorpus.genBatchDoc(1000, 0), // j%3==0: exact
+        graft.spark.CleanJob.DocCorpus.genBatchDoc(1000, 2)) // j%3==2: fresh
+      q.processAllAvailable()
+      // batch 1: a near variant
+      input.addData(graft.spark.CleanJob.DocCorpus.genBatchDoc(1000, 1))
+      q.processAllAvailable()
+      val all = results.synchronized(results.values.flatten.toSeq)
+      val byId = all.map(r => r.getLong(0) -> r).toMap
+      assert(byId(1000L).getAs[Int]("exact_dup") == 1) // exact copy flagged
+      assert(byId(1002L).getAs[Int]("exact_dup") == 0 &&
+        byId(1002L).getAs[Boolean]("admit")) // fresh doc admitted
+      assert(byId(1001L).getAs[Long]("n_near") > 0) // near variant flagged
+      assert(results.size == 2) // one admission result per micro-batch
+    } finally q.stop()
+  }
 }
