@@ -276,6 +276,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("FileScan parquet"), plan)
   }
 
+  test("qs5: int8 ANN runs the native integer dot against a broadcast query side") {
+    val plan = planOf(Similarity.annInt8(spark, sf))
+    assert(plan.contains("dot_i64"), plan)
+    // the fixed-size query set broadcasts (inequality join -> BNLJ over 5
+    // rows); the corpus side must never feed an unbroadcast cross product
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
