@@ -136,6 +136,8 @@ object SparkEntry {
       TextAnalysis.lmScore(s, d)),
     "qt17_quantile_hist" -> ((s: SparkSession, d: String) =>
       TextAnalysis.quantileHist(s, d)),
+    "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.packBins(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
     "qs5_ann_int8" -> ((s: SparkSession, d: String) =>
@@ -821,6 +823,22 @@ object SparkEntry {
            MIN(CASE WHEN cum >= ((n_sampled - 1) * 90) // 100 + 1 THEN n_chars END) AS p90
          FROM c JOIN t USING (lang) JOIN tot USING (lang)
          GROUP BY c.lang, tot.n_total, t.n_sampled""",
+    // sequence packing: the oracle runs ONE global running-sum window over
+    // the canonical doc_id order; the Spark side runs the two-phase sharded
+    // prefix sum — equality of the two IS the correctness claim
+    "qt18_pack_bins" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+         FROM c""",
     // stratified sample: the oracle runs the SINGLE-window per-lang top-k;
     // the Spark side runs the salted two-phase form — equality of the two IS
     // the correctness claim (any global top-k row is top-k in its bucket)

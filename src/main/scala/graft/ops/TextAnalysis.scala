@@ -492,6 +492,51 @@ object TextAnalysis {
       .agg(q(25), q(50), q(75), q(90))
   }
 
+  /** Deterministic SEQUENCE PACKING — the pass that turns a cleaned corpus
+    * into fixed-budget training sequences (document-contiguous concat-then-
+    * chunk packing: documents are laid out in a canonical order, the running
+    * token total places each one, and bin_id = start_offset div budget).
+    * Output: (doc_id, n_tokens, start_offset, bin_id).
+    *
+    * Scale shape: the global running sum is NOT one global window (a single
+    * reducer partition at corpus size). It is the classic TWO-PHASE PREFIX
+    * SUM: docs range-shard by doc_id (order-preserving), each shard cumsums
+    * independently (even partitions), and the S shard totals — S rows, a
+    * driver-scale frame — prefix-sum into per-shard offsets that add back.
+    * The DuckDB oracle runs the SINGLE global window over the same order,
+    * so the two-phase == global-window equality is machine-checked (the
+    * qt15 argument, applied to prefix sums). All integer math.
+    */
+  def packBins(spark: SparkSession, dir: String, budget: Long = 2048,
+      shards: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir).select(col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    // order-preserving range shard (doc_id * shards stays in long up to
+    // ~2^57 ids at 16 shards); max_id is a 1-row broadcast scalar
+    val maxId = toks.agg(max(col("doc_id")).as("max_id"))
+    val sharded = toks.crossJoin(broadcast(maxId))
+      .withColumn("shard",
+        (col("doc_id") * shards / (col("max_id") + 1)).cast("int"))
+    val w1 = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = sharded.withColumn("cum_in_shard", sum(col("n_tokens")).over(w1))
+    // exclusive prefix of the S shard totals: S rows total, so the
+    // unpartitioned window is a deliberate driver-scale step
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withCum.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("shard_tokens"))
+      .withColumn("shard_offset",
+        coalesce(sum(col("shard_tokens")).over(wOff), lit(0L)))
+      .select(col("shard"), col("shard_offset"))
+    withCum.join(offsets, Seq("shard"))
+      .withColumn("start_offset",
+        col("shard_offset") + col("cum_in_shard") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div ${budget}L").as("bin_id"))
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

@@ -573,6 +573,24 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == quant)
   }
 
+  test("pack bins: two-phase prefix sum lays documents out contiguously") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.packBins(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    var running = 0L
+    rows.foreach { case (id, n, start, bin) =>
+      assert(start == running, s"doc $id start $start != $running")
+      assert(bin == start / 2048, s"doc $id bin")
+      running += n
+    }
+    // different shard counts must give the identical global layout
+    val alt = TextAnalysis.packBins(spark, sf, shards = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(alt.toSeq == rows.toSeq)
+  }
+
   test("quantile histogram equals brute-force quantiles of the same sample") {
     import org.apache.spark.sql.functions.{col, concat, conv, lit, md5, substring}
     val sf = "/root/testdata/sf0.001"

@@ -202,6 +202,16 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("lang") && l.contains("n_chars")), plan)
   }
 
+  test("qt18: the corpus-wide running sum is sharded, not one global window") {
+    val plan = planOf(TextAnalysis.packBins(spark, sf))
+    val windows = plan.linesIterator
+      .filter(l => l.contains("Window [") && !l.contains("WindowGroupLimit")).toSeq
+    assert(windows.size == 2, plan)
+    // the full-data cumsum must exchange on the shard key (even partitions);
+    // only the S-row shard-offset window may be the single-partition one
+    assert(plan.contains("hashpartitioning(shard"), plan)
+  }
+
   test("qt13 bloom verify join is size-gated, never hint-forced") {
     // the bloom bounds what crosses the wire at a fixed 4 KB, but the
     // eval-gram table grows with the eval suite — so like qt9/qt14 the
