@@ -138,6 +138,8 @@ object SparkEntry {
       TextAnalysis.quantileHist(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packBins(s, d)),
+    "qt19_bpe_merges" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeMerges(s, d)),
     "qs4_int8_quant" -> ((s: SparkSession, d: String) =>
       Similarity.int8QuantStats(s, d)),
     "qs5_ann_int8" -> ((s: SparkSession, d: String) =>
@@ -164,8 +166,46 @@ object SparkEntry {
           sum(when(col("parse_status") === "ok", 1).otherwise(0)).as("ok_docs")))
   )
 
+  /** qt19's oracle, generated: the BPE trainer's k rounds UNROLLED as a CTE
+    * chain — per round, a weighted adjacent-pair count over the word-type
+    * symbol lists, the (count DESC, l ASC, r ASC) argmax, and the greedy
+    * left-to-right merge as a list_reduce fold (an in-pass merged token
+    * never re-merges because l||r != l, same as the native expression).
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH w AS (
+           SELECT string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         t AS (
+           SELECT word, COUNT(*) AS cnt
+           FROM (SELECT unnest(words) AS word FROM w) WHERE word <> ''
+           GROUP BY word),
+         w0 AS (SELECT cnt, [word[i:i] FOR i IN range(1, len(word)+1)] AS syms FROM t)"""
+    val rounds = (1 to k).map { i =>
+      s""",
+         p$i AS (
+           SELECT pr[1] AS l, pr[2] AS r, SUM(cnt) AS c
+           FROM (SELECT cnt, unnest([[syms[j], syms[j+1]] FOR j IN range(1, len(syms))]) AS pr FROM w${i - 1})
+           GROUP BY 1, 2),
+         b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         w$i AS (
+           SELECT cnt,
+             list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$i.l AND x[1] = b$i.r
+                 THEN list_append(acc[1:len(acc)-1], b$i.l || b$i.r)
+                 ELSE list_append(acc, x[1]) END) AS syms
+           FROM w${i - 1} CROSS JOIN b$i)"""
+    }.mkString
+    val unions = (1 to k).map(i =>
+      s"SELECT $i AS rank, l AS sym_l, r AS sym_r, CAST(c AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\n         UNION ALL ")
+    s"$head$rounds\n         $unions"
+  }
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    "qt19_bpe_merges" -> bpeOracleSql(8),
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -304,6 +304,26 @@ object GraftImpl {
       m.toLong, distinct.size.toLong, top, topCount.toLong, (m - 1).toLong)
   }
 
+  /** One greedy left-to-right BPE merge pass: replace non-overlapping
+    * adjacent (l, r) symbol pairs with l||r. Matches the sequential fold
+    * semantics exactly (a token produced by a merge in this pass never
+    * re-merges, because l||r != l).
+    */
+  def bpeMergePair(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val s = syms.getUTF8String(i)
+      if (!out.isEmpty && out.get(out.size - 1).equals(l) && s.equals(r))
+        out.set(out.size - 1, UTF8String.concat(l, r))
+      else out.add(s)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
   /** Integer dot product of two long arrays (int8-quantized codes live as
     * longs) — exact, overflow-free for |q| <= 127 up to ~10^12 dims.
     */
@@ -681,6 +701,21 @@ case class DotI64(left: Expression, right: Expression) extends BinaryExpression 
   override def prettyName: String = "dot_i64"
 }
 
+/** bpe_merge(syms, l, r): one greedy left-to-right BPE merge pass. */
+case class BpeMerge(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(syms: Any, l: Any, r: Any): Any =
+    GraftImpl.bpeMergePair(syms.asInstanceOf[ArrayData],
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, c) => s"graft.functions.GraftImpl.bpeMergePair($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): BpeMerge = copy(first = f, second = s, third = t)
+  override def prettyName: String = "bpe_merge"
+}
+
 /** word_shingles(text, w): distinct sorted word w-grams. */
 case class WordShingles(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -776,6 +811,8 @@ object GraftFunctions {
       exprs => RepetitionProfile(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_i64",
       exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("bpe_merge",
+      exprs => BpeMerge(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   private[graft] def intLit(e: Expression): Int = e match {
@@ -833,6 +870,10 @@ object GraftFunctions {
 
   def dotI64(a: Column, b: Column): Column = {
     ensureRegistered(); call_function("dot_i64", a, b)
+  }
+
+  def bpeMerge(syms: Column, l: Column, r: Column): Column = {
+    ensureRegistered(); call_function("bpe_merge", syms, l, r)
   }
 
   /** Bounded top-k-per-group aggregate: callers cast key to double and

@@ -537,6 +537,66 @@ object TextAnalysis {
         expr(s"start_offset div ${budget}L").as("bin_id"))
   }
 
+  /** BPE VOCABULARY TRAINING — the tokenizer-training loop (Sennrich et al.
+    * "Neural Machine Translation of Rare Words with Subword Units", 2016)
+    * as iterative Spark dataflow: start from characters, repeatedly take the
+    * corpus-wide most frequent adjacent symbol pair (ties: lexicographic on
+    * (left, right)) and merge its non-overlapping occurrences greedily
+    * left-to-right. Output: the merge table (rank, sym_l, sym_r,
+    * pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale shape: training runs on WORD TYPES with counts (vocabulary-sized,
+    * not corpus-sized — the standard BPE trick), so each round is one
+    * pair-explode + groupBy over the type table, a 1-row argmax collect
+    * (the driver-side trainer step, like the IVF quantizer), and a map-only
+    * rewrite through the native bpe_merge expression. Iterative-dataflow
+    * invariant applies: the type table localCheckpoints every round.
+    * The DuckDB oracle UNROLLS the same k rounds (generated CTE chain) with
+    * the greedy rewrite as a list_reduce fold — every merge, tie-break and
+    * count is replayed exactly.
+    */
+  def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    var types = docs(spark, dir)
+      .select(explode(norm).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(split(col("word"), "").as("syms"), col("cnt"))
+      .localCheckpoint(true)
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    try {
+      while (rank <= k && !exhausted) {
+        val pairs = types
+          .select(col("cnt"), posexplode(when(size(col("syms")) >= 2,
+            expr("transform(sequence(0, size(syms) - 2), " +
+              "i -> struct(element_at(syms, i + 1) AS l, element_at(syms, i + 2) AS r))"))
+            .otherwise(array().cast("array<struct<l:string,r:string>>")))
+            .as(Seq("pos", "pr")))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum(col("cnt")).as("c"))
+        val best = pairs.orderBy(col("c").desc, col("l").asc, col("r").asc)
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) = (best(0).getString(0), best(0).getString(1),
+            best(0).getLong(2))
+          merges += ((rank, l, r, c))
+          val next = types.select(
+            graft.functions.GraftFunctions
+              .bpeMerge(col("syms"), lit(l), lit(r)).as("syms"),
+            col("cnt")).localCheckpoint(true)
+          types = next
+          rank += 1
+        }
+      }
+    } finally ()
+    val ss = spark
+    import ss.implicits._
+    merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")
+  }
+
   /** Document fingerprints: normalized-md5 (exact dedup key) plus the
     * SimHash64 rolling 64-bit fingerprint (near-dup key, custom expression).
     */

@@ -573,6 +573,46 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == quant)
   }
 
+  test("BPE merges match an in-memory reference trainer on the dup corpus") {
+    // reference: word-type BPE with the same greedy left-to-right merge and
+    // (count DESC, l ASC, r ASC) tie-break
+    def refBpe(texts: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      var types: Map[Vector[String], Long] = texts
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, c) => w.toVector.map(_.toString) -> c }
+      val out = Vector.newBuilder[(Int, String, String, Long)]
+      for (rank <- 1 to k) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        for ((syms, c) <- types; i <- 0 until syms.length - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + c
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((rank, l, r, c))
+          types = types.groupMapReduce { case (syms, _) =>
+            val merged = Vector.newBuilder[String]
+            var acc = Vector.empty[String]
+            syms.foreach { s =>
+              if (acc.nonEmpty && acc.last == l && s == r)
+                acc = acc.init :+ (l + r)
+              else acc = acc :+ s
+            }
+            acc
+          }(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    val texts = spark.read.parquet(s"$dupDir/documents.parquet")
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = refBpe(texts, 8)
+    val got = TextAnalysis.bpeMerges(spark, dupDir, 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == expected, s"\ngot      $got\nexpected $expected")
+  }
+
   test("pack bins: two-phase prefix sum lays documents out contiguously") {
     val sf = "/root/testdata/sf0.001"
     val rows = TextAnalysis.packBins(spark, sf).collect()

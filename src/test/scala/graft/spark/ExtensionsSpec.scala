@@ -63,6 +63,10 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT dot_i64(array(1L, -2L, 3L), array(4L, 5L, 6L)) AS d")
         .head.getLong(0)
       assert(dot == 4L - 10L + 18L)
+      val bpe = spark.sql(
+        "SELECT bpe_merge(array('a','a','a','b'), 'a', 'a') AS m")
+        .head.getSeq[String](0)
+      assert(bpe == Seq("aa", "a", "b"), bpe.toString) // greedy, non-overlapping
       val rep = spark.sql("SELECT repetition_profile('a b a b') AS r").head
         .getStruct(0)
       assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L &&
