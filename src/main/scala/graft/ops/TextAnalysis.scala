@@ -567,6 +567,11 @@ object TextAnalysis {
     var rank = 1
     var exhausted = false
     try {
+      // each round's localCheckpoint(true) pins a block set in executor
+      // storage; release the superseded round as soon as its successor has
+      // materialized (same resource discipline as connectedComponents' edge
+      // cache) — otherwise k+1 checkpointed type tables stay pinned for the
+      // session lifetime
       while (rank <= k && !exhausted) {
         val pairs = types
           .select(col("cnt"), posexplode(when(size(col("syms")) >= 2,
@@ -587,11 +592,12 @@ object TextAnalysis {
             graft.functions.GraftFunctions
               .bpeMerge(col("syms"), lit(l), lit(r)).as("syms"),
             col("cnt")).localCheckpoint(true)
+          types.unpersist()
           types = next
           rank += 1
         }
       }
-    } finally ()
+    } finally types.unpersist()
     val ss = spark
     import ss.implicits._
     merges.result().toDF("rank", "sym_l", "sym_r", "pair_count")

@@ -131,7 +131,10 @@ object IncrementalDedupRunner {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: IncrementalDedupRunner <corpusPath|gen:N> <outDir> [partitions]")
+      "usage: IncrementalDedupRunner <corpusPath|gen:N> <outDir> [partitions]\n" +
+        "  gen:N        generate corpus + batch under <outDir>\n" +
+        "  <corpusPath> read <corpusPath>/documents.parquet as the corpus; " +
+        "the ingest batch MUST already exist at <outDir>/batch/documents.parquet")
     val input = args(0)
     val outDir = args(1)
     val builder = SparkSession.builder()
@@ -160,7 +163,13 @@ object IncrementalDedupRunner {
       batch.write.mode("overwrite").parquet(s"$outDir/batch/documents.parquet")
       (dir, spark.read.parquet(s"$outDir/batch/documents.parquet"), n)
     } else {
-      val batch = spark.read.parquet(s"$outDir/batch/documents.parquet")
+      // fail fast with a usage-grade message instead of an opaque
+      // parquet-not-found deep inside the read (ADVICE r4)
+      val batchPath = s"$outDir/batch/documents.parquet"
+      require(new java.io.File(batchPath).exists(),
+        s"no ingest batch found at $batchPath — with a real <corpusPath> the " +
+          "batch to admit must be staged there first (gen:N stages one for you)")
+      val batch = spark.read.parquet(batchPath)
       (input, batch, -1L)
     }
 
