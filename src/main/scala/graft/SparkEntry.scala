@@ -203,6 +203,28 @@ object SparkEntry {
     s"$head$rounds\n         $unions"
   }
 
+  /** DuckDB replay of [[graft.ops.Multimodal.mediaTable]]'s payload
+    * construction, byte for byte: PNG signature + IHDR (doc_id-derived
+    * width/height as big-endian u32) for doc_id%3==0, JPEG SOI + APP0/JFIF +
+    * SOF0 (height/width as big-endian u16) for doc_id%3==1, raw UTF-8 text
+    * bytes otherwise. The Spark side PARSES dimensions back out of these
+    * bytes, so qm oracle hash-matches certify the header decoder.
+    */
+  private val MediaPayloadSql =
+    """SELECT doc_id, text,
+         CASE WHEN doc_id % 3 = 0 THEN
+           from_hex('89504E470D0A1A0A0000000D49484452') ||
+           from_hex(lpad(to_hex(100 + doc_id % 1800), 8, '0')) ||
+           from_hex(lpad(to_hex(80 + (doc_id * 7) % 1000), 8, '0')) ||
+           from_hex('080600000000000000') || encode(text)
+         WHEN doc_id % 3 = 1 THEN
+           from_hex('FFD8FFE000104A46494600010100000100010000FFC0001108') ||
+           from_hex(lpad(to_hex(80 + (doc_id * 7) % 1000), 4, '0')) ||
+           from_hex(lpad(to_hex(100 + doc_id % 1800), 4, '0')) ||
+           from_hex('03011100021101031101') || encode(text)
+         ELSE encode(text) END AS payload
+       FROM documents"""
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qt19_bpe_merges" -> bpeOracleSql(8),
@@ -984,46 +1006,59 @@ object SparkEntry {
                 WHEN de_hits = GREATEST(en_hits, fr_hits, de_hits, es_hits) THEN 'de'
                 ELSE 'es' END) = labeled_lang THEN 1 ELSE 0 END AS INT) AS lang_agree
          FROM h""",
+    // qm oracles REPLAY the generator's real-header payload construction
+    // (PNG sig+IHDR / JPEG SOI+APP0+SOF0 prefixes with doc_id-derived
+    // dimensions) byte for byte; the Spark side PARSES those bytes back, so
+    // the hash match is a differential test of the header decoder
     "qm1_binary_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-         substr(hex(encode(text)), 1, 8) AS magic_hex
-         FROM documents""",
+      s"""WITH p AS ($MediaPayloadSql)
+         SELECT doc_id, octet_length(payload) AS n_bytes,
+         substr(hex(payload), 1, 8) AS magic_hex
+         FROM p""",
     "qm2_decode_meta" ->
-      """WITH m AS (
-           SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-             hex(encode(text)) AS h
-           FROM documents),
+      s"""WITH p AS ($MediaPayloadSql),
+         m AS (
+           SELECT doc_id, octet_length(payload) AS n_bytes,
+             octet_length(encode(text)) AS text_bytes,
+             hex(payload) AS h
+           FROM p),
          s AS (
-           SELECT doc_id, n_bytes,
+           SELECT doc_id, n_bytes, text_bytes,
              list_sum([CAST('0x' || h[i:i+1] AS BIGINT)
                FOR i IN range(1, len(h)+1, 2)]) AS byte_sum
            FROM m)
          SELECT doc_id, n_bytes,
-           CASE WHEN n_bytes % 3 = 0 THEN 'png'
-                WHEN n_bytes % 3 = 1 THEN 'jpeg' ELSE 'webm' END AS format,
-           CAST(64 + (n_bytes % 512) AS INT) AS width,
-           CAST(64 + ((n_bytes // 7) % 512) AS INT) AS height,
-           CAST(1 + (n_bytes % 30) AS INT) AS n_frames,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webm' END AS format,
+           CAST(CASE WHEN doc_id % 3 <= 1 THEN 100 + doc_id % 1800
+                ELSE 64 + (text_bytes % 512) END AS INT) AS width,
+           CAST(CASE WHEN doc_id % 3 <= 1 THEN 80 + (doc_id * 7) % 1000
+                ELSE 64 + ((text_bytes // 7) % 512) END AS INT) AS height,
+           CAST(CASE WHEN doc_id % 3 <= 1 THEN 1
+                ELSE 1 + (text_bytes % 30) END AS INT) AS n_frames,
            floor(sqrt(CAST(byte_sum AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS feature_norm
          FROM s""",
     "qm3_frame_sample" ->
       """WITH f AS (
            SELECT doc_id,
-             CAST(1 + (octet_length(encode(text)) % 30) AS INT) AS n_frames
+             CAST(CASE WHEN doc_id % 3 <= 1 THEN 1
+               ELSE 1 + (octet_length(encode(text)) % 30) END AS INT) AS n_frames
            FROM documents)
          SELECT doc_id, n_frames, frame_idx,
            CAST(doc_id AS VARCHAR) || '#' || CAST(frame_idx AS VARCHAR) AS frame_key
          FROM (SELECT doc_id, n_frames,
                  unnest(range(0, CAST(n_frames AS BIGINT), 10)) AS frame_idx
                FROM f)""",
-    // the reference's letterbox preprocessing math over the stub meta
+    // the reference's letterbox preprocessing math over the decoded meta
     "qm4_letterbox" ->
       """WITH m AS (
            SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
          dims AS (
            SELECT doc_id,
-             CAST(64 + (n_bytes % 512) AS INT) AS width,
-             CAST(64 + ((n_bytes // 7) % 512) AS INT) AS height
+             CAST(CASE WHEN doc_id % 3 <= 1 THEN 100 + doc_id % 1800
+               ELSE 64 + (n_bytes % 512) END AS INT) AS width,
+             CAST(CASE WHEN doc_id % 3 <= 1 THEN 80 + (doc_id * 7) % 1000
+               ELSE 64 + ((n_bytes // 7) % 512) END AS INT) AS height
            FROM m),
          s AS (
            SELECT doc_id, width, height,

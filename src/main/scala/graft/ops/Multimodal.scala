@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-sized batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`StubDecoder`) — but the Spark-side
-  * plumbing is real and tested: binary column handling, typed metadata
-  * structs, batched `mapPartitions` with a per-partition decoder instance
-  * (the Scala analogue of `mapInPandas` batch shape: amortize decoder init
-  * across the partition, never per row).
+  * Image METADATA decode is REAL: `MediaDecoder` parses PNG IHDR and JPEG
+  * SOF headers from the raw bytes, pure JVM, no codec dependency (the
+  * reference's letterbox stage consumes exactly these dimensions,
+  * layout/model.rs:334-398). Pixel decode remains out of scope for this
+  * container (no codecs); non-image payloads fall back to a clearly-marked
+  * deterministic stub. The Spark-side plumbing is real and tested: binary
+  * column handling, typed metadata structs, batched `mapPartitions` with a
+  * per-partition decoder instance (the Scala analogue of `mapInPandas`
+  * batch shape: amortize decoder init across the partition, never per row).
   */
 object Multimodal {
 
@@ -26,29 +29,114 @@ object Multimodal {
       feature_norm: Double
   )
 
-  /** STUB decoder: stands in for an image/audio codec. Deterministic fake —
-    * dimensions and frame counts derived from the payload bytes. A real
-    * deployment swaps this object for e.g. a JNI codec; the call shape
-    * (init-once-per-partition, byte-array in, meta out) is the contract.
+  /** Header-level media decoder. PNG and JPEG dimensions are parsed from
+    * the actual byte layout (PNG signature + IHDR; JPEG marker-segment scan
+    * to the first SOF frame header). Payloads that are neither fall back to
+    * the deterministic stub a real deployment would replace with a JNI
+    * codec; the call shape (init-once-per-partition, byte-array in, meta
+    * out) is the contract either way.
     */
-  object StubDecoder {
-    def decode(bytes: Array[Byte]): (String, Int, Int, Int) = {
-      // ??? real codec goes here — deterministic fake below
-      val n = bytes.length
-      val fmt = n % 3 match { case 0 => "png"; case 1 => "jpeg"; case _ => "webm" }
-      (fmt, 64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30))
+  object MediaDecoder {
+
+    private final val PngSig =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def be4(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+        ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+    private def be2(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (the spec REQUIRES it
+      * first): 4-byte length, "IHDR", width (4, big-endian), height (4).
+      */
+    def pngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 &&
+          java.util.Arrays.equals(b, 0, 8, PngSig, 0, 8) &&
+          b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R') {
+        val w = be4(b, 16); val h = be4(b, 20)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+
+    /** JPEG: SOI, then marker segments (each FF <marker> <len16> ...)
+      * skipped by their embedded length until the first SOF frame header
+      * (C0-CF except C4/C8/CC), whose payload is
+      * precision(1) height(2) width(2).
+      */
+    def jpegDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+        return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None // desynced: not a marker
+        val m = b(i + 1) & 0xff
+        if (m == 0xff) { i += 1 } // fill bytes before a marker are legal
+        else if (m >= 0xd0 && m <= 0xd9) { i += 2 } // RST/SOI/EOI: no payload
+        else {
+          val len = be2(b, i + 2)
+          if (len < 2 || i + 2 + len > b.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            m != 0xcc
+          if (isSof) {
+            if (len < 7) return None
+            val h = be2(b, i + 5); val w = be2(b, i + 7)
+            return if (w > 0 && h > 0) Some((w, h)) else None
+          }
+          i += 2 + len
+        }
+      }
+      None
     }
+
+    def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
+      pngDims(bytes).map { case (w, h) => ("png", w, h, 1) }
+        .orElse(jpegDims(bytes).map { case (w, h) => ("jpeg", w, h, 1) })
+        .getOrElse {
+          // deterministic STUB for non-image payloads (video stand-in): a
+          // real codec goes here — dimensions/frames derived from the bytes
+          val n = bytes.length
+          ("webm", 64 + (n % 512), 64 + ((n / 7) % 512), 1 + (n % 30))
+        }
   }
 
-  /** Derive a binary "media" table from documents: payload = UTF-8 bytes of
-    * the text (the opaque-bytes stand-in), plus the passthrough metadata a
-    * real pipeline would carry (capture ts, source).
+  /** The embedded test dimensions, derived from doc_id (NOT payload length):
+    * the generator writes them into real header bytes, the decoder must get
+    * them back out by parsing — the oracle recomputes them from this formula,
+    * so any parser bug breaks the hash match.
     */
-  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+  private def embW = (lit(100) + col("doc_id") % 1800).cast("int")
+  private def embH = (lit(80) + (col("doc_id") * 7) % 1000).cast("int")
+
+  private def be(width: Int)(c: org.apache.spark.sql.Column) =
+    unhex(lpad(hex(c), width * 2, "0"))
+
+  /** Derive a binary "media" table from documents: every third doc gets a
+    * REAL PNG byte prefix (signature + IHDR with doc_id-derived dimensions),
+    * every third a REAL JPEG prefix (SOI + APP0/JFIF + SOF0 — the SOF sits
+    * BEHIND a skippable segment so the decoder's marker scan is exercised),
+    * and the rest stay raw UTF-8 text bytes (the non-image fallback path);
+    * plus the passthrough metadata a real pipeline would carry.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame = {
+    val text = encode(col("text"), "UTF-8")
+    val png = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // sig + len(13) + IHDR
+      be(4)(embW), be(4)(embH),
+      unhex(lit("080600000000000000")), // depth 8, RGBA, std, + CRC slot
+      text)
+    val jpeg = concat(
+      unhex(lit("FFD8FFE000104A46494600010100000100010000FFC0001108")),
+      be(2)(embH), be(2)(embW), // SOF0 stores height first
+      unhex(lit("03011100021101031101")), // 3 components
+      text)
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
+        when(col("doc_id") % 3 === 0, png)
+          .when(col("doc_id") % 3 === 1, jpeg)
+          .otherwise(text).as("payload"),
         col("source"), col("lang"))
+  }
 
   /** Metadata-only pass: pure column derivations over the binary payload —
     * no decode, scan stays pruned to (doc_id, payload).
@@ -71,7 +159,7 @@ object Multimodal {
       .mapPartitions { it =>
         // decoder/session init would happen HERE, once per partition
         it.map { case (id, bytes) =>
-          val (fmt, w, h, frames) = StubDecoder.decode(bytes)
+          val (fmt, w, h, frames) = MediaDecoder.decode(bytes)
           // fake feature vector norm: deterministic from bytes
           val norm = math.sqrt(bytes.iterator.map(b => (b & 0xff).toDouble).sum)
           MediaMeta(id, bytes.length.toLong, fmt, w, h, frames,
@@ -84,8 +172,9 @@ object Multimodal {
     * preprocessing math (scale_wh: r = min(W/w, H/h), resize to
     * (round(w*r), round(h*r)), pad the rest with 144/255 —
     * layout/model.rs:334-400) as a declarative column op over the decoded
-    * media meta. The raster resize itself belongs to the decode stage
-    * (StubDecoder territory: no codecs in this container); this op emits the
+    * media meta (REAL header-parsed dimensions for the png/jpeg rows). The
+    * raster resize itself belongs to the pixel-decode stage a real codec
+    * would provide (none in this container); this op emits the
     * exact spec a vision-model batcher needs, including the letterbox
     * margins used to project detections back to image space. Math runs in
     * f64 (the analytics side; the reference's f32 rounds to the same

@@ -661,6 +661,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val meta = Multimodal.decodeMeta(spark, dupDir).collect()
     assert(meta.length == 10)
     assert(meta.forall(m => m.n_bytes > 0 && m.width >= 64 && m.n_frames >= 1))
+    // real-header rows: the generator embeds doc_id-derived dimensions into
+    // actual PNG IHDR / JPEG SOF bytes; decode must parse them back out
+    meta.foreach { m =>
+      m.doc_id % 3 match {
+        case 0 =>
+          assert(m.format == "png" && m.n_frames == 1, m.toString)
+          assert(m.width == 100 + m.doc_id % 1800, m.toString)
+          assert(m.height == 80 + (m.doc_id * 7) % 1000, m.toString)
+        case 1 =>
+          assert(m.format == "jpeg" && m.n_frames == 1, m.toString)
+          assert(m.width == 100 + m.doc_id % 1800, m.toString)
+          assert(m.height == 80 + (m.doc_id * 7) % 1000, m.toString)
+        case _ => assert(m.format == "webm", m.toString)
+      }
+    }
     val again = Multimodal.decodeMeta(spark, dupDir).collect()
     assert(meta.sortBy(_.doc_id).sameElements(again.sortBy(_.doc_id)))
     val frames = Multimodal.sampleFrames(spark, dupDir).collect()
