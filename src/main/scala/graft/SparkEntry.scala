@@ -90,6 +90,8 @@ object SparkEntry {
       Dedup.incrementalDedup(s, d)),
     "qd10_lsh_dedup_closure" -> ((s: SparkSession, d: String) =>
       Dedup.lshDedupClosure(s, d)),
+    "qd11_ppjoin_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.ppjoinPairs(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -765,6 +767,49 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
              ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
          FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
+    // AllPairs/PPJoin exact similarity join: df-ordered prefixes, length +
+    // positional filters, the 4096 token cap, and the exact-Jaccard verify —
+    // all replayed. DOUBLE casts matter: DuckDB parses 0.8 as DECIMAL, whose
+    // exact products diverge from Spark's f64 at the ceil/compare boundaries.
+    "qd11_ppjoin_pairs" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh0 AS (
+           SELECT doc_id, list_sort(list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> ''))) AS sh
+           FROM w),
+         shn AS (SELECT doc_id, sh, len(sh) AS n FROM sh0 WHERE len(sh) > 0),
+         tok AS (SELECT doc_id, n, unnest(sh) AS tok FROM shn),
+         dfreq AS (SELECT tok, COUNT(*) AS df FROM tok GROUP BY tok),
+         ordd AS (
+           SELECT t.doc_id, t.n,
+             [x.tok FOR x IN list_sort(list({'df': d.df, 'tok': t.tok}))] AS toks
+           FROM tok t JOIN dfreq d USING (tok)
+           GROUP BY t.doc_id, t.n),
+         pref AS (
+           SELECT doc_id, n, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS ptok
+           FROM ordd CROSS JOIN UNNEST(range(1,
+             CAST(n - ceil(CAST(0.8 AS DOUBLE) * n) + 1 AS INT) + 1)) AS u(i)),
+         cap AS (SELECT ptok FROM pref GROUP BY ptok HAVING COUNT(*) <= 4096),
+         adm AS (SELECT p.* FROM pref p JOIN cap USING (ptok)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM adm a JOIN adm b
+             ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+            AND b.n >= CAST(0.8 AS DOUBLE) * a.n
+            AND a.n >= CAST(0.8 AS DOUBLE) * b.n
+            AND 1 + LEAST(a.n - a.pos, b.n - b.pos) >=
+                CEIL(CAST(0.8 AS DOUBLE) / CAST(1.8 AS DOUBLE) * (a.n + b.n)))
+         SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+                 len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+         FROM cand c JOIN shn sa ON c.doc_a = sa.doc_id
+                     JOIN shn sb ON c.doc_b = sb.doc_id
+         WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+               len(list_distinct(sa.sh || sb.sh)) >= CAST(0.8 AS DOUBLE)""",
     // KMV sketch content replayed exactly: the k smallest distinct 60-bit
     // md5-half hashes of the bigram vocabulary, ascending
     "qt12_kmv_distinct" ->

@@ -384,10 +384,25 @@ object Dedup {
     // block list never has to fit on the driver (at web scale it is
     // O(distinct blocks), compact but unbounded)
     val base = ngramBase(spark, dir, shingleSize, bucketWords)
+    // explicit block-key repartition BEFORE the self-join: it is the same
+    // exchange a shuffle join would need anyway (so both sides still share
+    // one ReusedExchange), and it guarantees the per-pair Jaccard verify
+    // runs data-parallel even when the scan arrives as a single split —
+    // measured at sf0.1: the whole 141k-pair verify otherwise lands in ONE
+    // task (the sub-128MB parquet is one split, and AQE's broadcast join
+    // inherits the probe side's 1-partition layout): 2.6 s serial vs ~1 s
+    // distributed. At cluster scale the scan has thousands of splits and
+    // this exchange is exactly the join's own shuffle — no extra cost.
+    // The count is PINNED to the session's shuffle sizing because AQE's
+    // coalescing keys on shuffle BYTES and cannot see the quadratic
+    // per-block verify compute behind them (measured: it folded 32
+    // partitions back to 2).
     val admitted = base.join(
       blockSizes(base).filter(col("n_in_block") <= maxBucket)
         .drop("n_in_block"),
       Seq("lang", "len_bucket"))
+      .repartition(spark.sessionState.conf.numShufflePartitions,
+        col("lang"), col("len_bucket"))
     admitted.as("a").join(admitted.as("b"),
         col("a.lang") === col("b.lang") &&
           col("a.len_bucket") === col("b.len_bucket") &&
@@ -421,6 +436,103 @@ object Dedup {
       .filter(col("n_in_block") > maxBucket)
       .withColumn("dropped_pairs",
         col("n_in_block") * (col("n_in_block") - 1) / lit(2))
+
+  /** EXACT similarity self-join via PREFIX FILTERING — the AllPairs/PPJoin
+    * family (Bayardo, Ma, Srikant "Scaling Up All Pairs Similarity Search",
+    * WWW'07; Xiao et al. "Efficient Similarity Joins for Near Duplicate
+    * Detection", WWW'08): unlike qd4's (lang, len_bucket) heuristic blocking
+    * or qd7's probabilistic LSH, the prefix filter is LOSSLESS — every pair
+    * with Jaccard >= t is guaranteed to collide on a candidate key.
+    *
+    * Two theorems drive the candidate generation:
+    *  - LENGTH filter: J(A,B) >= t implies t*|A| <= |B| (and symmetrically),
+    *    since |A cap B| <= min and |A cup B| >= max;
+    *  - PREFIX filter: order all tokens by a GLOBAL total order and keep each
+    *    set's first |x| - ceil(t*|x|) + 1 tokens; if the prefixes of A and B
+    *    are disjoint, then J(A,B) < t. (If all common tokens sat past A's
+    *    prefix, A alone would cap the overlap below ceil(t*|A|).)
+    *
+    * The global order is ASCENDING DOCUMENT FREQUENCY (ties: lexicographic) —
+    * the AllPairs heuristic that puts the RAREST tokens in the prefix, so
+    * candidate buckets are the small ones. That needs one corpus df
+    * aggregation (vocabulary-sized output, plain AQE-gated join per the
+    * repo's broadcast rule) and a per-doc re-sort; then one exploded
+    * prefix-token self-join (length filter applied on the match, ids-only
+    * distinct) and the usual exact-Jaccard verify. `maxToken` caps pathologic
+    * prefix-token buckets exactly like qd4/qd7's caps (dropping a bucket
+    * sacrifices losslessness for that token only, diagnosable, and the
+    * oracle replays the cap).
+    *
+    * On top of AllPairs, PPJoin's POSITIONAL filter prunes collisions by
+    * where the shared token sits: overlap <= 1 + min(|A|-i, |B|-j) for a
+    * common token at (1-based) prefix positions i/j, and J >= t needs
+    * overlap >= ceil(t/(1+t) * (|A|+|B|)). Losslessness: the FIRST common
+    * token in the global order is provably inside both prefixes (else either
+    * side's suffix alone caps the overlap below the requirement) and for it
+    * the bound exceeds the true overlap, so every qualifying pair survives
+    * at least one collision.
+    *
+    * Measured at sf0.1 (5000 docs, t=0.8): 12.497M brute pairs -> 1.50M
+    * prefix+length candidates -> 663k after the positional filter (18.9x),
+    * 256 verified pairs — identical to brute force (OpsSpec differential;
+    * the synthetic generator's tiny vocabulary makes this the prefix
+    * filter's WORST case: real web n-grams are far more skewed-rare).
+    */
+  def ppjoinPairs(
+      spark: SparkSession,
+      dir: String,
+      shingleSize: Int = 2,
+      threshold: Double = 0.8,
+      maxToken: Int = 4096
+  ): DataFrame = {
+    val base = shingleBase(spark, dir, shingleSize)
+    // ids-only candidate exchange pinned wide (qd4's lesson: AQE coalesces
+    // on shuffle BYTES and would serialize the per-pair verify compute)
+    val cand = ppjoinCandidates(base, threshold, maxToken)
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_a"))
+    val sa = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Candidate (doc_a, doc_b) pairs from the prefix-token join — exposed so
+    * the losslessness/reduction spec can count them.
+    */
+  private[graft] def ppjoinCandidates(base: DataFrame, threshold: Double,
+      maxToken: Int): DataFrame = {
+    val toks = base.select(col("doc_id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("tok"))
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // re-sort each doc's tokens by (df, tok) — array_sort on structs orders
+    // by fields in sequence, a deterministic global total order
+    val ordered = toks.join(dfreq, "tok")
+      .groupBy(col("doc_id"))
+      .agg(first(col("n")).as("n"),
+        array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"))
+    // (doc_id, n, 1-based prefix position, token)
+    val prefix = ordered
+      .select(col("doc_id"), col("n"),
+        posexplode(slice(expr("transform(ord, x -> x.tok)"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
+          .as(Seq("pos0", "ptok")))
+      .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("ptok"))
+    val admitted = capBuckets(prefix, "ptok", maxToken)
+    admitted.as("a").join(admitted.as("b"),
+        col("a.ptok") === col("b.ptok") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") >= lit(threshold) * col("a.n") &&
+          col("a.n") >= lit(threshold) * col("b.n") &&
+          // positional filter (see scaladoc): overlap upper bound from the
+          // collision position must clear the J>=t overlap requirement
+          lit(1) + least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) >=
+            ceil(lit(threshold / (1 + threshold)) * (col("a.n") + col("b.n"))))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** Connected components over an undirected edge list (columns doc_a,
     * doc_b): one row per clustered node, (doc_id, label = component's min

@@ -657,6 +657,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ppjoin prefix-filtered similarity join equals brute force (lossless)") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val t = 0.8
+    // brute force: every pair, exact Jaccard — the ground truth the prefix
+    // + length + positional filters must not lose a single pair of
+    val base = Dedup.shinglesOf(
+      spark.read.parquet(s"$sf/documents.parquet"), 2)
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pp = Dedup.ppjoinPairs(spark, sf, threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pp == brute, s"ppjoin=${pp.size} brute=${brute.size}")
+    // the point of the filters: candidates well under the quadratic count
+    val nDocs = base.count()
+    val nCand = Dedup.ppjoinCandidates(base, t, 4096).count()
+    val nBrute = nDocs * (nDocs - 1) / 2
+    info(s"candidates: $nCand of $nBrute brute pairs " +
+      f"(${nBrute.toDouble / nCand}%.1fx reduction), ${pp.size} verified")
+    assert(nCand < nBrute / 2, s"$nCand vs $nBrute")
+  }
+
   test("multimodal decode plumbing: deterministic stub meta + frame sampling") {
     val meta = Multimodal.decodeMeta(spark, dupDir).collect()
     assert(meta.length == 10)

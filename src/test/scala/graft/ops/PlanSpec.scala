@@ -108,6 +108,18 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ReusedExchange"), plan)
   }
 
+  test("qd11 ppjoin: prefix-token equi-join, no cartesian, ids-only distinct") {
+    val df = Dedup.ppjoinPairs(spark, sf)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // candidate distinct carries ids only — no shingle arrays through it
+    val distinctLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(distinctLines.exists(l =>
+      l.contains("doc_a") && l.contains("doc_b") && !l.contains("sh#")), plan)
+  }
+
   test("qd7 minhash-LSH pairs: bucket self-join, no cartesian, ids-only distinct") {
     val df = Dedup.minhashLshPairsPortable(spark, sf)
     df.collect() // exchange reuse lands in the final adaptive plan
