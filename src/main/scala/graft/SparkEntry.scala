@@ -158,6 +158,10 @@ object SparkEntry {
     // upstream, no DuckDB-expressible oracle for a generated corpus)
     "qx3_overlay_specs" -> ((s: SparkSession, _: String) =>
       ExtractJob.overlaySpecs(extractedCorpus(s))),
+    // the overlay/crop geometry EXPRESSIONS under the DuckDB gate (qx3's
+    // blocks_json inputs are golden-pinned; this closes the chain)
+    "qx4_overlay_math" -> ((s: SparkSession, d: String) =>
+      spark.ExtractJob.overlayMathTable(s, d)),
     "qx2_extract_stats" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s)
         .withColumn("family", element_at(split(col("url"), "/"), 4))
@@ -1115,6 +1119,33 @@ object SparkEntry {
            CAST(1024 - new_w AS INT) AS pad_x, CAST(1024 - new_h AS INT) AS pad_y,
            round(144.0 / 255.0, 6) AS pad_fill
          FROM s""",
+    // overlay/crop geometry replay: trunc() makes DuckDB's REAL->INT cast
+    // truncate toward zero like Spark's (DuckDB CAST alone rounds); the
+    // quarter-fraction synthetic coordinates are exact in f32/f64 so every
+    // cast lands on the same integer in both engines
+    "qx4_overlay_math" ->
+      """WITH b AS (
+           SELECT doc_id,
+             CAST(doc_id % 700 - 25 + 0.25 AS REAL) AS x0,
+             CAST((doc_id * 3) % 900 - 40 + 0.5 AS REAL) AS y0,
+             CAST(CAST(doc_id % 700 - 25 + 0.25 AS REAL)
+                  + (doc_id * 7) % 900 - 30 AS REAL) AS x1,
+             CAST(CAST((doc_id * 3) % 900 - 40 + 0.5 AS REAL)
+                  + (doc_id * 11) % 1000 - 35 AS REAL) AS y1
+           FROM documents)
+         SELECT doc_id, x0, y0, x1, y1,
+           CAST(trunc(x0) AS INT) AS x,
+           CAST(trunc(y0) AS INT) AS y,
+           GREATEST(CAST(trunc(x1) AS INT) - CAST(trunc(x0) AS INT), 1) AS width,
+           GREATEST(CAST(trunc(y1) AS INT) - CAST(trunc(y0) AS INT), 1) AS height,
+           CAST(trunc(x0) AS INT) AS legend_x,
+           CAST(trunc(y0 - 11) AS INT) AS legend_y,
+           11 AS legend_size,
+           CAST(GREATEST(floor(x0 - 5), 0) AS INT) AS crop_x,
+           CAST(GREATEST(floor(y0 - 5), 0) AS INT) AS crop_y,
+           LEAST(CAST(trunc(GREATEST(x1 - x0, 1)) AS INT) + 10, 612) AS crop_width,
+           LEAST(CAST(trunc(GREATEST(y1 - y0, 1)) AS INT) + 10, 792) AS crop_height
+         FROM b""",
     "qt4_fingerprint" ->
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_fp

@@ -1,7 +1,7 @@
 package graft.spark
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.LongAccumulator
 import graft.core.Extract
@@ -153,6 +153,28 @@ object ExtractJob {
     * over blocks_json -> explode -> filter, so a raster service can join on
     * (url, page_id) and cut.
     */
+  /** The image-crop rect math (utils.rs:129-184 cut: IMAGE_PADDING=5,
+    * saturating u32 casts, width/height floored at 1 BEFORE padding by 2x5,
+    * clamped to the page) as reusable (name, expression) pairs over raw f32
+    * bbox coordinates — shared verbatim by [[cropSpecs]] (golden-pinned
+    * input) and the qx4 oracle table (SQL-derivable input), so the DuckDB
+    * hash gate certifies exactly the production expressions.
+    */
+  private[spark] def cropGeom(x0: Column, y0: Column, x1: Column,
+      y1: Column): Seq[(String, Column)] = {
+    val pad = lit(5f) // IMAGE_PADDING
+    val w = greatest(x1 - x0, lit(1f))
+    val h = greatest(y1 - y0, lit(1f))
+    Seq(
+      // Rust `as u32` truncates and saturates negatives to 0
+      "x" -> greatest(floor(x0 - pad), lit(0)).cast("int"),
+      "y" -> greatest(floor(y0 - pad), lit(0)).cast("int"),
+      "width" -> least(w.cast("int") + lit(10),
+        lit(graft.core.HtmlFront.PageWidth.toInt)),
+      "height" -> least(h.cast("int") + lit(10),
+        lit(graft.core.HtmlFront.PageHeight.toInt)))
+  }
+
   def cropSpecs(extracted: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val blockSchema = ArrayType(StructType(Seq(
@@ -168,22 +190,14 @@ object ExtractJob {
     val imgBlocks = extracted
       .select(col("url"), explode(from_json(col("blocks_json"), blockSchema)).as("b"))
       .filter(col("b.kind.block_type") === "Image")
-    val pad = lit(5f) // IMAGE_PADDING
-    val w = greatest(col("b.bbox.x1") - col("b.bbox.x0"), lit(1f))
-    val h = greatest(col("b.bbox.y1") - col("b.bbox.y0"), lit(1f))
-    imgBlocks.select(
+    val geom = cropGeom(col("b.bbox.x0"), col("b.bbox.y0"),
+      col("b.bbox.x1"), col("b.bbox.y1")).map { case (n, c) => c.as(n) }
+    imgBlocks.select(Seq(
       col("url"),
       element_at(col("b.pages_id"), 1).as("page_id"),
       col("b.kind.id").as("image_id"),
-      concat(lit("img_"), col("b.kind.id"), lit(".png")).as("image_path"),
-      // Rust `as u32` truncates and saturates negatives to 0
-      greatest(floor(col("b.bbox.x0") - pad), lit(0)).cast("int").as("x"),
-      greatest(floor(col("b.bbox.y0") - pad), lit(0)).cast("int").as("y"),
-      least(w.cast("int") + lit(10),
-        lit(graft.core.HtmlFront.PageWidth.toInt)).as("width"),
-      least(h.cast("int") + lit(10),
-        lit(graft.core.HtmlFront.PageHeight.toInt)).as("height"),
-      col("b.kind.caption").as("caption"))
+      concat(lit("img_"), col("b.kind.id"), lit(".png")).as("image_path")) ++
+      geom :+ col("b.kind.caption").as("caption"): _*)
   }
 
   /** S7 debug-overlay sink analogue (draw_blocks, draw.rs:128-161): the
@@ -196,6 +210,28 @@ object ExtractJob {
     * legend at (x0, y0 - legend_size), draw.rs:148-158). A raster service
     * joins on (url, page_id) and draws; never affects extracted text.
     */
+  /** The draw_blocks rect+legend math (draw.rs:128-161: `as i32` truncating
+    * casts, width/height floored at 1 AFTER the i32 conversion, legend_size
+    * = max(page_w, page_h)/70, legend at (x0, y0 - legend_size)) as
+    * reusable (name, expression) pairs — shared by [[overlaySpecs]] and the
+    * qx4 oracle table, same rationale as [[cropGeom]].
+    */
+  private[spark] def overlayGeom(x0: Column, y0: Column, x1: Column,
+      y1: Column): Seq[(String, Column)] = {
+    val legendSize = math.max(graft.core.HtmlFront.PageWidth.toInt,
+      graft.core.HtmlFront.PageHeight.toInt) / 70
+    // Rust `as i32` truncates toward zero == Spark's float->int cast
+    val xi = x0.cast("int")
+    val yi = y0.cast("int")
+    Seq(
+      "x" -> xi, "y" -> yi,
+      "width" -> greatest(x1.cast("int") - xi, lit(1)),
+      "height" -> greatest(y1.cast("int") - yi, lit(1)),
+      "legend_x" -> xi,
+      "legend_y" -> (y0 - lit(legendSize.toFloat)).cast("int"),
+      "legend_size" -> lit(legendSize))
+  }
+
   def overlaySpecs(extracted: DataFrame): DataFrame = {
     import org.apache.spark.sql.types._
     val blockSchema = ArrayType(StructType(Seq(
@@ -206,25 +242,42 @@ object ExtractJob {
       StructField("bbox", StructType(Seq(
         StructField("x0", FloatType), StructField("y0", FloatType),
         StructField("x1", FloatType), StructField("y1", FloatType)))))))
-    val legendSize = math.max(graft.core.HtmlFront.PageWidth.toInt,
-      graft.core.HtmlFront.PageHeight.toInt) / 70
     val b = extracted
       .select(col("url"), explode(from_json(col("blocks_json"), blockSchema)).as("b"))
-    // Rust `as i32` truncates toward zero == Spark's float->int cast
-    val xi = col("b.bbox.x0").cast("int")
-    val yi = col("b.bbox.y0").cast("int")
-    b.select(
+    val geom = overlayGeom(col("b.bbox.x0"), col("b.bbox.y0"),
+      col("b.bbox.x1"), col("b.bbox.y1")).map { case (n, c) => c.as(n) }
+    b.select(Seq(
       col("url"),
       element_at(col("b.pages_id"), 1).as("page_id"),
       col("b.id").as("block_id"),
-      col("b.kind.block_type").as("label"),
-      xi.as("x"), yi.as("y"),
-      greatest(col("b.bbox.x1").cast("int") - xi, lit(1)).as("width"),
-      greatest(col("b.bbox.y1").cast("int") - yi, lit(1)).as("height"),
-      xi.as("legend_x"),
-      (col("b.bbox.y0") - lit(legendSize.toFloat)).cast("int").as("legend_y"),
-      lit(legendSize).as("legend_size"),
-      lit("d18b00ff").as("color_rgba"))
+      col("b.kind.block_type").as("label")) ++
+      geom :+ lit("d18b00ff").as("color_rgba"): _*)
+  }
+
+  /** qx4: the [[overlayGeom]] + [[cropGeom]] expressions over a
+    * SQL-derivable synthetic f32 bbox table — the geometry math under the
+    * DuckDB hash gate. qx3's real inputs (blocks_json) are byte-pinned by
+    * GoldenSpec but not derivable in SQL, so this companion query closes the
+    * verification chain: pinned blocks + oracled math. Coordinates are
+    * quarter-fraction values (exact in f32 and f64, so the oracle's casts
+    * agree bit-for-bit) spanning negatives, degenerate boxes (x1 < x0) and
+    * beyond-page extents, exercising every saturate/floor-at-1/clamp branch.
+    */
+  def overlayMathTable(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val x0 = ((col("doc_id") % 700) - lit(25) + lit(0.25)).cast("float")
+    val y0 = (((col("doc_id") * 3) % 900) - lit(40) + lit(0.5)).cast("float")
+    val x1 = (x0 + ((col("doc_id") * 7) % 900) - lit(30)).cast("float")
+    val y1 = (y0 + ((col("doc_id") * 11) % 1000) - lit(35)).cast("float")
+    val b = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), x0.as("x0"), y0.as("y0"),
+        x1.as("x1"), y1.as("y1"))
+    val ov = overlayGeom(col("x0"), col("y0"), col("x1"), col("y1"))
+      .map { case (n, c) => c.as(n) }
+    val cr = cropGeom(col("x0"), col("y0"), col("x1"), col("y1"))
+      .map { case (n, c) => c.as(s"crop_$n") }
+    b.select(col("doc_id") +: col("x0") +: col("y0") +: col("x1") +:
+      col("y1") +: (ov ++ cr): _*)
   }
 
   /** Per-partition lineage rows (partition id, doc count, bytes, failure

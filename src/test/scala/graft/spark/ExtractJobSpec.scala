@@ -158,6 +158,43 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qx4 math table applies the SAME geometry as the json overlay/crop path") {
+    import org.apache.spark.sql.functions._
+    val ss = spark; import ss.implicits._
+    // feed overlaySpecs/cropSpecs a crafted blocks_json carrying exactly the
+    // synthetic bbox values qx4 derives for these doc_ids — if the shared
+    // expressions ever fork, the integer rects diverge here
+    val ids = Seq(0L, 3L, 123L, 699L, 4321L)
+    def bbox(i: Long): (Float, Float, Float, Float) = {
+      val x0 = (i % 700 - 25 + 0.25).toFloat
+      val y0 = ((i * 3) % 900 - 40 + 0.5).toFloat
+      (x0, y0, (x0 + (i * 7) % 900 - 30).toFloat, (y0 + (i * 11) % 1000 - 35).toFloat)
+    }
+    val jsonRows = ids.map { i =>
+      val (x0, y0, x1, y1) = bbox(i)
+      (s"doc$i",
+        s"""[{"id":0,"kind":{"block_type":"Image","id":0,"caption":"c"},""" +
+          s""""pages_id":[0],"bbox":{"x0":$x0,"y0":$y0,"x1":$x1,"y1":$y1}}]""")
+    }.toDF("url", "blocks_json")
+    val dir = Files.createTempDirectory("graft-qx4").toString
+    ids.map(i => (i, "t", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val math4 = ExtractJob.overlayMathTable(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ov = ExtractJob.overlaySpecs(jsonRows).collect()
+      .map(r => r.getAs[String]("url").stripPrefix("doc").toLong -> r).toMap
+    val cr = ExtractJob.cropSpecs(jsonRows).collect()
+      .map(r => r.getAs[String]("url").stripPrefix("doc").toLong -> r).toMap
+    ids.foreach { i =>
+      val m = math4(i)
+      for (c <- Seq("x", "y", "width", "height", "legend_x", "legend_y"))
+        assert(ov(i).getAs[Int](c) == m.getAs[Int](c), s"doc $i overlay $c")
+      for (c <- Seq("x", "y", "width", "height"))
+        assert(cr(i).getAs[Int](c) == m.getAs[Int](s"crop_$c"), s"doc $i crop $c")
+    }
+  }
+
   test("resume idempotence: partial commit then full run, no dup urls") {
     val dir = Files.createTempDirectory("graft-store").toString
     val store = new SnapshotStore(dir)
