@@ -12,35 +12,132 @@ import java.text.Normalizer
   * the goldens pin exactly this behavior:
   *
   *   1. CRLF / CR → LF (ftfy `fix_line_breaks` default);
-  *   2. UTF-8-read-as-Latin-1 mojibake undo ("Ã©" → "é"), iterated to a
-  *      fixpoint (cap 4 rounds) so DOUBLE and triple encodings — the most
-  *      common real-crawl damage after single latin-1 (ftfy's `fix_encoding`
-  *      also loops until stable) — unwind fully: "ÃÂ©" → "Ã©" → "é".
-  *      Each round applies only when the whole string is Latin-1-encodable,
-  *      its bytes are strict UTF-8, and the decode actually changes the
-  *      string, so already-correct text is never touched and termination is
-  *      guaranteed (every successful round strictly shortens the string);
+  *   2. iterated to a shared fixpoint (cap 4 rounds), in ftfy's order:
+  *      a. HTML-entity damage undo (ftfy `unescape_html`): numeric character
+  *         references ("&#233;", "&#xE9;") and the named entities of the
+  *         documented table (the HTML4 Latin-1 set, the core XML five, and
+  *         the common punctuation names) decode to their characters; unknown
+  *         names and invalid numerics are left untouched. Iterating unwinds
+  *         double-escapes: "&amp;eacute;" → "&eacute;" → "é";
+  *      b. UTF-8-read-as-Latin-1 mojibake undo ("Ã©" → "é") — so DOUBLE and
+  *         triple encodings, the most common real-crawl damage after single
+  *         latin-1 (ftfy's `fix_encoding` also loops until stable), unwind
+  *         fully: "ÃÂ©" → "Ã©" → "é". Each round applies only when the
+  *         whole string is Latin-1-encodable, its bytes are strict UTF-8,
+  *         and the decode actually changes the string, so already-correct
+  *         text is never touched and termination is guaranteed (every
+  *         successful round strictly shortens the string);
+  *      The two compose per round, covering mixed damage like "&amp;#233;"
+  *      and entity text whose decoded bytes are themselves mojibake;
   *   3. Unicode NFC normalization (ftfy `normalization="NFC"` default).
   */
 object FixText {
 
   def fixText(s: String): String = {
     val lf = fixLineBreaks(s)
-    var demoji = lf
+    var cur = lf
     var rounds = 0
     var changed = true
     while (changed && rounds < 4) {
-      val next = undoLatin1Mojibake(demoji)
-      changed = next ne demoji // undo returns the SAME instance on no-op
-      demoji = next
+      val next = undoLatin1Mojibake(unescapeEntities(cur))
+      changed = next ne cur // both undo steps return the SAME instance on no-op
+      cur = next
       rounds += 1
     }
-    Normalizer.normalize(demoji, Normalizer.Form.NFC)
+    Normalizer.normalize(cur, Normalizer.Form.NFC)
   }
 
   private def fixLineBreaks(s: String): String =
     if (s.indexOf('\r') < 0) s
     else s.replace("\r\n", "\n").replace('\r', '\n')
+
+  /** Named entities this subset decodes: the XML core five, the HTML4
+    * Latin-1 range (160-255, whose names are defined positionally), and the
+    * common typographic names crawl text actually carries.
+    */
+  private val NamedEntities: Map[String, String] = {
+    val latin1Names = Vector(
+      "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+      "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr", "deg",
+      "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot", "cedil",
+      "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+      "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig",
+      "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute",
+      "Icirc", "Iuml", "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc",
+      "Otilde", "Ouml", "times", "Oslash", "Ugrave", "Uacute", "Ucirc",
+      "Uuml", "Yacute", "THORN", "szlig", "agrave", "aacute", "acirc",
+      "atilde", "auml", "aring", "aelig", "ccedil", "egrave", "eacute",
+      "ecirc", "euml", "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
+      "ograve", "oacute", "ocirc", "otilde", "ouml", "divide", "oslash",
+      "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+    val latin1 = latin1Names.zipWithIndex.map { case (n, i) =>
+      n -> (160 + i).toChar.toString
+    }
+    val typographic = Vector(
+      "ndash" -> "–", "mdash" -> "—", "lsquo" -> "‘",
+      "rsquo" -> "’", "sbquo" -> "‚", "ldquo" -> "“",
+      "rdquo" -> "”", "bdquo" -> "„", "dagger" -> "†",
+      "Dagger" -> "‡", "bull" -> "•", "hellip" -> "…",
+      "permil" -> "‰", "prime" -> "′", "Prime" -> "″",
+      "lsaquo" -> "‹", "rsaquo" -> "›", "frasl" -> "⁄",
+      "euro" -> "€", "trade" -> "™", "oline" -> "‾")
+    val core = Vector("amp" -> "&", "lt" -> "<", "gt" -> ">",
+      "quot" -> "\"", "apos" -> "'")
+    (latin1 ++ typographic ++ core).toMap
+  }
+
+  /** Decode one round of HTML character references. Strict shape
+    * `&name;` / `&#ddd;` / `&#xhh;` with the terminating semicolon required
+    * (the legacy no-semicolon forms are ambiguous in prose and skipped);
+    * anything unrecognized — unknown name, out-of-range or surrogate code
+    * point — is left byte-for-byte. Returns the SAME instance on no-op so
+    * the fixpoint loop can detect stability by reference.
+    */
+  private[core] def unescapeEntities(s: String): String = {
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    // java.lang.StringBuilder explicitly: Scala's would auto-tuple the
+    // 3-arg append(CharSequence, start, end) into append(Any)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var changedAny = false
+    while (amp >= 0) {
+      sb.append(s, i, amp)
+      i = amp
+      // longest defined name is 6 chars + '#x' + 6 hex digits: cap the scan
+      val semi = s.indexOf(';', amp + 1)
+      val decoded =
+        if (semi > amp + 1 && semi <= amp + 9) decodeRef(s.substring(amp + 1, semi))
+        else None
+      decoded match {
+        case Some(repl) =>
+          sb.append(repl)
+          i = semi + 1
+          changedAny = true
+        case None =>
+          sb.append('&')
+          i = amp + 1
+      }
+      amp = s.indexOf('&', i)
+    }
+    if (!changedAny) s
+    else { sb.append(s, i, s.length); sb.toString }
+  }
+
+  private def decodeRef(body: String): Option[String] =
+    if (body.isEmpty) None
+    else if (body.charAt(0) == '#') {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+            Some(Integer.parseInt(num.substring(1), 16))
+          else Some(Integer.parseInt(num, 10))
+        } catch { case _: NumberFormatException => None }
+      cp.filter(c => c > 0 && c <= 0x10ffff &&
+          !(c >= 0xd800 && c <= 0xdfff))
+        .map(c => new String(Character.toChars(c)))
+    } else NamedEntities.get(body)
 
   /** Undo exactly one round of "UTF-8 bytes decoded as Latin-1". */
   private[core] def undoLatin1Mojibake(s: String): String = {

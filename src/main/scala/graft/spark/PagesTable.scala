@@ -40,6 +40,14 @@ object PagesTable {
     */
   val OcrFamily: String = "ocr"
 
+  /** HTML-entity-damage family: NOT in the cycled corpus (same index-remap
+    * rationale as [[OcrFamily]]); golden keys ent0..ent9. Carries the crawl
+    * damage ftfy's `unescape_html` step repairs: bare numeric refs, named
+    * entities, double/triple-escaped forms, and the not-an-entity lookalikes
+    * that must survive untouched.
+    */
+  val EntityFamily: String = "entity"
+
   private val Langs = Vector("en", "fr", "de", "es")
 
   /** Deterministic SplitMix64 stream. */
@@ -221,6 +229,34 @@ object PagesTable {
           val w = MojibakeWords(rng.nextInt(MojibakeWords.length))
           sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
         }
+        sb ++= "</page>"
+
+      case "entity" =>
+        // Damaged spellings as they sit in crawl HTML. The parser's markup
+        // decode (HtmlFront) unescapes one &amp; level while reading text
+        // nodes, so a k-times-escaped source reaches fix_text (k-1)-times
+        // escaped; the deepest form here exercises two fixpoint rounds.
+        val damaged = Vector(
+          "caf&eacute;",        // named ref left in text
+          "caf&#233;",          // numeric decimal
+          "&#xE9;cole",         // numeric hex
+          "&amp;amp;eacute;clair", // reaches fix_text as &amp;eacute; (2 rounds)
+          "&amp;#233;tude",     // reaches fix_text as &#233;tude
+          "se&ntilde;or",       "&laquo;quoted&raquo;",
+          "em&mdash;dash",      "price&nbsp;&euro;9",
+          "AT&T; stays",        // not a defined entity: untouched
+          "&unknown; stays",    // unknown name: untouched
+          "5 &#xD800; stays"    // surrogate ref: invalid, untouched
+        )
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 3) {
+          val w = damaged(rng.nextInt(damaged.length))
+          sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
+        }
+        // trailing paragraph so the damaged lines are never the page's final
+        // (unfixed) line
+        sb ++= s"<p>${para(rng, 1, 2)}</p>"
         sb ++= "</page>"
 
       case "nolb" =>

@@ -34,6 +34,9 @@ object GenGoldens {
     // its own keys so the 130 cycled goldens stay byte-stable
     (0L until 10L).foreach(i =>
       write(s"ocr$i", PagesTable.genDocFamily(PagesTable.OcrFamily, i)))
+    // the non-cycled HTML-entity-damage family (fix_text unescape step)
+    (0L until 10L).foreach(i =>
+      write(s"ent$i", PagesTable.genDocFamily(PagesTable.EntityFamily, i)))
     println(s"wrote $written goldens to $outDir")
   }
 }

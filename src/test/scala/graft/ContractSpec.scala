@@ -32,7 +32,10 @@ class ContractSpec extends AnyFunSuite {
         "\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(").r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromJoin.findAllMatchIn(sql).map(_.group(1)).toSet
-      val unknown = refs -- tables -- cteNames
+      // UNNEST is a lateral table FUNCTION (qd11's prefix-position expansion),
+      // not a base relation
+      val tableFns = Set("unnest", "UNNEST")
+      val unknown = refs -- tables -- cteNames -- tableFns
       assert(unknown.isEmpty, s"$name references unknown relations: $unknown")
     }
   }

@@ -33,6 +33,29 @@ class GoldenSpec extends AnyFunSuite {
     assert(checked == 130)
   }
 
+  test("entity-family extraction matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir.resolve("text").resolve("ent0.txt")),
+      "entity goldens not generated yet")
+    var sawDecoded = false
+    var sawPreserved = false
+    (0L until 10L).foreach { i =>
+      val row = PagesTable.genDocFamily(PagesTable.EntityFamily, i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"ent doc $i: ${d.errorClass}")
+      assert(d.extractedText == read("text", s"ent$i.txt"), s"text drift in ent doc $i")
+      assert(d.markdown == read("md", s"ent$i.md"), s"markdown drift in ent doc $i")
+      assert(d.blocksJson == read("blocks", s"ent$i.json"), s"blocks drift in ent doc $i")
+      // behavioral, beyond the byte pin: defined refs decode, lookalikes stay
+      assert(!d.extractedText.contains("&eacute;") &&
+        !d.extractedText.contains("&#233;"), s"undecoded entity in ent doc $i")
+      if (d.extractedText.contains("é")) sawDecoded = true
+      if (d.extractedText.contains("&unknown;") ||
+        d.extractedText.contains("&T;")) sawPreserved = true
+    }
+    assert(sawDecoded, "no doc exercised a decoded entity")
+    assert(sawPreserved, "no doc exercised a preserved non-entity")
+  }
+
   test("ocr-family extraction matches committed goldens byte-for-byte") {
     assume(Files.exists(goldenDir.resolve("text").resolve("ocr0.txt")),
       "ocr goldens not generated yet")

@@ -103,4 +103,32 @@ class RenderSpec extends AnyFunSuite {
     // idempotence: fixed text is a fixpoint of the fixer
     assert(FixText.fixText(FixText.fixText(double)) == FixText.fixText(double))
   }
+
+  test("fixText: HTML-entity damage decodes; lookalikes survive") {
+    // numeric decimal / hex, named (latin-1 table + typographic + core)
+    assert(FixText.fixText("caf&#233;") == "café")
+    assert(FixText.fixText("&#xE9;cole") == "école")
+    assert(FixText.fixText("caf&eacute;s") == "cafés")
+    assert(FixText.fixText("se&ntilde;or") == "señor")
+    assert(FixText.fixText("em&mdash;dash") == "em—dash")
+    assert(FixText.fixText("R&amp;D") == "R&D")
+    assert(FixText.fixText("&lt;tag&gt;") == "<tag>")
+    assert(FixText.fixText("&euro;9&nbsp;now") == "€9 now")
+    // double-escape unwinds through the fixpoint rounds
+    assert(FixText.fixText("&amp;eacute;clair") == "éclair")
+    assert(FixText.fixText("&amp;#233;tude") == "étude")
+    assert(FixText.fixText("&amp;amp;eacute;") == "é")
+    // NOT entities: unknown name, bare text, invalid numerics, surrogates
+    assert(FixText.fixText("AT&T; up") == "AT&T; up")
+    assert(FixText.fixText("&unknown; x") == "&unknown; x")
+    assert(FixText.fixText("a & b") == "a & b")
+    assert(FixText.fixText("&#;") == "&#;")
+    assert(FixText.fixText("&#xD800;") == "&#xD800;")
+    assert(FixText.fixText("&#99999999;") == "&#99999999;")
+    // entity whose decoded text is itself mojibake: both repairs compose
+    assert(FixText.fixText("caf&Atilde;&copy;") == "café")
+    // idempotent on decoded output
+    assert(FixText.fixText(FixText.fixText("&amp;amp;eacute;")) ==
+      FixText.fixText("&amp;amp;eacute;"))
+  }
 }
