@@ -59,6 +59,9 @@ object HtmlFront {
   val FooterTop: Float = 724f
   val BlockGap: Float = 4f
 
+  /** Parser recursion guard — see parseNodes. */
+  val MaxDomDepth: Int = 512
+
   final case class Font(name: String, size: Float, weight: Int)
 
   /** The pdfium-synthetic-linebreak pseudo-font (fontSize 0, no weight). */
@@ -155,7 +158,13 @@ object HtmlFront {
       attrs
     }
 
-    def parseNodes(closing: Option[String]): Vector[Node] = {
+    def parseNodes(closing: Option[String], depth: Int = 0): Vector[Node] = {
+      // DOM depth cap: the recursive descent otherwise overflows the JVM
+      // stack near depth ~3000 (measured), and a StackOverflowError is an
+      // uncatchable-in-practice task killer on a cluster. Real browsers cap
+      // around 512; past the cap this is a deterministic parse_error row in
+      // the failure taxonomy, not an exception.
+      if (depth > MaxDomDepth) error(s"DOM nesting deeper than $MaxDomDepth")
       val out = ArrayBuffer.empty[Node]
       while (i < n) {
         if (html.charAt(i) == '<') {
@@ -182,7 +191,7 @@ object HtmlFront {
               out += Elem(tag, attrs, Vector.empty)
             } else if (i < n && html.charAt(i) == '>') {
               i += 1
-              out += Elem(tag, attrs, parseNodes(Some(tag)))
+              out += Elem(tag, attrs, parseNodes(Some(tag), depth + 1))
             } else error(s"unterminated <$tag")
           }
         } else {

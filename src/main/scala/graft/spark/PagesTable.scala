@@ -48,6 +48,14 @@ object PagesTable {
     */
   val EntityFamily: String = "entity"
 
+  /** Adversarial edge family: NOT in the cycled corpus; golden keys
+    * edge0..edge9, each index pinning ONE parser/geometry edge path the
+    * uniform generator under-samples — single-char docs, deep span nesting,
+    * all-footer pages, zero-area boxes, empty pages/cells, an unbreakable
+    * overlong word, many near-empty pages, degenerate ghost probabilities.
+    */
+  val EdgeFamily: String = "edge"
+
   private val Langs = Vector("en", "fr", "de", "es")
 
   /** Deterministic SplitMix64 stream. */
@@ -113,7 +121,7 @@ object PagesTable {
     val url = s"https://fixtures.test/$family/$seed/$i"
     val ts = new Timestamp(1700000000000L + i * 1009L * 1000L)
     val lang = Langs((i % Langs.length).toInt)
-    val html = genHtml(family, rng)
+    val html = genHtml(family, rng, i)
     PageRow(url, ts, html.getBytes("UTF-8"), stripTags(html), lang)
   }
 
@@ -121,7 +129,7 @@ object PagesTable {
     (0 until (minS + rng.nextInt(maxS - minS + 1)))
       .map(_ => sentence(rng, 6 + rng.nextInt(10))).mkString(" ")
 
-  private def genHtml(family: String, rng: Rng): String = {
+  private def genHtml(family: String, rng: Rng, idx: Long = 0L): String = {
     val sb = new StringBuilder
     family match {
       case "plain" =>
@@ -258,6 +266,64 @@ object PagesTable {
         // (unfixed) line
         sb ++= s"<p>${para(rng, 1, 2)}</p>"
         sb ++= "</page>"
+
+      case "edge" =>
+        (idx % 10) match {
+          case 0 => // single-char document
+            sb ++= "<page><p>x</p></page>"
+          case 1 => // deep span nesting (inline font overrides stacked)
+            val depth = 300
+            sb ++= "<page><h1>deep</h1><p>"
+            for (d <- 0 until depth)
+              sb ++= (if (d % 2 == 0) """<span data-font-weight="700">"""
+              else """<span data-font-size="11">""")
+            sb ++= "pit"
+            for (_ <- 0 until depth) sb ++= "</span>"
+            sb ++= s" ${sentence(rng, 3)}</p></page>"
+          case 2 => // every block in the footer band: body partition empty
+            sb ++= "<page>"
+            sb ++= s"<footer>${sentence(rng, 4)}</footer>"
+            sb ++= s"<footer>${sentence(rng, 3)}</footer>"
+            sb ++= "</page>"
+          case 3 => // zero-area and hairline ghost boxes amid normal text
+            sb ++= "<page>"
+            sb ++= s"<p>${para(rng, 1, 2)}</p>"
+            sb ++= """<ghost label="Text" x0="100" y0="300" x1="100" y1="300" proba="0.9"/>"""
+            sb ++= """<ghost label="Picture" x0="200" y0="310" x1="200" y1="400" proba="0.8"/>"""
+            sb ++= """<ghost label="Text" x0="36" y0="500" x1="576" y1="500" proba="0.7"/>"""
+            sb ++= s"<p>${para(rng, 1, 2)}</p>"
+            sb ++= "</page>"
+          case 4 => // empty page followed by a content page
+            sb ++= "<page></page>"
+            sb ++= s"<page><h1>${sentence(rng, 2)}</h1><p>${para(rng)}</p></page>"
+          case 5 => // whitespace-only blocks around one real paragraph
+            sb ++= "<page>"
+            sb ++= "<p>   </p>"
+            sb ++= s"<p>${para(rng, 1, 2)}</p>"
+            sb ++= "<p> \t </p>"
+            sb ++= "</page>"
+          case 6 => // one unbreakable 1500-char word: overflows every line
+            sb ++= "<page><h2>long</h2><p>"
+            sb ++= "x" * 1500
+            sb ++= s" ${sentence(rng, 4)}</p></page>"
+          case 7 => // many near-empty pages (page loop + per-page folds)
+            for (p <- 0 until 40)
+              sb ++= s"<page><p>p$p</p></page>"
+          case 8 => // empty table cells, bare figure, empty list items
+            sb ++= "<page>"
+            sb ++= "<table><tr><td></td><td>a</td></tr><tr><td></td><td></td></tr></table>"
+            sb ++= "<figure></figure>"
+            sb ++= s"<ul><li></li><li>${sentence(rng, 2)}</li><li></li></ul>"
+            sb ++= "</page>"
+          case _ => // degenerate probabilities + far out-of-page ghost boxes
+            sb ++= "<page>"
+            sb ++= s"<p>${para(rng, 1, 2)}</p>"
+            sb ++= """<ghost label="Text" x0="36" y0="300" x1="300" y1="360" proba="1.0"/>"""
+            sb ++= """<ghost label="Text" x0="37" y0="301" x1="301" y1="361" proba="0.0"/>"""
+            sb ++= """<ghost label="Picture" x0="-50" y0="-50" x1="-10" y1="-10" proba="0.9"/>"""
+            sb ++= """<ghost label="Text" x0="1000" y0="1000" x1="2000" y1="2000" proba="0.9"/>"""
+            sb ++= "</page>"
+        }
 
       case "nolb" =>
         // no injected linebreak chars: lines break only on the y-jump check

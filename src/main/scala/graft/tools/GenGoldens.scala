@@ -37,6 +37,9 @@ object GenGoldens {
     // the non-cycled HTML-entity-damage family (fix_text unescape step)
     (0L until 10L).foreach(i =>
       write(s"ent$i", PagesTable.genDocFamily(PagesTable.EntityFamily, i)))
+    // the non-cycled adversarial edge family (parser/geometry edge paths)
+    (0L until 10L).foreach(i =>
+      write(s"edge$i", PagesTable.genDocFamily(PagesTable.EdgeFamily, i)))
     println(s"wrote $written goldens to $outDir")
   }
 }

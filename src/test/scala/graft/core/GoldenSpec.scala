@@ -56,6 +56,26 @@ class GoldenSpec extends AnyFunSuite {
     assert(sawPreserved, "no doc exercised a preserved non-entity")
   }
 
+  test("edge-family extraction matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir.resolve("text").resolve("edge0.txt")),
+      "edge goldens not generated yet")
+    (0L until 10L).foreach { i =>
+      val row = PagesTable.genDocFamily(PagesTable.EdgeFamily, i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"edge doc $i: ${d.errorClass}")
+      assert(d.extractedText == read("text", s"edge$i.txt"), s"text drift in edge doc $i")
+      assert(d.markdown == read("md", s"edge$i.md"), s"markdown drift in edge doc $i")
+      assert(d.blocksJson == read("blocks", s"edge$i.json"), s"blocks drift in edge doc $i")
+    }
+    // scenario-shape sanity on top of the byte pin
+    val single = Extract.extractDocument("u:0",
+      PagesTable.genDocFamily(PagesTable.EdgeFamily, 0).html)
+    assert(single.extractedText == "x")
+    val manyPages = Extract.extractDocument("u:7",
+      PagesTable.genDocFamily(PagesTable.EdgeFamily, 7).html)
+    assert(manyPages.nPages == 40)
+  }
+
   test("ocr-family extraction matches committed goldens byte-for-byte") {
     assume(Files.exists(goldenDir.resolve("text").resolve("ocr0.txt")),
       "ocr goldens not generated yet")

@@ -119,6 +119,26 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("DOM nesting past the cap is a parse_error row, never a stack overflow") {
+    def nested(depth: Int): Array[Byte] = {
+      val sb = new StringBuilder("<page><p>")
+      for (_ <- 0 until depth) sb ++= "<span data-font-weight=\"700\">"
+      sb ++= "x"
+      for (_ <- 0 until depth) sb ++= "</span>"
+      sb ++= "</p></page>"
+      sb.toString.getBytes("UTF-8")
+    }
+    // within the cap: parses fine (the cap must not reject legal nesting)
+    assert(Extract.extractDocument("u", nested(300)).parseStatus == "ok")
+    // past the cap: deterministic taxonomy row (measured: the unguarded
+    // recursive descent overflowed the JVM stack near depth ~3000 — an
+    // Error no Spark task survives)
+    for (depth <- Seq(graft.core.HtmlFront.MaxDomDepth + 1, 3000, 50000)) {
+      val d = Extract.extractDocument("u", nested(depth))
+      assert(d.parseStatus == "error" && d.errorClass == "parse_error", s"depth $depth")
+    }
+  }
+
   test("page range semantics: original ids kept, bad ranges rejected") {
     val html = "<page><p>one</p></page><page><p>two</p></page><page><p>three</p></page>"
       .getBytes("UTF-8")
