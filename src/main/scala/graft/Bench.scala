@@ -34,6 +34,14 @@ object Bench {
       // round 3): the virtio-ext4 /tmp penalizes concurrent shuffle writers
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-scratch"))
+      // shuffle-path knobs exposed for the cluster-ceiling forensics A/Bs
+      // (ScaleForensics / BASELINE.md); defaults are Spark's own
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      .config("spark.reducer.maxSizeInFlight",
+        sys.env.getOrElse("SPARK_GRAFT_REDUCER_INFLIGHT", "48m"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -73,6 +81,12 @@ object Bench {
       // pure-CPU burn of the same width records ~0.1)
       .config("spark.executor.extraJavaOptions",
         s"-XX:ActiveProcessorCount=$cores -XX:+UseParallelGC -XX:+AlwaysPreTouch")
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      .config("spark.reducer.maxSizeInFlight",
+        sys.env.getOrElse("SPARK_GRAFT_REDUCER_INFLIGHT", "48m"))
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

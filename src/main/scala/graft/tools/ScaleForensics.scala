@@ -60,9 +60,12 @@ object ScaleForensics {
       s.stop()
     }
 
-    def leg(nExec: Int, tag: String): Unit = {
-      val cores = 4
-      val s = Bench.newClusterSession(nExec, cores, 8192)
+    // tag "jvm": one local[cores] JVM — the same 16 cores without executor
+    // processes or netty shuffle; the topology A/B that splits "multi-JVM
+    // overhead" from "shared-host ceiling" (VERDICT r4 #2)
+    def leg(nExec: Int, cores: Int, tag: String): Unit = {
+      val s = if (tag.startsWith("jvm")) Bench.newSession(cores)
+        else Bench.newClusterSession(nExec, cores, 8192)
       import s.implicits._
       try {
         val slots = nExec * cores
@@ -89,10 +92,19 @@ object ScaleForensics {
       } finally s.stop()
     }
 
+    // legs: cluster-mode lo (1x4) and hi (4x4) as before, plus the
+    // equal-width topology pair — one 16-thread JVM vs four 4-core executor
+    // JVMs — which isolates multi-JVM cost (netty shuffle, per-heap GC,
+    // page-cache sharing) from plain parallelism
+    val legSpec = sys.env.getOrElse("SPARK_GRAFT_FORENSIC_LEGS",
+      "lo:1x4,hi:4x4,jvm16:1x16,cl16:1x16")
     for (r <- 1 to reps) {
-      println(s"=== rep $r ===")
-      leg(1, "lo")
-      leg(4, "hi")
+      println(s"=== rep $r docs=$docs ===")
+      legSpec.split(",").foreach { spec =>
+        val Array(tag, dims) = spec.split(":")
+        val Array(ne, co) = dims.split("x").map(_.toInt)
+        leg(ne, co, tag)
+      }
     }
   }
 }
