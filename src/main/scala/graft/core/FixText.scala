@@ -19,14 +19,18 @@ import java.text.Normalizer
   *         the common punctuation names) decode to their characters; unknown
   *         names and invalid numerics are left untouched. Iterating unwinds
   *         double-escapes: "&amp;eacute;" → "&eacute;" → "é";
-  *      b. UTF-8-read-as-Latin-1 mojibake undo ("Ã©" → "é") — so DOUBLE and
-  *         triple encodings, the most common real-crawl damage after single
-  *         latin-1 (ftfy's `fix_encoding` also loops until stable), unwind
+  *      b. UTF-8-read-as-legacy-charset mojibake undo, trying
+  *         windows-1252 first then Latin-1 (ftfy's `fix_encoding` order:
+  *         cp1252 is the wild's most common misread and is the ONLY one
+  *         that repairs curly-quote damage like "â€™" → "’", whose €-class
+  *         chars aren't Latin-1-encodable at all; for the shared subset the
+  *         two decode identically) — so DOUBLE and triple encodings unwind
   *         fully: "ÃÂ©" → "Ã©" → "é". Each round applies only when the
-  *         whole string is Latin-1-encodable, its bytes are strict UTF-8,
-  *         and the decode actually changes the string, so already-correct
-  *         text is never touched and termination is guaranteed (every
-  *         successful round strictly shortens the string);
+  *         whole string is encodable in the tried charset, its bytes are
+  *         strict UTF-8, and the decode actually changes the string, so
+  *         already-correct text is never touched and termination is
+  *         guaranteed (every successful round strictly shortens the
+  *         string);
   *      The two compose per round, covering mixed damage like "&amp;#233;"
   *      and entity text whose decoded bytes are themselves mojibake;
   *   3. Unicode NFC normalization (ftfy `normalization="NFC"` default).
@@ -39,8 +43,10 @@ object FixText {
     var rounds = 0
     var changed = true
     while (changed && rounds < 4) {
-      val next = undoLatin1Mojibake(unescapeEntities(cur))
-      changed = next ne cur // both undo steps return the SAME instance on no-op
+      val un = unescapeEntities(cur)
+      val cp = undoCp1252Mojibake(un)
+      val next = if (cp ne un) cp else undoLatin1Mojibake(un)
+      changed = next ne cur // every undo step returns the SAME instance on no-op
       cur = next
       rounds += 1
     }
@@ -138,6 +144,58 @@ object FixText {
           !(c >= 0xd800 && c <= 0xdfff))
         .map(c => new String(Character.toChars(c)))
     } else NamedEntities.get(body)
+
+  /** Reverse map of "sloppy windows-1252" (ftfy's codec) for the 0x80-0x9F
+    * byte range: the 27 defined cp1252 graphics map back to their bytes;
+    * the five undefined bytes (0x81 8D 8F 90 9D) pass through as their C1
+    * control chars — which is exactly what lenient real-world decoders emit
+    * for them, so e.g. "â€" (damaged ”) round-trips. All other chars
+    * < 0x100 are Latin-1 identity.
+    */
+  private val Cp1252Reverse: Map[Char, Byte] =
+    ("\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030" +
+      "\u0160\u2039\u0152\u008d\u017d\u008f\u0090\u2018\u2019\u201c" +
+      "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u009d" +
+      "\u017e\u0178")
+      .zipWithIndex.map { case (c, i) => c -> (0x80 + i).toByte }.toMap
+
+  /** Undo exactly one round of "UTF-8 bytes decoded as windows-1252" — the
+    * wild's most common misread (it is what repairs curly-quote damage:
+    * "â€™" contains U+20AC/U+2122-class chars that Latin-1 cannot encode,
+    * so only the cp1252 reverse mapping recovers the original bytes). Same
+    * guards as the Latin-1 undo: full-string encodability, strict UTF-8,
+    * decode must change the string and still carry non-ASCII.
+    */
+  private[core] def undoCp1252Mojibake(s: String): String = {
+    var i = 0
+    var hasHigh = false
+    while (i < s.length && !hasHigh) {
+      if (s.charAt(i) >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasHigh) return s
+    val bytes = new Array[Byte](s.length)
+    var k = 0
+    while (k < s.length) {
+      val c = s.charAt(k)
+      if (c < 0x80 || (c >= 0xa0 && c < 0x100)) bytes(k) = c.toByte
+      else Cp1252Reverse.get(c) match {
+        case Some(b) => bytes(k) = b
+        case None    => return s // not sloppy-cp1252-encodable: leave untouched
+      }
+      k += 1
+    }
+    val decoder = StandardCharsets.UTF_8
+      .newDecoder()
+      .onMalformedInput(CodingErrorAction.REPORT)
+      .onUnmappableCharacter(CodingErrorAction.REPORT)
+    try {
+      val decoded = decoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      if (decoded != s && decoded.exists(_ >= 0x80)) decoded else s
+    } catch {
+      case _: CharacterCodingException => s
+    }
+  }
 
   /** Undo exactly one round of "UTF-8 bytes decoded as Latin-1". */
   private[core] def undoLatin1Mojibake(s: String): String = {

@@ -131,4 +131,35 @@ class RenderSpec extends AnyFunSuite {
     assert(FixText.fixText(FixText.fixText("&amp;amp;eacute;")) ==
       FixText.fixText("&amp;amp;eacute;"))
   }
+
+  test("fixText: cp1252 curly-quote/euro mojibake undo (not Latin-1-reachable)") {
+    // sloppy-cp1252 forward decode (ftfy's codec, what lenient real-world
+    // decoders do): the five undefined bytes become their C1 controls
+    // instead of U+FFFD — Java's strict Charset would destroy them
+    val fwd = ("\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021" +
+      "\u02c6\u2030\u0160\u2039\u0152\u008d\u017d\u008f" +
+      "\u0090\u2018\u2019\u201c\u201d\u2022\u2013\u2014" +
+      "\u02dc\u2122\u0161\u203a\u0153\u009d\u017e\u0178")
+    def damage1252(s: String): String =
+      s.getBytes("UTF-8").map { b =>
+        val u = b & 0xff
+        if (u >= 0x80 && u <= 0x9f) fwd.charAt(u - 0x80) else u.toChar
+      }.mkString
+    // the classic crawl shapes: ’ “ ” – — … € damaged once and twice
+    for (orig <- Seq("it’s", "“quoted”", "a – b — c",
+        "wait…", "€99", "a™ mark")) {
+      assert(FixText.fixText(damage1252(orig)) == orig, orig)
+      assert(FixText.fixText(damage1252(damage1252(orig))) == orig, s"double $orig")
+    }
+    assert(FixText.fixText("â€™") == "’")
+    // already-correct typographic text is never touched
+    for (ok <- Seq("it’s fine", "€50", "café — bar"))
+      assert(FixText.fixText(ok) == ok, ok)
+    // mixed damage: entity + cp1252 rounds compose
+    assert(FixText.fixText("&amp;euro;") == "€")
+    // documented subset limit: a line mixing ALREADY-CORRECT typographic
+    // chars with mojibake fails the whole-string encodability guard and is
+    // left untouched (ftfy fixes per-segment; out of the pinned subset)
+    assert(FixText.fixText(damage1252("it’s") + " &#8217;") == damage1252("it’s") + " ’")
+  }
 }
