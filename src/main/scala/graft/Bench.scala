@@ -93,6 +93,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val mainStartMs = System.currentTimeMillis()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // mode "jvm": LO/HI are thread counts of one local[] JVM.
@@ -253,12 +254,16 @@ object Bench {
     // line always lands inside the driver's bench timeout.
     final case class Rep(lo: Double, hi: Double, eff: Double,
         stealLo: Double, stealHi: Double)
-    val budgetMs =
-      // 240 s keeps the WORST-case bench wall (slow-window suite ~100 s +
-      // budget + one trailing rep ~55 s + sbt startup) inside the ~400 s
-      // envelope (319 s proven tolerated in round 4); a quiet window fits
-      // 5-6 reps of ~40 s
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "240").toLong * 1000L
+    val budgetMs = {
+      // ADAPTIVE: the scaling budget shrinks by however much the suite ran
+      // over its quiet band, so the whole bench stays inside the driver's
+      // proven tolerance regardless of the window (round-5 measurement: a
+      // 270-stolen-cpu-s window pushed the suite to 101 s and a fixed 240 s
+      // budget to a 387 s wall). Quiet window: full 240 s (5-6 reps).
+      val base = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_S", "240").toLong * 1000L
+      val elapsed = System.currentTimeMillis() - mainStartMs
+      math.max(120000L, math.min(base, 330000L - elapsed))
+    }
     val maxStealCpuS =
       sys.env.getOrElse("SPARK_GRAFT_MAX_STEAL_CPU_S", "1.5").toDouble
     val minAccepted = sys.env.getOrElse("SPARK_GRAFT_MIN_ACCEPTED", "3").toInt
