@@ -1,7 +1,7 @@
 package graft.spark
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.jdk.CollectionConverters._
 
@@ -9,9 +9,10 @@ import scala.jdk.CollectionConverters._
   * isolation (the sandbox ships no Iceberg jar — SURVEY.md section 4.2).
   *
   * Layout:
-  *   root/data/snap-<id>/part-*.parquet   immutable data files per commit
+  *   root/data/snap-<id>-<nonce>/part-*.parquet  immutable data files per
+  *                                               commit ATTEMPT
   *   root/_snapshots/v<id>.json           manifest: file list + parent id
-  *   root/_snapshots/CURRENT              current snapshot id (atomic rename)
+  *   root/_snapshots/CURRENT              human-readable hint (not the truth)
   *
   * Semantics:
   *  - `merge(df, "url")` appends only rows whose key is absent from the
@@ -21,9 +22,20 @@ import scala.jdk.CollectionConverters._
   *    duplicates (the north rule's resumability requirement).
   *  - Readers see only committed snapshots; a crash mid-write leaves data
   *    files without a manifest, which are invisible and harmless.
+  *  - MULTI-WRITER commits use Iceberg's optimistic-concurrency protocol:
+  *    the snapshot id chain is dense, and creating manifest v<N+1>.json with
+  *    an ATOMIC create-no-replace move is the compare-and-swap — exactly one
+  *    writer per id wins. A loser deletes its attempt's data files, re-reads
+  *    the new current snapshot, RE-VALIDATES its rows against it (the
+  *    anti-join re-runs, so keys committed by the winner are dropped — the
+  *    MERGE-not-matched semantics survive the race), and retries with the
+  *    next id. The authoritative current snapshot is the max v<id>.json in
+  *    the manifest dir (each manifest is immutable once visible), so readers
+  *    never depend on the racy CURRENT hint.
   *
   * On a real cluster the same trait surface is served by Iceberg
-  * (`MERGE INTO ... ON t.url = s.url WHEN NOT MATCHED THEN INSERT`).
+  * (`MERGE INTO ... ON t.url = s.url WHEN NOT MATCHED THEN INSERT`, catalog
+  * CAS in place of the create-no-replace move).
   */
 trait TableStore {
   /** Current committed table; None when no snapshot exists. */
@@ -39,10 +51,26 @@ final class SnapshotStore(val root: String) extends TableStore {
   private def snapshotsDir: Path = Paths.get(root, "_snapshots")
   private def currentFile: Path = snapshotsDir.resolve("CURRENT")
 
+  private val ManifestName = """v(\d+)\.json""".r
+
+  /** Authoritative current snapshot: the highest committed manifest id.
+    * (The CURRENT file is a convenience hint only — under concurrent
+    * writers its last-write-wins updates can momentarily regress.)
+    */
   def currentSnapshotId: Option[Long] =
-    if (Files.exists(currentFile))
-      Some(new String(Files.readAllBytes(currentFile), StandardCharsets.UTF_8).trim.toLong)
-    else None
+    if (!Files.isDirectory(snapshotsDir)) None
+    else {
+      val s = Files.list(snapshotsDir)
+      try {
+        val ids = s.iterator().asScala.flatMap { p =>
+          p.getFileName.toString match {
+            case ManifestName(id) => Some(id.toLong)
+            case _                => None
+          }
+        }.toVector
+        if (ids.isEmpty) None else Some(ids.max)
+      } finally s.close()
+    }
 
   private def manifestFiles(id: Long): Vector[String] = {
     val manifest = snapshotsDir.resolve(s"v$id.json")
@@ -72,35 +100,81 @@ final class SnapshotStore(val root: String) extends TableStore {
   /** MERGE-INTO-when-not-matched: write `df` minus already-committed keys as
     * a new snapshot. Returns the newly visible data files (so callers can
     * derive per-commit aggregates without recomputing or caching upstream).
+    * Safe under concurrent writers (see class doc); losing attempts
+    * re-validate and retry, so overlapping keys commit exactly once.
     */
   def merge(df: DataFrame, keyCol: String): Vector[String] = {
     val spark = df.sparkSession
-    val newId = currentSnapshotId.getOrElse(-1L) + 1L
-    val dataDir = Paths.get(root, "data", s"snap-$newId")
-    val toWrite = committedKeys(spark, keyCol) match {
-      case Some(done) => df.join(done, Seq(keyCol), "left_anti")
-      case None       => df
+    val maxRetries = 10
+    var attempt = 0
+    while (attempt <= maxRetries) {
+      val baseId = currentSnapshotId
+      val baseFiles = baseId.map(manifestFiles).getOrElse(Vector.empty)
+      val newId = baseId.getOrElse(-1L) + 1L
+      // data dir is unique PER ATTEMPT: two racers must never write into
+      // the same directory (the loser's dir is deleted on retry)
+      val nonce = java.lang.Long.toHexString(
+        System.nanoTime() ^ Thread.currentThread().getId << 48)
+      val dataDir = Paths.get(root, "data", s"snap-$newId-$nonce")
+      val toWrite =
+        if (baseFiles.isEmpty) df
+        else df.join(
+          spark.read.parquet(baseFiles: _*).select(keyCol).distinct(),
+          Seq(keyCol), "left_anti")
+      toWrite.write.mode("overwrite").parquet(dataDir.toString)
+      val listing = Files.list(dataDir)
+      val newFiles =
+        try listing.iterator().asScala.map(_.toString)
+          .filter(_.endsWith(".parquet")).toVector
+        finally listing.close()
+      if (tryCommit(newId, baseId, baseFiles ++ newFiles)) return newFiles
+      // conflict: another writer committed v<newId> first. Drop this
+      // attempt's (invisible) files and re-run the anti-join against the
+      // winner's snapshot so MERGE semantics hold.
+      deleteRecursively(dataDir)
+      attempt += 1
     }
-    toWrite.write.mode("overwrite").parquet(dataDir.toString)
-    val newFiles = Files.list(dataDir).iterator().asScala
-      .map(_.toString)
-      .filter(f => f.endsWith(".parquet"))
-      .toVector
-    commit(newId, currentFiles ++ newFiles)
-    newFiles
+    throw new IllegalStateException(
+      s"merge lost the commit race $maxRetries times in a row at $root — " +
+        "writer contention this persistent needs an external coordinator")
   }
 
-  private def commit(id: Long, files: Vector[String]): Unit = {
+  /** The CAS: atomically create v<id>.json (no replace). Exactly one writer
+    * per id can succeed; everyone else sees FileAlreadyExistsException.
+    */
+  private def tryCommit(id: Long, parent: Option[Long],
+      files: Vector[String]): Boolean = {
     Files.createDirectories(snapshotsDir)
-    val parent = currentSnapshotId.map(_.toString).getOrElse("null")
     val json =
-      s"""{"id":$id,"parent":$parent,"files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
-    val tmp = snapshotsDir.resolve(s".v$id.json.tmp")
+      s"""{"id":$id,"parent":${parent.map(_.toString).getOrElse("null")},""" +
+        s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    val tmp = snapshotsDir.resolve(s".v$id.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, snapshotsDir.resolve(s"v$id.json"), StandardCopyOption.ATOMIC_MOVE)
-    val tmpCur = snapshotsDir.resolve(".CURRENT.tmp")
-    Files.write(tmpCur, id.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmpCur, currentFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    try {
+      // hard link, not move: POSIX link(2) fails with EEXIST ATOMICALLY
+      // (Files.move without REPLACE_EXISTING is a non-atomic
+      // check-then-rename — rename(2) itself silently replaces), and the
+      // linked manifest is complete the instant it becomes visible
+      Files.createLink(snapshotsDir.resolve(s"v$id.json"), tmp)
+      Files.deleteIfExists(tmp)
+      // best-effort human-readable hint; the manifest listing is the truth
+      val tmpCur = snapshotsDir.resolve(s".CURRENT.${java.lang.Long.toHexString(System.nanoTime())}.tmp")
+      Files.write(tmpCur, id.toString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmpCur, currentFile, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      true
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        false
+    }
   }
+
+  private def deleteRecursively(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val s = Files.walk(dir)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 }
