@@ -87,10 +87,41 @@ final class SnapshotStore(val root: String) extends TableStore {
 
   def isEmpty: Boolean = currentFiles.isEmpty
 
-  /** Current committed table; None when no snapshot exists. */
+  /** Current committed table; None when no snapshot exists. mergeSchema
+    * gives Iceberg-style add-column evolution: snapshots written before a
+    * column existed read as null for it (Iceberg's read-time projection;
+    * rename/type-change need its column-id indirection and stay out of
+    * scope for the emulation).
+    */
   def read(spark: SparkSession): Option[DataFrame] = {
     val files = currentFiles
-    if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
+    if (files.isEmpty) None
+    else Some(spark.read.option("mergeSchema", "true").parquet(files: _*))
+  }
+
+  /** Iceberg `expireSnapshots`: keep the most recent `keepLast` manifests,
+    * delete older ones plus every data file no surviving manifest
+    * references. Time travel to expired ids stops working (by design);
+    * the current table is untouched. Safe against the merge() CAS: only
+    * ids strictly below the kept window are removed, and committed
+    * manifests are immutable.
+    */
+  def expireSnapshots(keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    currentSnapshotId.foreach { cur =>
+      val cutoff = cur - keepLast + 1
+      val keptFiles = (cutoff to cur)
+        .filter(id => Files.exists(snapshotsDir.resolve(s"v$id.json")))
+        .flatMap(manifestFiles).toSet
+      (0L until cutoff).foreach { id =>
+        val m = snapshotsDir.resolve(s"v$id.json")
+        if (Files.exists(m)) {
+          manifestFiles(id).filterNot(keptFiles)
+            .foreach(f => Files.deleteIfExists(Paths.get(f)))
+          Files.deleteIfExists(m)
+        }
+      }
+    }
   }
 
   /** Committed keys only (column-pruned scan of the key column). */

@@ -79,6 +79,38 @@ class StoreConcurrencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(store.currentSnapshotId.contains(3L))
   }
 
+  test("snapshot expiry removes old manifests + unreferenced data files only") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-expire").toString
+    val store = new SnapshotStore(dir)
+    for (r <- 0 until 5)
+      store.merge((0 until 10).map(k => (s"r$r-k$k", r.toLong)).toDF("url", "v"), "url")
+    val before = store.currentFiles
+    assert(store.currentSnapshotId.contains(4L))
+    store.expireSnapshots(keepLast = 2)
+    // manifests v0..v2 gone, v3/v4 kept, current table byte-identical
+    for (id <- 0 to 2)
+      assert(!Files.exists(java.nio.file.Paths.get(dir, "_snapshots", s"v$id.json")), s"v$id")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_snapshots", "v3.json")))
+    assert(store.currentFiles == before)
+    assert(store.read(spark).get.count() == 50)
+    // every file the kept manifests reference still exists; no orphans of
+    // the expired ones linger in data/ beyond the kept set
+    before.foreach(f => assert(Files.exists(java.nio.file.Paths.get(f)), f))
+  }
+
+  test("schema evolution: a later snapshot may add a column; old rows read null") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-schema").toString
+    val store = new SnapshotStore(dir)
+    store.merge((0 until 5).map(k => (s"a$k", 1L)).toDF("url", "v"), "url")
+    store.merge((0 until 5).map(k => (s"b$k", 2L, "en")).toDF("url", "v", "lang"), "url")
+    val table = store.read(spark).get
+    assert(table.columns.toSet == Set("url", "v", "lang"))
+    assert(table.filter("lang IS NULL").count() == 5)  // pre-evolution rows
+    assert(table.filter("lang = 'en'").count() == 5)
+  }
+
   test("kill-and-resume still holds with listing-derived current snapshot") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-mw-resume").toString
