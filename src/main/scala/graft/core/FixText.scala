@@ -38,17 +38,36 @@ import java.text.Normalizer
 object FixText {
 
   def fixText(s: String): String = {
-    val lf = fixLineBreaks(s)
+    // ONE characterization scan up front: the overwhelmingly common case is
+    // a clean ASCII line, for which every repair below is an identity (NFC
+    // included) — without this, each line paid three separate full scans
+    // (entity, cp1252, latin-1 fast paths), measurable at extraction
+    // throughput scale
+    var hasCR = false
+    var hasAmp = false
+    var hasHigh = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\r') hasCR = true
+      else if (c == '&') hasAmp = true
+      else if (c >= 0x80) hasHigh = true
+      i += 1
+    }
+    if (!hasCR && !hasAmp && !hasHigh) return s
+    val lf = if (hasCR) fixLineBreaks(s) else s
     var cur = lf
-    var rounds = 0
-    var changed = true
-    while (changed && rounds < 4) {
-      val un = unescapeEntities(cur)
-      val cp = undoCp1252Mojibake(un)
-      val next = if (cp ne un) cp else undoLatin1Mojibake(un)
-      changed = next ne cur // every undo step returns the SAME instance on no-op
-      cur = next
-      rounds += 1
+    if (hasAmp || hasHigh) {
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 4) {
+        val un = unescapeEntities(cur)
+        val cp = undoCp1252Mojibake(un)
+        val next = if (cp ne un) cp else undoLatin1Mojibake(un)
+        changed = next ne cur // every undo step returns the SAME instance on no-op
+        cur = next
+        rounds += 1
+      }
     }
     Normalizer.normalize(cur, Normalizer.Form.NFC)
   }
