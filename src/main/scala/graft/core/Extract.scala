@@ -31,7 +31,7 @@ object Extract {
       nLines: Int,
       needOcrPages: Int,
       parseStatus: String, // ok | error
-      errorClass: String // "" | empty_doc | oversize | parse_error | exception
+      errorClass: String // "" | empty_doc | oversize | range_error | parse_error | exception | cancelled
   )
 
   /** Max accepted input size — mirrors the API's 250 MB body cap
@@ -72,13 +72,33 @@ object Extract {
   def extractDocument(url: String, html: Array[Byte]): ExtractedDoc =
     extractDocument(url, html, None)
 
+  /** Thrown between pages when `isCancelled()` flips — the analogue of the
+    * reference's "Page processing was cancelled" bail
+    * (parse/document.rs:66-69, 309-315). Internal; surfaced as
+    * errorClass "cancelled".
+    */
+  private final class CancelledException extends RuntimeException
+
   /** `pageRange` is 0-based half-open; a range end past the document's page
     * count is an error, mirroring the reference's bail
     * (parse/native.rs:263-274) but surfaced in the failure taxonomy.
     */
   def extractDocument(url: String, html: Array[Byte],
       pageRange: Option[(Int, Int)]): ExtractedDoc =
+    extractDocument(url, html, pageRange, _ => (), () => false)
+
+  /** Serving-surface variant with the reference parser's two callbacks
+    * (parse/document.rs:211-217): `onPageParsed(pageId)` fires once per
+    * structured page (the API's SSE progress source, api/main.rs:760-776)
+    * and `isCancelled` is polled before the parse and before every page
+    * (parse/document.rs:294-315); a positive poll aborts with
+    * errorClass "cancelled" instead of an anyhow error.
+    */
+  def extractDocument(url: String, html: Array[Byte],
+      pageRange: Option[(Int, Int)], onPageParsed: Int => Unit,
+      isCancelled: () => Boolean): ExtractedDoc =
     try {
+      if (isCancelled()) return failed(url, "cancelled")
       if (html == null || html.isEmpty)
         return failed(url, "empty_doc")
       if (html.length > MaxBytes)
@@ -95,8 +115,9 @@ object Extract {
           indexed.slice(math.max(start, 0), end)
         case None => indexed
       }
-      extractPages(url, ranged)
+      extractPages(url, ranged, onPageParsed, isCancelled)
     } catch {
+      case _: CancelledException => failed(url, "cancelled")
       case _: HtmlFront.ParseException => failed(url, "parse_error")
       case scala.util.control.NonFatal(_) => failed(url, "exception")
     }
@@ -105,9 +126,13 @@ object Extract {
     ExtractedDoc(url, "", "", "", "[]", 0, 0, 0, 0, 0, "error", errorClass)
 
   private def extractPages(url: String,
-      pagesIn: Seq[(HtmlFront.LaidOutPage, Int)]): ExtractedDoc = {
+      pagesIn: Seq[(HtmlFront.LaidOutPage, Int)],
+      onPageParsed: Int => Unit,
+      isCancelled: () => Boolean): ExtractedDoc = {
     var nLines = 0
     val pages = pagesIn.map { case (p, pageId) =>
+      // cancellation poll before each page (parse/document.rs:309-315)
+      if (isCancelled()) throw new CancelledException
       // L4: verbatim NMS over the oracle's raw boxes (layout/model.rs:125).
       val boxes = Nms.nms(p.boxes)
       // T3 ran streaming inside the front-end; T4 folds the spans here.
@@ -128,8 +153,13 @@ object Extract {
       nLines += lines.length
       // J1-J4.
       val elements = Assign.buildPageElements(boxes, lines, pageId)
-      StructuredPage(pageId, HtmlFront.PageWidth, HtmlFront.PageHeight, needOcr, elements)
+      val sp = StructuredPage(pageId, HtmlFront.PageWidth, HtmlFront.PageHeight,
+        needOcr, elements)
+      onPageParsed(pageId)
+      sp
     }
+    // cancellation poll while collecting results (parse/document.rs:341-348)
+    if (isCancelled()) throw new CancelledException
 
     // Document assembly (document.rs:242-265): flatten in page order,
     // k-means over Title/Subtitle heights, block grouping.
