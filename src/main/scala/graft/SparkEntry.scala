@@ -92,6 +92,8 @@ object SparkEntry {
       Dedup.lshDedupClosure(s, d)),
     "qd11_ppjoin_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.ppjoinPairs(s, d)),
+    "qd12_passage_dedup" -> ((s: SparkSession, d: String) =>
+      Dedup.passageDedup(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -814,6 +816,38 @@ object SparkEntry {
                      JOIN shn sb ON c.doc_b = sb.doc_id
          WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
                len(list_distinct(sa.sh || sb.sh)) >= CAST(0.8 AS DOUBLE)""",
+    // passage-level keep-first dedup: the oracle recomputes the 10-word
+    // windows, picks the global first occurrence per passage with a
+    // row_number window (the Spark side uses the equivalent min-struct
+    // AGGREGATE — (doc_id, pidx) is unique, so rn=1 == min), and rebuilds
+    // the text the same way (kept passages in pidx order + word tail)
+    "qd12_passage_dedup" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         sized AS (
+           SELECT doc_id, w, len(w) AS nwords, len(w) // 10 AS npass FROM base),
+         p AS (
+           SELECT doc_id, i AS pidx,
+             array_to_string(w[(i*10+1):(i*10+10)], ' ') AS passage
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(npass - 1 AS INT))) AS i
+                 FROM sized WHERE npass >= 1)),
+         keep AS (
+           SELECT doc_id, pidx, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, pidx) AS rn
+           FROM p),
+         rebuilt AS (
+           SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(passage, ' ' ORDER BY pidx) AS kept_text
+           FROM keep WHERE rn = 1 GROUP BY doc_id)
+         SELECT s.doc_id,
+           CAST(s.npass AS BIGINT) AS n_passages,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(s.npass - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           concat_ws(' ',
+             nullif(COALESCE(r.kept_text, ''), ''),
+             nullif(array_to_string(s.w[(CAST(s.npass AS INT)*10+1):CAST(s.nwords AS INT)], ' '), '')) AS clean_text
+         FROM sized s LEFT JOIN rebuilt r USING (doc_id)""",
     // KMV sketch content replayed exactly: the k smallest distinct 60-bit
     // md5-half hashes of the bigram vocabulary, ascending
     "qt12_kmv_distinct" ->

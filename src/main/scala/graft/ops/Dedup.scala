@@ -699,4 +699,76 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         col("quality_score"), col("survivor"))
   }
+
+  /** qd12: passage-level exact dedup, keep-first — the sub-document dedup
+    * pass production pipelines run besides whole-doc dedup (Dolma dedups
+    * paragraphs against a corpus-wide index; CCNet drops repeated lines).
+    * This corpus has no line structure, so a "passage" is a fixed
+    * non-overlapping window of `w` words — deterministic and identically
+    * computable on both engines. The globally FIRST occurrence of each
+    * passage (min (doc_id, pidx)) survives; all other copies are dropped
+    * and each document's text is rebuilt from its surviving passages, with
+    * the sub-window word tail always kept.
+    *
+    * Scale shape: the corpus-wide step is an AGGREGATION on the passage
+    * key — min(struct(doc_id, pidx)) with map-side partial aggregation —
+    * never a passage-partitioned window: a boilerplate passage repeated
+    * 10^6 times is exactly the hot key that would serialize a window
+    * partition, while the min-aggregate combines it map-side. The
+    * keeper join shuffles on the same passage key (exchange reuse), and
+    * the rebuild groups by doc_id with a doc-bounded collect_list (the
+    * qt14/qt16 discipline).
+    */
+  def passageDedup(spark: SparkSession, dir: String, w: Int = 10): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("nwords", size(col("words")).cast("long"))
+      .withColumn("npass", floor(col("nwords") / w))
+
+    val pass = base.where(col("npass") >= 1)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("npass") - 1).cast("int")),
+          i => array_join(slice(col("words"), i * w + 1, lit(w)), " "))))
+      .toDF("doc_id", "pidx", "passage")
+
+    // order-preserving (doc_id, pidx) encoding into one BIGINT: min() over
+    // it is the lexicographic first occurrence, and unlike min(struct(..))
+    // it plans as a HASH aggregate (struct mins fall back to SortAggregate,
+    // which local-sorts the whole passage stream per task). Bound: pidx <
+    // 2^20 (a 10M-word doc at w=10), doc_id < 2^43.
+    val keeperKey = shiftleft(col("doc_id"), 20) + col("pidx")
+    val keepers = pass
+      .groupBy(col("passage"))
+      .agg(min(keeperKey).as("keeper"))
+
+    val kept = pass
+      .join(keepers, "passage")
+      .where(keeperKey === col("keeper"))
+
+    val rebuilt = kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pidx"), col("passage")))),
+            s => s("passage")),
+          " ").as("kept_text"))
+
+    val tail = array_join(
+      slice(col("words"), (col("npass") * w + 1).cast("int"),
+        (col("nwords") - col("npass") * w).cast("int")), " ")
+
+    base
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("npass").as("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("npass") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        concat_ws(" ",
+          nullif(coalesce(col("kept_text"), lit("")), lit("")),
+          nullif(tail, lit(""))).as("clean_text"))
+  }
 }

@@ -290,6 +290,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("top_k_rank"), plan)
   }
 
+  test("qd12: passage dedup keeps first by HASH aggregate — no Window, no struct-min SortAggregate") {
+    val plan = planOf(Dedup.passageDedup(spark, sf))
+    // the scale claim: a boilerplate passage repeated 10^6 times must hit a
+    // combiner-friendly aggregate, never a passage-partitioned window or a
+    // per-task local sort of the whole passage stream
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(plan.contains("partial_min"), plan)
+    assert(plan.contains("partial_collect_list"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qt10 repetition is map-only: zero exchanges, native expression") {
     val plan = planOf(TextAnalysis.repetitionSignals(spark, sf))
     assert(!plan.contains("Exchange"), plan)
