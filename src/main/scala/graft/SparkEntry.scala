@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 import graft.spark.{ExtractJob, PagesTable}
 
 /** Driver contract — see SURVEY.md section 7 and Verify/Bench.
@@ -148,6 +148,15 @@ object SparkEntry {
       Similarity.int8QuantStats(s, d)),
     "qs5_ann_int8" -> ((s: SparkSession, d: String) =>
       Similarity.annInt8(s, d)),
+    "qt20_gopher_rules" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRules(s, d)),
+    "qt21_dsir_weights" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.dsirWeights(s, d)),
+    // ---- embedding-space clustering / semantic dedup ----
+    "qc1_kmeans" -> ((s: SparkSession, d: String) =>
+      Clustering.kmeansAssign(s, d)),
+    "qc2_semdedup" -> ((s: SparkSession, d: String) =>
+      Clustering.semDedup(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -211,6 +220,80 @@ object SparkEntry {
     s"$head$rounds\n         $unions"
   }
 
+  /** qc1/qc2's oracle scaffolding, generated: the Lloyd loop UNROLLED as a
+    * CTE chain over int64 fixed-point codes — per round, an exact integer
+    * L2 argmin against the previous round's centroids (ties to the smallest
+    * cid) and a per-(cluster, dim) integer-sum M-step whose mean re-rounds
+    * to the grid; empty clusters COALESCE to their previous centroid. All
+    * arithmetic is int64 (sums CAST out of HUGEINT), so every round replays
+    * the Spark side bit-for-bit.
+    */
+  private def kmeansOracleBlocks(k: Int, rounds: Int): String = {
+    val head =
+      s"""WITH q AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, qv AS cv FROM q WHERE vec_id < $k)"""
+    val body = (1 to rounds).map { r =>
+      val assign =
+        s""",
+         a$r AS (
+           SELECT vec_id, cid AS cluster, dist FROM (
+             SELECT vec_id, cid, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT q.vec_id, c.cid,
+                 CAST(list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
+                                FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS dist
+               FROM q, c${r - 1} c)) WHERE rn = 1)"""
+      val mstep = if (r == rounds) "" else
+        s""",
+         s$r AS (
+           SELECT a.cluster, t.i, CAST(SUM(q.qv[t.i]) AS BIGINT) AS s, COUNT(*) AS cnt
+           FROM a$r a JOIN q USING (vec_id), unnest(range(1, len(q.qv)+1)) AS t(i)
+           GROUP BY a.cluster, t.i),
+         c$r AS (
+           SELECT c0.cid, COALESCE(n.cv, p.cv) AS cv
+           FROM c0 LEFT JOIN (
+             SELECT cluster AS cid,
+               list(CAST(round(CAST(s AS DOUBLE)/cnt) AS BIGINT) ORDER BY i) AS cv
+             FROM s$r GROUP BY cluster) n ON c0.cid = n.cid
+           JOIN c${r - 1} p ON c0.cid = p.cid)"""
+      assign + mstep
+    }.mkString
+    head + body
+  }
+
+  private def kmeansOracleSql(k: Int, rounds: Int): String =
+    kmeansOracleBlocks(k, rounds) +
+      s"\n         SELECT vec_id, cluster, dist AS dist_sq FROM a$rounds"
+
+  /** qc2's oracle: the full qc1 chain, then the keep-first drop rule — b is
+    * dropped iff some same-cluster a with a smaller vec_id clears the exact
+    * integer cosine threshold (dot > 0 and dot^2*10^4 >= tau2E4*|a|^2*|b|^2,
+    * HUGEINT on the DuckDB side, DECIMAL(38,0) on the Spark side).
+    */
+  private def semdedupOracleSql(k: Int, rounds: Int, tau2E4: Long): String =
+    kmeansOracleBlocks(k, rounds) +
+      s""",
+         m AS (
+           SELECT a.vec_id, a.cluster, q.qv,
+             CAST(list_sum([q.qv[i]*q.qv[i] FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS n2
+           FROM a$rounds a JOIN q USING (vec_id)),
+         pr AS (
+           SELECT b.vec_id,
+             CAST(list_sum([a.qv[i]*b.qv[i] FOR i IN range(1, len(a.qv)+1)]) AS BIGINT) AS dot,
+             a.n2 AS na, b.n2 AS nb
+           FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+         dup AS (
+           SELECT DISTINCT vec_id FROM pr
+           WHERE dot > 0
+             AND CAST(dot AS HUGEINT) * dot * 10000 >= $tau2E4 * CAST(na AS HUGEINT) * nb)
+         SELECT m.vec_id, m.cluster,
+           CAST(dup.vec_id IS NOT NULL AS INTEGER) AS dropped
+         FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id"""
+
   /** DuckDB replay of [[graft.ops.Multimodal.mediaTable]]'s payload
     * construction, byte for byte: PNG signature + IHDR (doc_id-derived
     * width/height as big-endian u32) for doc_id%3==0, JPEG SOI + APP0/JFIF +
@@ -236,6 +319,74 @@ object SparkEntry {
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qt19_bpe_merges" -> bpeOracleSql(8),
+    "qc1_kmeans" -> kmeansOracleSql(8, 4),
+    "qt21_dsir_weights" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang, unnest(
+             ['u:' || x FOR x IN words] ||
+             ['b:' || words[i] || ' ' || words[i+1]
+              FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS f
+           FROM w),
+         fb AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS bucket
+           FROM f),
+         cnt AS (
+           SELECT bucket, COUNT(*) AS n_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+           FROM fb GROUP BY bucket),
+         tot AS (
+           SELECT COUNT(*) AS t_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tgt
+           FROM fb),
+         spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+         lam AS (
+           SELECT spine.bucket,
+             ROUND(ln((COALESCE(n_tgt, 0) + 1.0) / (t_tgt + 1024.0)) -
+                   ln((COALESCE(n_raw, 0) + 1.0) / (t_raw + 1024.0)), 9) AS lam
+           FROM spine LEFT JOIN cnt ON spine.bucket = cnt.bucket CROSS JOIN tot)
+         SELECT doc_id, COUNT(*) AS n_feats,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(lam))),
+             (a, b) -> a + b), 6) AS log_weight
+         FROM fb JOIN lam USING (bucket)
+         GROUP BY doc_id""",
+    "qc2_semdedup" -> semdedupOracleSql(8, 4, 2025L),
+    "qt20_gopher_rules" ->
+      """SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
+           bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           stop_distinct,
+           CAST(word_count BETWEEN 50 AND 100000
+             AND mean_word_len BETWEEN 3 AND 10
+             AND symbol_word_ratio <= 0.1
+             AND bullet_line_ratio < 0.9
+             AND ellipsis_line_ratio < 0.3
+             AND alpha_word_ratio >= 0.8
+             AND stop_distinct >= 2 AS INTEGER) AS passes_gopher
+         FROM (
+           SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS word_count,
+             round(CAST(list_sum([length(w) FOR w IN words]) AS DOUBLE) / len(words), 4) AS mean_word_len,
+             round(len(regexp_extract_all(text, '#|\.\.\.|…')) / CAST(len(words) AS DOUBLE), 6) AS symbol_word_ratio,
+             round(len([l FOR l IN lines IF regexp_matches(l, '^\s*[-*•]')]) / CAST(len(lines) AS DOUBLE), 6) AS bullet_line_ratio,
+             round(len([l FOR l IN lines IF regexp_matches(l, '(\.\.\.|…)\s*$')]) / CAST(len(lines) AS DOUBLE), 6) AS ellipsis_line_ratio,
+             round(len([w FOR w IN words IF regexp_matches(w, '[A-Za-z]')]) / CAST(len(words) AS DOUBLE), 6) AS alpha_word_ratio,
+             CAST(regexp_matches(lower(text), '\bthe\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bbe\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bto\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bof\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\band\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bthat\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bhave\b') AS BIGINT)
+               + CAST(regexp_matches(lower(text), '\bwith\b') AS BIGINT) AS stop_distinct
+           FROM (
+             SELECT doc_id, text,
+               string_split_regex(trim(text), '\s+') AS words,
+               string_split(text, chr(10)) AS lines
+             FROM documents))""",
     "q01_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.GraftFunctions
+
+/** Embedding-space clustering and cluster-based semantic deduplication over
+  * the `embeddings` table — the curation legs a training-data pipeline runs
+  * AFTER text-level dedup: k-means partitions the embedding space, and
+  * near-identical vectors inside each cluster are pruned (SemDeDup, Abbas et
+  * al. 2023, arXiv:2303.09540; cluster-based data pruning per Sorscher et
+  * al. 2022, arXiv:2206.14486).
+  *
+  * Everything runs on int64 FIXED-POINT codes (coordinate x -> round(x*1e6),
+  * the qs5 discipline): distances, centroid updates, and the cosine
+  * threshold are all exact integer arithmetic, so the DuckDB oracle replays
+  * every round bit-for-bit — no float-accumulation-order drift anywhere.
+  *
+  * Scale design (100 TB): the E-step is MAP-ONLY — each row scores against
+  * k centroid LITERALS via the native dot_i64 expression (O(k*dim) per row,
+  * zero shuffles, zero joins). The M-step is one partially-aggregated
+  * groupBy whose output is k*dim rows — model-sized, not data-sized — so the
+  * per-round driver collect is bounded exactly like the IVF quantizer sample
+  * (Similarity.ivfCentroids) and qt19's 1-row argmax. Rounds parameterize
+  * the PLAN with fresh literals instead of growing lineage over a re-derived
+  * Dataset, so no per-round checkpoint is needed (contrast qd6/qt19 where
+  * the iterated state is row-shaped). SemDeDup's pairwise stage is the
+  * whole point of clustering first: the quadratic work is confined within
+  * clusters, and at scale k grows with the corpus (the paper uses k = 50k
+  * on LAION) to keep every cluster bounded — the same cap discipline as
+  * qd7's banded buckets.
+  */
+object Clustering {
+
+  /** Fixed-point scale: f32 coordinates quantize to round(x * 1e6). The f32
+    * -> f64 widening is exact and round-half-away ties agree between Spark
+    * (BigDecimal HALF_UP) and DuckDB (C round) — validated by qs4/qs5.
+    */
+  private val ScaleF = 1e6
+
+  /** (vec_id, qv ARRAY<BIGINT>) int64 codes of the embeddings table. */
+  private def codes(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet").select(
+      col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * lit(ScaleF)).cast("long")).as("qv"))
+
+  /** Half-away-from-zero integer rounding of the M-step mean — matches
+    * DuckDB round() and Spark round() on the same double. (math.round would
+    * differ on negative .5 ties: floor(x+0.5) rounds -2.5 to -2.)
+    */
+  private def roundHalfAway(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** `rounds` Lloyd iterations from a deterministic init (the first k
+    * vectors by vec_id). Returns the final-round assignment WITH the code
+    * vector attached: (vec_id, cluster, dist_sq, qv). Ties in the argmin
+    * resolve to the smallest centroid id; clusters that empty out keep their
+    * previous centroid.
+    */
+  private[ops] def lloydAssign(spark: SparkSession, dir: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got $k/$rounds")
+    val c = codes(spark, dir)
+    c.persist()
+    try {
+      val init = c.filter(col("vec_id") < k).orderBy("vec_id")
+        .select("qv").collect().map(_.getSeq[Long](0).toArray)
+      require(init.length == k,
+        s"embeddings table has fewer than k=$k vectors with vec_id < $k")
+      var cents = init
+      var assigned: DataFrame = null
+      for (r <- 1 to rounds) {
+        assigned = assignToCentroids(c, cents)
+        if (r < rounds) {
+          // M-step: per-(cluster, dim) sums — k*dim output rows (model-sized)
+          val sums = assigned
+            .select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+            .groupBy("cluster", "pos")
+            .agg(sum("v").as("s"), count(lit(1)).as("cnt"))
+            .collect()
+          val next = cents.map(_.clone())
+          sums.foreach { row =>
+            val cid = row.getAs[Int]("cluster")
+            val pos = row.getAs[Int]("pos")
+            next(cid)(pos) =
+              roundHalfAway(row.getAs[Long]("s").toDouble / row.getAs[Long]("cnt"))
+          }
+          cents = next
+        }
+      }
+      assigned
+    } finally c.unpersist()
+  }
+
+  /** Map-only E-step: dist(v, c) = |v|^2 - 2 v.c + |c|^2, all int64 via the
+    * native dot_i64 against per-centroid array literals; argmin with
+    * smallest-cid tie-break via lexicographic array_min over (dist, cid)
+    * structs.
+    */
+  private def assignToCentroids(c: DataFrame, cents: Array[Array[Long]]): DataFrame = {
+    val n2 = GraftFunctions.dotI64(col("qv"), col("qv"))
+    val candidates = array(cents.zipWithIndex.map { case (cv, cid) =>
+      val n2c = cv.foldLeft(0L)((acc, x) => acc + x * x)
+      struct(
+        (col("n2") - lit(2L) * GraftFunctions.dotI64(col("qv"), typedlit(cv.toSeq))
+          + lit(n2c)).as("dist"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    c.withColumn("n2", n2)
+      .withColumn("best", array_min(candidates))
+      .select(col("vec_id"), col("best.cid").as("cluster"),
+        col("best.dist").as("dist_sq"), col("qv"), col("n2"))
+  }
+
+  /** qc1: final-round k-means assignment — (vec_id, cluster, dist_sq). */
+  def kmeansAssign(spark: SparkSession, dir: String,
+      k: Int = 8, rounds: Int = 4): DataFrame =
+    lloydAssign(spark, dir, k, rounds)
+      .select(col("vec_id"), col("cluster"), col("dist_sq"))
+
+  /** qc2: SemDeDup — within each k-means cluster, a vector is DROPPED iff
+    * some earlier vector (smaller vec_id, same cluster) sits within the
+    * cosine threshold; the earliest member of every near-duplicate
+    * neighborhood survives (the qd12 keep-first policy, deterministic and
+    * closed-form — no iteration).
+    *
+    * The threshold compare is EXACT integer math: cos(a,b) >= tau iff
+    * dot > 0 and dot^2 * 10^4 >= tau2E4 * |a|^2 * |b|^2, evaluated in
+    * DECIMAL(38,0) (dot <= 6.4e13 here, so dot^2 * 10^4 <= 4e31 << 1e38;
+    * DuckDB replays in HUGEINT). tau2E4 = round(tau^2 * 10^4). The default
+    * 2025 (tau = 0.45) suits the fixture's near-uniform random vectors —
+    * real sentence embeddings cluster much tighter and run tau ~ 0.95+
+    * (SemDeDup's epsilon-ball), which only CHANGES THE CONSTANT.
+    *
+    * Output: (vec_id, cluster, dropped) for every vector — the survivor set
+    * is dropped = 0.
+    */
+  def semDedup(spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 4,
+      tau2E4: Long = 2025): DataFrame = {
+    val m = lloydAssign(spark, dir, k, rounds)
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    val a = m.select(col("cluster"), col("vec_id").as("a_id"),
+      col("qv").as("a_qv"), col("n2").as("a_n2"))
+    val b = m.select(col("cluster"), col("vec_id").as("b_id"),
+      col("qv").as("b_qv"), col("n2").as("b_n2"))
+    // equi-join on cluster: the shuffle key is the cluster id, so the
+    // quadratic verify never leaves a cluster (no cartesian — asserted in
+    // ClusteringSpec); ids-only output
+    val dup = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dot", GraftFunctions.dotI64(col("a_qv"), col("b_qv")))
+      .where(col("dot") > 0 &&
+        dec(col("dot")) * dec(col("dot")) * dec(lit(10000L)) >=
+          dec(lit(tau2E4)) * dec(col("a_n2")) * dec(col("b_n2")))
+      .select(col("b_id").as("dup_id")).distinct()
+    m.join(dup, col("vec_id") === col("dup_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_id").isNotNull.cast("int").as("dropped"))
+  }
+}

@@ -612,4 +612,100 @@ object TextAnalysis {
       Dedup.fingerprintCol(col("text")).as("md5_fp"),
       graft.functions.GraftFunctions.simhash64(col("text")).as("simhash_fp")
     )
+
+  /** qt21: DSIR importance weights (Xie et al. 2023, arXiv:2302.03169 —
+    * Data Selection via Importance Resampling): hashed-n-gram bag-of-words
+    * models over B buckets for a TARGET slice (lang = targetLang here; a
+    * quality corpus in production) and the RAW pool, then per-document
+    * log importance weight = sum over feature instances of
+    * log p_target(bucket) - log p_raw(bucket) (add-1 smoothing over the B
+    * buckets). Documents are then importance-RESAMPLED by weight — this op
+    * emits the weights table that the qt7 hash-sampler consumes.
+    *
+    * Scale shape: feature hashing is map-only (portable md5 bucket — the
+    * qt7/qt15/qt17 discipline); the fitted model is FIXED-SIZE (B buckets =
+    * model state, so the broadcast obeys the fixed-size-only invariant);
+    * totals are 1-row aggregates; the per-doc fold is doc-bounded. One
+    * aggregation pass fits both models, one map-side-broadcast pass scores
+    * — exactly DSIR's two-pass structure at 100 TB. Parity: lambda is
+    * rounded to 9 digits BEFORE the per-doc sum, and the sum folds in
+    * sorted order (the qt16 order-pinning), so the oracle replays the f64
+    * math exactly.
+    */
+  def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"), norm.as("w"))
+    val unis = transform(col("w"), x => concat(lit("u:"), x))
+    val bis = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat(lit("b:"), element_at(col("w"), i + 1), lit(" "),
+          element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val feats = base
+      .select(col("doc_id"), col("lang"), explode(concat(unis, bis)).as("f"))
+      .withColumn("bucket",
+        conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
+    val isTgt = when(col("lang") === targetLang, 1L).otherwise(0L)
+    val counts = feats.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"), sum(isTgt).as("n_tgt"))
+    val totals = feats.agg(count(lit(1)).as("t_raw"), sum(isTgt).as("t_tgt"))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val b = lit(buckets.toDouble)
+    val lam = spine.join(counts, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_raw", "n_tgt"))
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log((col("n_tgt") + 1.0d) / (col("t_tgt") + b)) -
+          log((col("n_raw") + 1.0d) / (col("t_raw") + b)), 9).as("lam"))
+    feats.join(broadcast(lam), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(aggregate(array_sort(collect_list(col("lam"))), lit(0.0d),
+          (acc, x) => acc + x), 6).as("log_weight"))
+  }
+
+  /** qt20: the Gopher quality-rule composite (Rae et al. 2021,
+    * arXiv:2112.11446 §A1.1 — the published heuristic battery most web-text
+    * pipelines run first): word-count bounds, mean-word-length bounds,
+    * symbol-to-word ratio, bullet-start / ellipsis-end line ratios, the
+    * alphabetic-word requirement, and the >= 2 distinct required stopwords
+    * rule. Map-only over codegen'd regex/array expressions — zero shuffles,
+    * embarrassingly parallel at any scale. Every ratio is rounded BEFORE the
+    * rule compares it, so the DuckDB replay agrees at rule boundaries.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(trim(col("text")), "\\s+")
+    val lines = split(col("text"), "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val symbolCount = regexp_count(col("text"), lit("#|\\.\\.\\.|…")).cast("long")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("long")
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopDistinct = required
+      .map(sw => when(lower(col("text")).rlike("\\b" + sw + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        nWords.as("word_count"),
+        round(wordChars.cast("double") / nWords, 4).as("mean_word_len"),
+        round(symbolCount.cast("double") / nWords, 6).as("symbol_word_ratio"),
+        round(bulletLines.cast("double") / nLines, 6).as("bullet_line_ratio"),
+        round(ellipsisLines.cast("double") / nLines, 6).as("ellipsis_line_ratio"),
+        round(alphaWords.cast("double") / nWords, 6).as("alpha_word_ratio"),
+        stopDistinct.as("stop_distinct"))
+      .withColumn("passes_gopher",
+        (col("word_count").between(50L, 100000L) &&
+          col("mean_word_len").between(3d, 10d) &&
+          col("symbol_word_ratio") <= 0.1d &&
+          col("bullet_line_ratio") < 0.9d &&
+          col("ellipsis_line_ratio") < 0.3d &&
+          col("alpha_word_ratio") >= 0.8d &&
+          col("stop_distinct") >= 2L).cast("int"))
+  }
 }

@@ -1,0 +1,142 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for k-means (qc1) and SemDeDup (qc2) on a crafted
+  * embedding corpus with planted cluster structure and planted near-dups —
+  * the sfDir embeddings are near-uniform random, so structure must be
+  * planted to test that the ops FIND it.
+  */
+class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dir: String = _
+
+  private val Dim = 8
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-clustering-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = Files.createTempDirectory("graft-clust").toString
+    writeCorpus()
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Three well-separated planted clusters along axes 0/1/2 (members get a
+    * small deterministic per-index perturbation on the remaining axes), plus
+    * one planted near-duplicate pair inside cluster 0: vecs 0 and 9 are
+    * nearly parallel (cosine ~ 0.9996), everything else is far apart.
+    * vec_ids 0..2 are one member of each cluster so the first-k init starts
+    * with one seed per planted cluster (k = 3).
+    */
+  private def writeCorpus(): Unit = {
+    val ss = spark; import ss.implicits._
+    def vec(axis: Int, idx: Int): Array[Float] = {
+      val v = Array.fill(Dim)(0.0f)
+      v(axis) = 10.0f
+      v((axis + 3) % Dim) = 0.1f * (idx % 5) // deterministic jitter
+      v
+    }
+    val rows: Seq[(Long, Array[Float], Int)] =
+      (0 until 9).map { i =>
+        val axis = i % 3
+        (i.toLong, vec(axis, i / 3), axis)
+      } :+ {
+        // vec 9: near-dup of vec 0 (same dominant axis, tiny jitter delta)
+        val v = vec(0, 0); v(4) = 0.05f
+        (9L, v, 0)
+      }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("qc1: k-means recovers the planted clusters deterministically") {
+    val out = Clustering.kmeansAssign(spark, dir, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out.size == 10)
+    // members of the same planted cluster land in the same k-means cluster
+    for (axis <- 0 until 3) {
+      val members = (0 until 9).filter(_ % 3 == axis).map(_.toLong) ++
+        (if (axis == 0) Seq(9L) else Nil)
+      val cids = members.map(out(_)._1).toSet
+      assert(cids.size == 1, s"planted cluster $axis split across $cids")
+    }
+    // the three planted clusters stay distinct
+    assert((0 until 3).map(a => out(a.toLong)._1).toSet.size == 3)
+    // a second run is bit-identical (deterministic init + integer math)
+    val again = Clustering.kmeansAssign(spark, dir, k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
+  test("qc2: SemDeDup drops the planted near-dup, keeps the earlier one") {
+    val out = Clustering.semDedup(spark, dir, k = 3, rounds = 3, tau2E4 = 9025L)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(out(9L) == 1, "near-dup of vec 0 must be dropped")
+    assert(out(0L) == 0, "the earliest member of the neighborhood survives")
+    // nothing else clears tau = 0.95: the axis jitter puts same-cluster
+    // non-dup pairs at cosine <= ~0.99995 of... distinct jitter indices
+    // differ by >= 0.1 on an off-axis, cosine <= 0.99999 — compute exactly:
+    // members of one planted cluster differ only in the jitter coord, so
+    // cos = 100/(sqrt(100+a^2)sqrt(100+b^2)); worst pair (0.0, 0.4) gives
+    // cos ~ 0.99920 > 0.95 — so same-cluster jitter variants DO collapse.
+    // That is correct SemDeDup behavior at tau=0.95 (they are semantic
+    // dups); only the FIRST member of each cluster survives here.
+    val survivors = out.filter(_._2 == 0).keys.toSet
+    assert(survivors == Set(0L, 1L, 2L),
+      s"expected one survivor per planted cluster, got $survivors")
+  }
+
+  test("qc2 plan: pairwise stage is a cluster-keyed equi-join, no cartesian") {
+    val plan = Clustering.semDedup(spark, dir, k = 3, rounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(5).mkString("\n"))
+  }
+
+  test("qc1 plan: E-step is map-only over centroid literals (no join)") {
+    val plan = Clustering.kmeansAssign(spark, dir, k = 3, rounds = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "assignment must not join a centroid table")
+    assert(plan.contains("dot_i64"), "native dot_i64 must score the centroids")
+  }
+
+  test("qt20: gopher rules fire on the right boundary cases") {
+    val ss = spark; import ss.implicits._
+    val tdir = Files.createTempDirectory("graft-gopher").toString
+    val good = (("the quick brown fox jumps over and over with style that " +
+      "people have come to expect of a good test document ") * 3).trim
+    val rows = Seq(
+      // 0: passes everything (>= 50 words, clean prose, stopwords present)
+      (0L, good, "en", "s", good.length.toLong),
+      // 1: too short
+      (1L, "the and of with tiny", "en", "s", 20L),
+      // 2: bullet-heavy (every line a bullet)
+      (2L, (0 until 60).map(i => s"- item $i of the and with list").mkString("\n"),
+        "en", "s", 100L),
+      // 3: symbol-ridden (### and ... everywhere)
+      (3L, ("### lorem ... " * 30) + "the and of with", "en", "s", 100L),
+      // 4: no alphabetic words (digits only)
+      (4L, (1 to 60).mkString(" "), "und", "s", 100L)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tdir/documents.parquet")
+    val out = TextAnalysis.gopherRules(spark, tdir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("passes_gopher")).toMap
+    assert(out(0L) == 1, "clean prose must pass")
+    assert(out(1L) == 0, "word-count floor must fail short docs")
+    assert(out(2L) == 0, "bullet-line rule must fail bullet walls")
+    assert(out(3L) == 0, "symbol ratio must fail ###/... spam")
+    assert(out(4L) == 0, "alpha-word rule must fail digit walls")
+  }
+}

@@ -720,4 +720,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(math.abs(nw.toDouble / nh - aspect) < 0.02, r.toString)
     }
   }
+
+  test("DSIR weights rank out-of-target-language docs below the target docs") {
+    // target = en; doc 9 is the lone German doc — its hashed n-grams never
+    // appear in the target slice, so its log importance weight must fall
+    // below every English doc's (whose features the target model has seen)
+    val w = TextAnalysis.dsirWeights(spark, dupDir, targetLang = "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 10)
+    val deWeight = w(9L)
+    val enWeights = (0L to 8L).map(w(_))
+    assert(enWeights.forall(deWeight < _),
+      s"de doc weight $deWeight not below en weights $enWeights")
+    // weights are per-instance sums of a shared bucket model: deterministic
+    val again = TextAnalysis.dsirWeights(spark, dupDir, targetLang = "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == w)
+  }
 }
