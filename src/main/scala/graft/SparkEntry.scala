@@ -152,11 +152,17 @@ object SparkEntry {
       TextAnalysis.gopherRules(s, d)),
     "qt21_dsir_weights" -> ((s: SparkSession, d: String) =>
       TextAnalysis.dsirWeights(s, d)),
+    "qt22_pii_redact" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.piiRedact(s, d)),
+    "qt23_bpe_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bpeEncode(s, d)),
     // ---- embedding-space clustering / semantic dedup ----
     "qc1_kmeans" -> ((s: SparkSession, d: String) =>
       Clustering.kmeansAssign(s, d)),
     "qc2_semdedup" -> ((s: SparkSession, d: String) =>
       Clustering.semDedup(s, d)),
+    "qc3_prototype_prune" -> ((s: SparkSession, d: String) =>
+      Clustering.prototypePrune(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -189,16 +195,24 @@ object SparkEntry {
     * left-to-right merge as a list_reduce fold (an in-pass merged token
     * never re-merges because l||r != l, same as the native expression).
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** The BPE training chain (qt19's oracle scaffolding), generated: word
+    * types from the corpus, then k unrolled merge rounds — each round picks
+    * the global argmax pair (ties lexicographic) and rewrites every type's
+    * symbol list with the same greedy left-to-right fold the native
+    * bpe_merge expression runs. `dw`/`word` are carried through so the
+    * qt23 encode tail can re-attach per-document.
+    */
+  private def bpeOracleBlocks(k: Int): String = {
     val head =
-      """WITH w AS (
-           SELECT string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+      """WITH dwords AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
            FROM documents),
+         dw AS (SELECT doc_id, unnest(words) AS word FROM dwords),
          t AS (
-           SELECT word, COUNT(*) AS cnt
-           FROM (SELECT unnest(words) AS word FROM w) WHERE word <> ''
+           SELECT word, COUNT(*) AS cnt FROM dw WHERE word <> ''
            GROUP BY word),
-         w0 AS (SELECT cnt, [word[i:i] FOR i IN range(1, len(word)+1)] AS syms FROM t)"""
+         w0 AS (SELECT word, cnt, [word[i:i] FOR i IN range(1, len(word)+1)] AS syms FROM t)"""
     val rounds = (1 to k).map { i =>
       s""",
          p$i AS (
@@ -207,18 +221,36 @@ object SparkEntry {
            GROUP BY 1, 2),
          b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l ASC, r ASC LIMIT 1),
          w$i AS (
-           SELECT cnt,
+           SELECT word, cnt,
              list_reduce(list_prepend(CAST([] AS VARCHAR[]), [[s] FOR s IN syms]),
                (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b$i.l AND x[1] = b$i.r
                  THEN list_append(acc[1:len(acc)-1], b$i.l || b$i.r)
                  ELSE list_append(acc, x[1]) END) AS syms
            FROM w${i - 1} CROSS JOIN b$i)"""
     }.mkString
+    head + rounds
+  }
+
+  private def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map(i =>
       s"SELECT $i AS rank, l AS sym_l, r AS sym_r, CAST(c AS BIGINT) AS pair_count FROM b$i")
       .mkString("\n         UNION ALL ")
-    s"$head$rounds\n         $unions"
+    s"${bpeOracleBlocks(k)}\n         $unions"
   }
+
+  /** qt23's oracle: the qt19 training chain, then encode = join each doc
+    * word against its round-k symbol list and aggregate token counts.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    bpeOracleBlocks(k) +
+      s"""
+         SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+           round(CAST(SUM(length(word)) AS DOUBLE) / SUM(len(syms)), 6)
+             AS chars_per_token
+         FROM dw JOIN w$k USING (word)
+         GROUP BY doc_id"""
 
   /** qc1/qc2's oracle scaffolding, generated: the Lloyd loop UNROLLED as a
     * CTE chain over int64 fixed-point codes — per round, an exact integer
@@ -294,6 +326,22 @@ object SparkEntry {
            CAST(dup.vec_id IS NOT NULL AS INTEGER) AS dropped
          FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id"""
 
+  /** qc3's oracle: the qc1 chain, then the within-cluster hardness window —
+    * keep the ceil(keepFrac * size) members farthest from their centroid
+    * (0.5 CAST to DOUBLE: DuckDB parses bare 0.5 as DECIMAL).
+    */
+  private def prototypePruneOracleSql(k: Int, rounds: Int): String =
+    kmeansOracleBlocks(k, rounds) +
+      s"""
+         SELECT vec_id, cluster, dist_sq, hardness_rank,
+           CAST(hardness_rank <= CEIL(csize * CAST(0.5 AS DOUBLE)) AS INTEGER) AS kept
+         FROM (
+           SELECT vec_id, cluster, dist AS dist_sq,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+               ORDER BY dist DESC, vec_id ASC) AS hardness_rank,
+             COUNT(*) OVER (PARTITION BY cluster) AS csize
+           FROM a$rounds)"""
+
   /** DuckDB replay of [[graft.ops.Multimodal.mediaTable]]'s payload
     * construction, byte for byte: PNG signature + IHDR (doc_id-derived
     * width/height as big-endian u32) for doc_id%3==0, JPEG SOI + APP0/JFIF +
@@ -319,6 +367,33 @@ object SparkEntry {
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qt19_bpe_merges" -> bpeOracleSql(8),
+    "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
+    "qt22_pii_redact" ->
+      """WITH d AS (
+           SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 2 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+               || '@ex' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0 THEN ' call 555-'
+               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' from ' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 3) % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 5) % 256 AS VARCHAR)
+               || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) ELSE '' END AS dirty
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(dirty,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(dirty, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             + CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT)
+             + CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total
+         FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
     "qt21_dsir_weights" ->
       """WITH w AS (
@@ -355,6 +430,7 @@ object SparkEntry {
          FROM fb JOIN lam USING (bucket)
          GROUP BY doc_id""",
     "qc2_semdedup" -> semdedupOracleSql(8, 4, 2025L),
+    "qc3_prototype_prune" -> prototypePruneOracleSql(8, 4),
     "qt20_gopher_rules" ->
       """SELECT doc_id, word_count, mean_word_len, symbol_word_ratio,
            bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,

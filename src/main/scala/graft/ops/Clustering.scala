@@ -159,4 +159,30 @@ object Clustering {
       .select(col("vec_id"), col("cluster"),
         col("dup_id").isNotNull.cast("int").as("dropped"))
   }
+
+  /** qc3: density-based prototype pruning (Sorscher et al. 2022,
+    * arXiv:2206.14486 — "Beyond neural scaling laws"): within each k-means
+    * cluster, KEEP the ceil(keepFrac * size) members FARTHEST from their
+    * centroid (the hard/atypical examples; the easy prototypes near the
+    * center are the ones data pruning discards at scale), ties to the
+    * smaller vec_id. The window partitions by cluster — bounded partitions
+    * by construction (the qd8 survivorship argument: k grows with the
+    * corpus, so a cluster never approaches corpus size).
+    *
+    * Output: every vector with its within-cluster hardness rank and the
+    * keep decision — (vec_id, cluster, dist_sq, hardness_rank, kept).
+    */
+  def prototypePrune(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 4, keepFrac: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = lloydAssign(spark, dir, k, rounds)
+    val w = Window.partitionBy(col("cluster"))
+    val ordered = w.orderBy(col("dist_sq").desc, col("vec_id").asc)
+    m.select(col("vec_id"), col("cluster"), col("dist_sq"))
+      .withColumn("hardness_rank", row_number().over(ordered))
+      .withColumn("csize", count(lit(1)).over(w))
+      .withColumn("kept",
+        (col("hardness_rank") <= ceil(col("csize") * lit(keepFrac))).cast("int"))
+      .drop("csize")
+  }
 }

@@ -708,4 +708,86 @@ object TextAnalysis {
           col("alpha_word_ratio") >= 0.8d &&
           col("stop_distinct") >= 2L).cast("int"))
   }
+
+  /** qt22: PII detection + redaction — the scrub every released web corpus
+    * runs before training (emails, NANP phone numbers, IPv4 literals
+    * counted and replaced with typed placeholder tokens). The synthetic
+    * corpus carries no PII, so the op first PLANTS deterministic
+    * doc_id-derived PII spans (the construction is replayed verbatim by the
+    * oracle — the qm1 payload discipline), then runs the count + redaction
+    * chain on the dirty text. Map-only regexp_count / regexp_replace over
+    * codegen'd expressions — zero shuffles, embarrassingly parallel at any
+    * scale. The three patterns stay inside the Java-regex ∩ RE2 common
+    * subset (character classes, bounded repeats, \b) so Spark and DuckDB
+    * match the same spans; replacement order (email → phone → ip) is fixed
+    * and replayed.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val email = concat(lit("user"), id.cast("string"), lit("@ex"),
+      (id % 7).cast("string"), lit(".com"))
+    val phone = concat(lit("555-"), lpad((id % 1000).cast("string"), 3, "0"),
+      lit("-"), lpad(((id * 3) % 10000).cast("string"), 4, "0"))
+    val ip = concat_ws(".", (id % 256).cast("string"),
+      ((id * 3) % 256).cast("string"), ((id * 5) % 256).cast("string"),
+      ((id * 7) % 256).cast("string"))
+    val dirty = concat(
+      col("text"),
+      when(id % 2 === 0, concat(lit(" contact "), email)).otherwise(lit("")),
+      when(id % 3 === 0, concat(lit(" call "), phone)).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" from "), ip)).otherwise(lit("")))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    docs(spark, dir)
+      .select(col("doc_id"), dirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        regexp_count(col("dirty"), lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(col("dirty"), lit(phoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("dirty"), lit(ipRe)).cast("long").as("n_ips"),
+        regexp_replace(regexp_replace(regexp_replace(col("dirty"),
+          emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+          .as("redacted"))
+      .withColumn("pii_total", col("n_emails") + col("n_phones") + col("n_ips"))
+  }
+
+  /** qt23: BPE ENCODING — apply the merge table qt19 trains to tokenize the
+    * corpus (Sennrich et al. 2016's inference step; completes the
+    * train-then-apply tokenizer story). Encoding folds the k merges in rank
+    * order through the native bpe_merge rewrite — the same greedy
+    * left-to-right non-overlapping semantics training used, so encoding a
+    * fresh word replays its training-time rewrite history exactly.
+    *
+    * Scale shape: the fold runs over WORD TYPES (vocabulary-sized — each
+    * distinct word is encoded once), then token counts re-attach to the
+    * corpus through a plain vocab-sized join (AQE size-gates the broadcast;
+    * never hinted — the qt9/qt11 rule) and aggregate per doc. The merge
+    * table itself is model-sized (k rows, driver-collected — the qt19/IVF
+    * trainer pattern). Output per doc: words, BPE tokens, chars, and the
+    * chars-per-token compression ratio the tokenizer ships with.
+    */
+  def bpeEncode(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val merges = bpeMerges(spark, dir, k).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val dw = docs(spark, dir)
+      .select(col("doc_id"), explode(norm).as("word"))
+      .filter(col("word") =!= "")
+    val encoded = merges.foldLeft(split(col("word"), ""): Column) {
+      case (acc, (_, l, r)) =>
+        graft.functions.GraftFunctions.bpeMerge(acc, lit(l), lit(r))
+    }
+    val ty = dw.select(col("word")).distinct()
+      .select(col("word"), size(encoded).cast("long").as("word_tokens"))
+    dw.join(ty, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("word_tokens")).as("n_tokens"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .withColumn("chars_per_token",
+        round(col("n_chars").cast("double") / col("n_tokens"), 6))
+  }
 }

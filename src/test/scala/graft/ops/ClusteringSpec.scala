@@ -111,6 +111,25 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dot_i64"), "native dot_i64 must score the centroids")
   }
 
+  test("qc3: prototype pruning keeps the hardest half of each cluster") {
+    val out = Clustering.prototypePrune(spark, dir, k = 3, rounds = 3,
+      keepFrac = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+      .toMap
+    assert(out.size == 10)
+    // per cluster: exactly ceil(size/2) kept, and every kept member's
+    // dist_sq >= every dropped member's (hardest-first)
+    out.values.groupBy(_._1).foreach { case (c, members) =>
+      val kept = members.filter(_._4 == 1).map(_._2)
+      val dropped = members.filter(_._4 == 0).map(_._2)
+      assert(kept.size == math.ceil(members.size / 2.0).toInt,
+        s"cluster $c kept ${kept.size} of ${members.size}")
+      if (dropped.nonEmpty && kept.nonEmpty)
+        assert(kept.min >= dropped.max,
+          s"cluster $c kept an easier member than it dropped")
+    }
+  }
+
   test("qt20: gopher rules fire on the right boundary cases") {
     val ss = spark; import ss.implicits._
     val tdir = Files.createTempDirectory("graft-gopher").toString

@@ -737,4 +737,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(again == w)
   }
+
+  test("qt22: PII redaction counts and scrubs exactly the planted spans") {
+    val rows = TextAnalysis.piiRedact(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.size == 10)
+    rows.foreach { case (id, r) =>
+      val (ne, np, ni) = (r.getAs[Long]("n_emails"), r.getAs[Long]("n_phones"),
+        r.getAs[Long]("n_ips"))
+      assert(ne == (if (id % 2 == 0) 1L else 0L), s"doc $id emails $ne")
+      assert(np == (if (id % 3 == 0) 1L else 0L), s"doc $id phones $np")
+      assert(ni == (if (id % 5 == 0) 1L else 0L), s"doc $id ips $ni")
+      assert(r.getAs[Long]("pii_total") == ne + np + ni)
+      val red = r.getAs[String]("redacted")
+      // every planted span is gone, replaced by its typed placeholder
+      assert(!red.contains("@ex"), s"doc $id leaked email: $red")
+      assert(!red.contains("555-"), s"doc $id leaked phone: $red")
+      assert(red.contains("<EMAIL>") == (id % 2 == 0), s"doc $id: $red")
+      assert(red.contains("<PHONE>") == (id % 3 == 0), s"doc $id: $red")
+      assert(red.contains("<IP>") == (id % 5 == 0), s"doc $id: $red")
+    }
+    // doc 1 plants nothing: redaction must be the identity on clean text
+    assert(rows(1L).getAs[String]("redacted") ==
+      "The quick brown fox  jumps over the lazy dog again and again today")
+  }
+
+  test("qt23: BPE encoding compresses with the trained merges, invariantly") {
+    val out = TextAnalysis.bpeEncode(spark, dupDir, k = 6).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(out.size == 10)
+    out.foreach { case (id, (nw, nt, nc)) =>
+      assert(nt >= nw, s"doc $id: fewer tokens than words ($nt < $nw)")
+      assert(nt <= nc, s"doc $id: more tokens than chars ($nt > $nc)")
+    }
+    // the corpus repeats "the"/"again"/"and": 6 merges must compress SOME doc
+    // below its character count
+    assert(out.values.exists { case (_, nt, nc) => nt < nc },
+      "no merge ever fired")
+    // exact dups (0 normalizes to 1's text) encode identically per word:
+    // same word multiset -> same token count
+    val (w0, t0, c0) = out(0L)
+    val (w1, t1, c1) = out(1L)
+    assert(w0 == w1 && t0 == t1 && c0 == c1, s"$w0/$t0/$c0 vs $w1/$t1/$c1")
+    // determinism
+    val again = TextAnalysis.bpeEncode(spark, dupDir, k = 6).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars"))).toMap
+    assert(again == out)
+  }
 }
