@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Clustering, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Clustering, Dedup, Multimodal, Relational, Similarity, TextAnalysis, UrlCuration}
 import graft.spark.{ExtractJob, PagesTable}
 
 /** Driver contract — see SURVEY.md section 7 and Verify/Bench.
@@ -94,6 +94,13 @@ object SparkEntry {
       Dedup.ppjoinPairs(s, d)),
     "qd12_passage_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.passageDedup(s, d)),
+    "qd13_dup_ngrams" -> ((s: SparkSession, d: String) =>
+      Dedup.dupNgramProfile(s, d)),
+    // ---- URL-level curation ----
+    "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
+      UrlCuration.domainCap(s, d)),
+    "qu2_url_dedup" -> ((s: SparkSession, d: String) =>
+      UrlCuration.urlDedup(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -364,8 +371,91 @@ object SparkEntry {
          ELSE encode(text) END AS payload
        FROM documents"""
 
+  /** DuckDB replay of [[graft.ops.UrlCuration.withRawUrl]]'s planted URL
+    * population, verbatim: pid = doc_id%300, head-heavy host derived from
+    * pid, spam TLD every 7th host, mixed-case scheme/host, utm_/ref/v
+    * params via concat_ws (both engines skip NULLs), fragment, trailing
+    * slash. Ends with CTE `u`(doc_id, n_chars, raw_url).
+    */
+  private val urlOracleCte: String =
+    """WITH p AS (
+         SELECT doc_id, n_chars, doc_id % 300 AS pid,
+           CASE WHEN (doc_id % 300) % 3 = 0 THEN (doc_id % 300) % 8
+                ELSE (doc_id % 300) % 128 END AS host_id
+         FROM documents),
+       h AS (
+         SELECT *, 'd' || CAST(host_id AS VARCHAR) ||
+           CASE WHEN host_id % 7 = 0 THEN '.spam.example'
+                ELSE '.example.com' END AS host
+         FROM p),
+       u AS (
+         SELECT doc_id, n_chars,
+           (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END) || '://' ||
+           (CASE WHEN doc_id % 3 = 0 THEN upper(host) ELSE host END) ||
+           '/p/' || CAST(pid AS VARCHAR) ||
+           (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END) ||
+           (CASE WHEN q = '' THEN '' ELSE '?' || q END) ||
+           (CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END) AS raw_url
+         FROM (SELECT *, concat_ws('&',
+             CASE WHEN doc_id % 2 = 0 THEN 'utm_source=feed' END,
+             CASE WHEN doc_id % 3 = 1 THEN 'ref=rss' END,
+             CASE WHEN doc_id % 11 = 0 THEN 'v=2' END) AS q FROM h))"""
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
+    "qd13_dup_ngrams" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+2], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-2, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         g AS (SELECT doc_id, unnest(sh) AS gram FROM b WHERE len(sh) > 0),
+         dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2)
+         SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams,
+           round(CAST(SUM(CASE WHEN dup.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_frac
+         FROM g LEFT JOIN dup ON g.gram = dup.gram
+         GROUP BY g.doc_id""",
+    // the within-host rank window here REPLAYS the top_k_rank aggregate
+    // (q19's oracle discipline: window form == heap-aggregate form)
+    "qu1_domain_cap" -> (urlOracleCte +
+      """,
+         d AS (SELECT doc_id, n_chars,
+             regexp_extract(lower(raw_url), '://([^/?#]*)', 1) AS domain FROM u),
+         r AS (SELECT doc_id, domain,
+             ROW_NUMBER() OVER (PARTITION BY domain
+               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY domain) AS nd FROM d)
+         SELECT doc_id, domain, CAST(nd AS BIGINT) AS domain_docs,
+           CAST(CASE WHEN rn <= 8 THEN rn ELSE 0 END AS INT) AS domain_rank,
+           CAST(domain LIKE '%.spam.example' AS INTEGER) AS blocked,
+           CAST(rn <= 8 AND NOT (domain LIKE '%.spam.example') AS INTEGER) AS kept
+         FROM r"""),
+    // canonicalization replayed step by step (RE2 flavor; 'g' where Spark's
+    // always-global regexp_replace can fire more than once)
+    "qu2_url_dedup" -> (urlOracleCte +
+      """,
+         c1 AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS s FROM u),
+         c2 AS (SELECT doc_id, raw_url,
+             lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+               || substr(s, length(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS s
+           FROM c1),
+         c3 AS (SELECT doc_id, raw_url,
+             regexp_replace(s, '[?&](utm_[a-z_]+|ref)=[^&#]*', '', 'g') AS s FROM c2),
+         c4 AS (SELECT doc_id, raw_url, regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c3),
+         c5 AS (SELECT doc_id, raw_url, regexp_replace(s, '\?$', '') AS s FROM c4),
+         c6 AS (SELECT doc_id, raw_url, regexp_replace(s, '/(\?)', '\1') AS s FROM c5),
+         cz AS (SELECT doc_id, raw_url, regexp_replace(s, '/$', '') AS canon_url FROM c6)
+         SELECT doc_id, raw_url, canon_url,
+           MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS INTEGER) AS is_dup
+         FROM cz"""),
     "qt19_bpe_merges" -> bpeOracleSql(8),
     "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
     "qt22_pii_redact" ->

@@ -771,4 +771,38 @@ object Dedup {
           nullif(coalesce(col("kept_text"), lit("")), lit("")),
           nullif(tail, lit(""))).as("clean_text"))
   }
+
+  /** qd13: cross-document duplicated-n-gram profile — per doc, the fraction
+    * of its distinct word w-grams that occur in at least `minDocs` documents
+    * corpus-wide. This is the CROSS-corpus counterpart of qt10's within-doc
+    * repetition signals (RefinedWeb/Gopher gate on both families): a high
+    * dup fraction flags boilerplate mirrors and template farms that exact
+    * and near dedup both miss when the surrounding text differs.
+    *
+    * Scale shape: one explode + one hash aggregate on the gram key builds
+    * the document-frequency table (map-side partials — a boilerplate gram
+    * repeated 10^6 times combines before the shuffle), which is then PRUNED
+    * to the duplicated grams only (nd >= minDocs) before the probe join —
+    * the join's build side carries just the duplicated vocabulary, not the
+    * full gram space (the qt13 bloom-probe intuition without the sketch).
+    * Final per-doc rollup is a hash aggregate on doc_id. No windows, no
+    * driver-side state.
+    */
+  def dupNgramProfile(spark: SparkSession, dir: String, w: Int = 3,
+      minDocs: Int = 2): DataFrame = {
+    val g = docs(spark, dir)
+      .select(col("doc_id"), shingles(col("text"), w).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val dup = g.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    g.join(dup, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(col("nd").isNotNull.cast("long")).as("dup_grams"))
+      .withColumn("dup_frac",
+        round(col("dup_grams").cast("double") / col("n_grams"), 6))
+  }
 }

@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL-level curation — the stage web pipelines run BEFORE any text looks at
+  * a byte: per-domain quotas (C4/RefinedWeb cap how much any one host may
+  * contribute), domain blocklists, and URL canonicalization + exact-URL
+  * dedup (the crawl frontier's first dedup pass; w3lib/url-normalize
+  * semantics: case-fold scheme+host, strip fragments and tracking params,
+  * collapse trailing slashes).
+  *
+  * The synthetic corpus carries no URLs, so each op first PLANTS a
+  * deterministic doc_id-derived raw URL (the qt22/qm1 discipline: the
+  * construction is replayed verbatim by the DuckDB oracle, so the hash gate
+  * covers the real operator logic downstream of it). The planted population
+  * is adversarial on purpose: a head-heavy host distribution (every third
+  * page lands on one of 8 mega-hosts), a spam TLD, mixed-case schemes and
+  * hosts, utm_ and ref tracking params interleaved with a REAL param that
+  * must survive, fragments, and trailing slashes.
+  */
+object UrlCuration {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic planted raw URL per doc (see class doc). Path identity is
+    * `doc_id % 300` and the host derives from THAT, so distinct docs collide
+    * on the canonical URL at every corpus size; noise (case, params,
+    * fragment, trailing slash) keys on doc_id so colliding docs disagree on
+    * the raw form — exactly what canonicalization has to undo.
+    */
+  private[ops] def withRawUrl(d: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val pid = id % 300
+    val hostId = when(pid % 3 === 0, pid % 8).otherwise(pid % 128)
+    val host = concat(lit("d"), hostId.cast("string"),
+      when(hostId % 7 === 0, lit(".spam.example")).otherwise(lit(".example.com")))
+    val scheme = when(id % 2 === 0, lit("HTTPS")).otherwise(lit("https"))
+    val noisyHost = when(id % 3 === 0, upper(host)).otherwise(host)
+    val path = concat(lit("/p/"), pid.cast("string"),
+      when(id % 7 === 0, lit("/")).otherwise(lit("")))
+    val params = concat_ws("&",
+      when(id % 2 === 0, lit("utm_source=feed")),
+      when(id % 3 === 1, lit("ref=rss")),
+      when(id % 11 === 0, lit("v=2")))
+    val query = when(params =!= "", concat(lit("?"), params)).otherwise(lit(""))
+    val frag = when(id % 5 === 0, lit("#sec1")).otherwise(lit(""))
+    d.withColumn("raw_url",
+      concat(scheme, lit("://"), noisyHost, path, query, frag))
+  }
+
+  /** URL canonicalization as pure string surgery over the raw URL (never a
+    * recomputation from ids): strip fragment, case-fold scheme+host, drop
+    * utm_* / ref tracking params while KEEPING real ones, repair the query
+    * separator, collapse the trailing slash. Every regex stays in the
+    * Java ∩ RE2 subset (no lookaround) so the oracle replays each step.
+    */
+  private[ops] def canonicalize(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val schemeHost = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val cased = concat(lower(schemeHost),
+      noFrag.substr(length(schemeHost) + 1, lit(1 << 20)))
+    val noTrack = regexp_replace(cased, "[?&](utm_[a-z_]+|ref)=[^&#]*", "")
+    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noEmptyQ = regexp_replace(fixedSep, "\\?$", "")
+    val slashBeforeQ = regexp_replace(noEmptyQ, "/(\\?)", "$1")
+    regexp_replace(slashBeforeQ, "/$", "")
+  }
+
+  /** qu1: per-domain quota + blocklist — the C4-style host-level gate. Each
+    * doc gets its host's population size, its within-host rank by content
+    * length (longest first, doc_id tiebreak), and a keep decision: in the
+    * host's top-`cap` AND not on the spam blocklist.
+    *
+    * Scale shape: the per-host top-k runs as the q19 bounded `top_k_rank`
+    * aggregate — a fixed k-entry heap per host with map-side partials —
+    * NEVER a row_number window: a mega-host with 10^8 pages is exactly the
+    * partition that would serialize a window sort, while the heap aggregate
+    * combines before the shuffle. Ranks re-attach through a join whose
+    * build side is at most |hosts|·cap rows (host-count-sized, not
+    * corpus-sized; AQE size-gates it, never hinted).
+    */
+  def domainCap(spark: SparkSession, dir: String, cap: Int = 8): DataFrame = {
+    val u = withRawUrl(docs(spark, dir))
+      .withColumn("domain",
+        regexp_extract(lower(col("raw_url")), "://([^/?#]*)", 1))
+      .select(col("doc_id"), col("n_chars"), col("domain"))
+    val topk = u.groupBy(col("domain"))
+      .agg(
+        count(lit(1)).as("domain_docs"),
+        graft.functions.GraftFunctions
+          .topKRank(col("n_chars").cast("double"), col("doc_id"), cap).as("topk"))
+    val ranks = topk
+      .select(col("domain"), col("domain_docs"),
+        posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("domain"), col("domain_docs"),
+        col("e.payload").as("doc_id"), (col("pos") + 1).cast("int").as("domain_rank"))
+    u.join(ranks.select(col("doc_id"), col("domain_rank")), Seq("doc_id"), "left")
+      .join(topk.select(col("domain"), col("domain_docs")), Seq("domain"))
+      // rank 0 = outside the quota (never NULL: scalar-only oracle columns)
+      .withColumn("domain_rank", coalesce(col("domain_rank"), lit(0)))
+      .withColumn("blocked", col("domain").endsWith(".spam.example").cast("int"))
+      .select(col("doc_id"), col("domain"), col("domain_docs"),
+        col("domain_rank"), col("blocked"),
+        (col("domain_rank") > 0 && col("blocked") === 0)
+          .cast("int").as("kept"))
+  }
+
+  /** qu2: URL canonicalization + exact-URL keep-first dedup — the frontier
+    * dedup every crawler runs. Canonicalize the raw URL (string surgery,
+    * [[canonicalize]]), then keep the smallest doc_id per canonical URL.
+    *
+    * Scale shape: keep-first is a hash AGGREGATION on the canonical key
+    * (min(doc_id) with map-side partials — the qd1/qd12 discipline) plus a
+    * keeper join reusing the same exchange; a URL shared by 10^6 mirror
+    * pages combines map-side instead of serializing a window partition.
+    */
+  def urlDedup(spark: SparkSession, dir: String): DataFrame = {
+    val u = withRawUrl(docs(spark, dir))
+      .select(col("doc_id"), col("raw_url"))
+      .withColumn("canon_url", canonicalize(col("raw_url")))
+    val keepers = u.groupBy(col("canon_url"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+    u.join(keepers, Seq("canon_url"))
+      .select(col("doc_id"), col("raw_url"), col("canon_url"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
+  }
+}

@@ -788,4 +788,21 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
           r.getAs[Long]("n_chars"))).toMap
     assert(again == out)
   }
+
+  test("qd13: cross-doc duplicated-trigram fractions are exact") {
+    val out = Dedup.dupNgramProfile(spark, dupDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("dup_grams"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(out.size == 10)
+    // 0/1 normalize identically: every trigram duplicated
+    assert(out(0L)._3 == 1.0 && out(1L)._3 == 1.0)
+    assert(out(0L)._1 == out(1L)._1)
+    // doc 7 shares no trigram with anyone
+    assert(out(7L)._2 == 0L && out(7L)._3 == 0.0)
+    // docs 4/5 (10 words -> 8 trigrams) differ only in the last word:
+    // the final trigram is unique, the leading 7 are shared
+    assert(out(4L) == ((8L, 7L, 0.875)))
+    assert(out(5L) == ((8L, 7L, 0.875)))
+  }
 }

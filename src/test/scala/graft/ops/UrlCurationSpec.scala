@@ -1,0 +1,105 @@
+package graft.ops
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral tests for the URL curation ops on a crafted corpus whose
+  * doc_ids are chosen to collide on the planted canonical URL (pid =
+  * doc_id % 300) and to populate one host beyond the quota.
+  */
+class UrlCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private var spark: SparkSession = _
+  private var dir: String = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-url-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dir = Files.createTempDirectory("graft-url").toString
+    val ss = spark; import ss.implicits._
+    // pid groups: {0,300,600}->host d0.spam.example, {1,301,601}->d1,
+    // {2,302,602,902,1202}->d2 (5 docs, over cap=3), {7}->d7.spam, {37}->d37
+    Seq(
+      (0L, 40L), (300L, 35L), (600L, 25L),
+      (1L, 45L), (301L, 55L), (601L, 15L),
+      (2L, 10L), (302L, 50L), (602L, 30L), (902L, 70L), (1202L, 20L),
+      (7L, 33L), (37L, 44L)
+    ).map { case (id, nc) => (id, s"doc $id body", nc) }
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("qu2: planted raw URLs carry every noise family; canon undoes them") {
+    val rows = UrlCuration.urlDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // byte-exact on the messiest doc: uppercase scheme+host, trailing
+    // slash, tracking + real params, fragment
+    assert(rows(0L).getAs[String]("raw_url") ==
+      "HTTPS://D0.SPAM.EXAMPLE/p/0/?utm_source=feed&v=2#sec1")
+    assert(rows(0L).getAs[String]("canon_url") ==
+      "https://d0.spam.example/p/0?v=2")
+    // real param survives alone too (902 % 11 == 0, even -> utm planted)
+    assert(rows(902L).getAs[String]("canon_url") ==
+      "https://d2.example.com/p/2?v=2")
+    // plain tracking-only URLs canonicalize to the bare path
+    assert(rows(1L).getAs[String]("canon_url") == "https://d1.example.com/p/1")
+  }
+
+  test("qu2: keep-first dedup groups exactly the same-canon docs") {
+    val rows = UrlCuration.urlDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("keeper_id"), r.getAs[Int]("is_dup"))).toList
+    val keeper = rows.map(r => r._1 -> r._2).toMap
+    assert(keeper(1L) == 1L && keeper(301L) == 1L && keeper(601L) == 1L)
+    assert(keeper(2L) == 2L && keeper(302L) == 2L && keeper(602L) == 2L &&
+      keeper(1202L) == 2L)
+    assert(keeper(902L) == 902L, "the ?v=2 variant must NOT merge")
+    assert(keeper(300L) == 300L && keeper(600L) == 300L)
+    assert(keeper(0L) == 0L, "doc 0 keeps its real param, so it stands alone")
+    assert(rows.map(_._3).sum == 6)
+  }
+
+  test("qu2: canonicalization is idempotent") {
+    val u = UrlCuration.urlDedup(spark, dir)
+    val twice = u.select(col("doc_id"), col("canon_url"),
+      UrlCuration.canonicalize(col("canon_url")).as("again"))
+      .collect()
+    twice.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: ${r.getString(1)} re-canonicalized to ${r.getString(2)}")
+    }
+  }
+
+  test("qu1: per-host quota keeps the longest docs; blocklist zeroes spam") {
+    val rows = UrlCuration.domainCap(spark, dir, cap = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("domain"), r.getAs[Long]("domain_docs"),
+          r.getAs[Int]("domain_rank"), r.getAs[Int]("blocked"),
+          r.getAs[Int]("kept")))).toMap
+    assert(rows.size == 13)
+    // d2.example.com: 5 docs, quota 3 -> keep 902(70), 302(50), 602(30)
+    assert(rows(902L) == (("d2.example.com", 5L, 1, 0, 1)))
+    assert(rows(302L) == (("d2.example.com", 5L, 2, 0, 1)))
+    assert(rows(602L) == (("d2.example.com", 5L, 3, 0, 1)))
+    assert(rows(1202L) == (("d2.example.com", 5L, 0, 0, 0)))
+    assert(rows(2L) == (("d2.example.com", 5L, 0, 0, 0)))
+    // d1: all 3 within quota, ranked by n_chars desc
+    assert(rows(301L)._3 == 1 && rows(1L)._3 == 2 && rows(601L)._3 == 3)
+    assert(rows(301L)._5 == 1 && rows(601L)._5 == 1)
+    // spam hosts: ranked but never kept
+    Seq(0L, 300L, 600L, 7L).foreach { id =>
+      assert(rows(id)._4 == 1 && rows(id)._5 == 0, s"doc $id: ${rows(id)}")
+    }
+    assert(rows(37L) == (("d37.example.com", 1L, 1, 0, 1)))
+  }
+}
