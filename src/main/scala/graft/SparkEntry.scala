@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Clustering, Dedup, Multimodal, Relational, Similarity, TextAnalysis, UrlCuration}
+import graft.ops.{Clustering, Dedup, LinkGraph, Multimodal, Relational, Similarity, TextAnalysis, UrlCuration}
 import graft.spark.{ExtractJob, PagesTable}
 
 /** Driver contract — see SURVEY.md section 7 and Verify/Bench.
@@ -101,6 +101,11 @@ object SparkEntry {
       UrlCuration.domainCap(s, d)),
     "qu2_url_dedup" -> ((s: SparkSession, d: String) =>
       UrlCuration.urlDedup(s, d)),
+    "qu3_snapshot_dedup" -> ((s: SparkSession, d: String) =>
+      UrlCuration.snapshotDedup(s, d)),
+    // ---- link-graph centrality ----
+    "qg1_host_pagerank" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostPagerank(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -401,6 +406,54 @@ object SparkEntry {
              CASE WHEN doc_id % 3 = 1 THEN 'ref=rss' END,
              CASE WHEN doc_id % 11 = 0 THEN 'v=2' END) AS q FROM h))"""
 
+  /** DuckDB replay of [[graft.ops.UrlCuration.canonicalize]] step by step
+    * over CTE `u` (from [[urlOracleCte]]); ends with CTE
+    * `cz`(doc_id, raw_url, canon_url). Shared by qu2/qu3.
+    */
+  private val urlCanonCte: String =
+    """,
+       c1 AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS s FROM u),
+       c2 AS (SELECT doc_id, raw_url,
+           lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
+             || substr(s, length(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS s
+         FROM c1),
+       c3 AS (SELECT doc_id, raw_url,
+           regexp_replace(s, '[?&](utm_[a-z_]+|ref)=[^&#]*', '', 'g') AS s FROM c2),
+       c4 AS (SELECT doc_id, raw_url, regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c3),
+       c5 AS (SELECT doc_id, raw_url, regexp_replace(s, '\?$', '') AS s FROM c4),
+       c6 AS (SELECT doc_id, raw_url, regexp_replace(s, '/(\?)', '\1') AS s FROM c5),
+       cz AS (SELECT doc_id, raw_url, regexp_replace(s, '/$', '') AS canon_url FROM c6)"""
+
+  /** DuckDB replay of [[graft.ops.LinkGraph.hostPagerank]]: the planted
+    * edge construction verbatim, then k UNROLLED rounds of the exact
+    * int64 fixed-point update (the qt19/qc1 oracle discipline). Every
+    * division is `//` (floor; all values positive, so it matches Spark's
+    * truncating DIV), every SUM cast back to BIGINT (DuckDB integer SUM
+    * returns HUGEINT, which would break the hash via pandas float64).
+    */
+  private def pagerankOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (SELECT n.node,
+            CAST(150000000000 AS BIGINT)
+              + COALESCE((85 * s.m) // 100, 0) AS r
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(p.r // deg.od) AS BIGINT) AS m
+            FROM e JOIN deg USING (src) JOIN r${i - 1} p ON p.node = e.src
+            GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT DISTINCT doc_id % 32 AS src,
+            ((doc_id % 32) * 5 + 1 + doc_id % 3) % 32 AS dst
+          FROM documents),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+        n AS (SELECT src AS node FROM deg),
+        r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS r FROM n),
+        $rounds
+        SELECT r$k.node AS host_id, deg.od AS out_deg,
+          CAST(r$k.r AS BIGINT) AS rank_fp
+        FROM r$k JOIN deg ON deg.src = r$k.node"""
+  }
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qd13_dup_ngrams" ->
@@ -439,23 +492,28 @@ object SparkEntry {
          FROM r"""),
     // canonicalization replayed step by step (RE2 flavor; 'g' where Spark's
     // always-global regexp_replace can fire more than once)
-    "qu2_url_dedup" -> (urlOracleCte +
-      """,
-         c1 AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS s FROM u),
-         c2 AS (SELECT doc_id, raw_url,
-             lower(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*'))
-               || substr(s, length(regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')) + 1) AS s
-           FROM c1),
-         c3 AS (SELECT doc_id, raw_url,
-             regexp_replace(s, '[?&](utm_[a-z_]+|ref)=[^&#]*', '', 'g') AS s FROM c2),
-         c4 AS (SELECT doc_id, raw_url, regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c3),
-         c5 AS (SELECT doc_id, raw_url, regexp_replace(s, '\?$', '') AS s FROM c4),
-         c6 AS (SELECT doc_id, raw_url, regexp_replace(s, '/(\?)', '\1') AS s FROM c5),
-         cz AS (SELECT doc_id, raw_url, regexp_replace(s, '/$', '') AS canon_url FROM c6)
+    "qu2_url_dedup" -> (urlOracleCte + urlCanonCte +
+      """
          SELECT doc_id, raw_url, canon_url,
            MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
            CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS INTEGER) AS is_dup
          FROM cz"""),
+    // keeper key replayed arithmetically: shiftleft(epoch,20)+doc_id ==
+    // epoch*1048576+doc_id; shiftright == //; both engines stay in int64
+    "qu3_snapshot_dedup" -> (urlOracleCte + urlCanonCte +
+      """,
+         w AS (SELECT doc_id, canon_url,
+             CAST(1704067200 AS BIGINT) + (doc_id % 97) * 86400
+               + (doc_id % 13) * 3600 AS warc_epoch
+           FROM cz),
+         kk AS (SELECT canon_url, MAX(warc_epoch * 1048576 + doc_id) AS kk
+           FROM w GROUP BY canon_url)
+         SELECT w.doc_id, w.canon_url, CAST(w.warc_epoch AS BIGINT) AS warc_epoch,
+           CAST(kk.kk % 1048576 AS BIGINT) AS keeper_id,
+           CAST(kk.kk // 1048576 AS BIGINT) AS keeper_epoch,
+           CAST(w.doc_id <> kk.kk % 1048576 AS INTEGER) AS is_stale
+         FROM w JOIN kk USING (canon_url)"""),
+    "qg1_host_pagerank" -> pagerankOracleSql(5),
     "qt19_bpe_merges" -> bpeOracleSql(8),
     "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
     "qt22_pii_redact" ->

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host-level link-graph centrality — the web-curation signal family.
+  * Production pipelines rank hosts by link centrality before text-level
+  * quality ever runs (Common Crawl publishes harmonic-centrality host
+  * ranks; RefinedWeb and marginalia-style curation gate on them), so the
+  * engine needs the iterative link-graph dataflow as a first-class op
+  * alongside the iterative CC (qd6) and Lloyd k-means (qc1) loops.
+  *
+  * The corpus carries no links, so the host graph is PLANTED
+  * deterministically from doc_id (the qu/qt22 discipline — the oracle
+  * replays the construction verbatim and the hash gate covers the real
+  * operator logic downstream): each document contributes one directed
+  * edge src = doc_id mod 32, dst = (src*5 + 1 + doc_id mod 3) mod 32,
+  * then edges dedup. Every node that appears has out-degree >= 1 by
+  * construction (no dangling-mass handling needed), self-loops are kept
+  * (real hosts self-link).
+  */
+object LinkGraph {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** qg1: k rounds of PageRank over the planted host graph, computed in
+    * EXACT int64 fixed-point (the qc1/qs5 discipline) so Spark's
+    * order-free partial aggregation and DuckDB's sequential sum agree bit
+    * for bit: ranks start at 10^12 per host and each round applies
+    * r'(v) = 15e10 + floor(85 * sum_{u->v} floor(r(u)/outdeg(u)) / 100)
+    * — the damping-0.85 update with every division an integer floor (all
+    * values positive, so Spark's truncating DIV == DuckDB's //). Mass is
+    * bounded by hosts*10^12, far inside int64 at any host count.
+    *
+    * Scale shape: the per-round contribution step is one join of the
+    * rank table against the edge list ON src (both shuffle on the same
+    * key — exchange reuse across rounds) followed by a hash aggregate on
+    * dst with map-side partials (a host with 10^8 in-links combines
+    * before the shuffle); the node table re-attaches with a left join so
+    * in-link-free hosts keep the teleport mass. ITERATIVE DATAFLOW
+    * MATERIALIZES PER ROUND (the qd6 invariant): each round's rank table
+    * is localCheckpoint(true)-ed and its predecessor released, so lineage
+    * stays O(1) and nothing re-derives the base 2^k times. The edge list
+    * (reused every round) is persisted once and released in finally.
+    */
+  def hostPagerank(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = lit(150000000000L) // floor(0.15 * 10^12) teleport mass
+    val edges = docs(spark, dir)
+      .select((col("doc_id") % 32).as("src"),
+        ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
+      .distinct()
+      .persist()
+    try {
+      edges.count() // materialize the reused edge list once
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      // node table is host-count-sized; plain (non-checkpoint) persist, so
+      // the final lazy result can still recompute it after the finally
+      val nodes = deg.select(col("src").as("node")).persist()
+      nodes.count()
+      val withDeg = edges.join(deg, "src")
+      // each round releases its PREDECESSOR once the successor has
+      // materialized; the FINAL round's checkpoint stays pinned because the
+      // returned (lazy) DataFrame reads from it — unpersisting a
+      // lineage-truncated checkpoint before the caller materializes would
+      // make the result unrecomputable, not just slow
+      var ranks = nodes.select(col("node"), lit(1000000000000L).as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to k) {
+        val contrib = withDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("r DIV od")).as("m"))
+        val next = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (base + coalesce(expr("85 * m DIV 100"), lit(0L))).as("r"))
+          .localCheckpoint(true)
+        ranks.unpersist()
+        ranks = next
+      }
+      val out = ranks.join(deg.withColumnRenamed("src", "node"), "node")
+        .select(col("node").as("host_id"), col("od").as("out_deg"),
+          col("r").as("rank_fp"))
+      nodes.unpersist() // plain persist: lineage intact, recompute is cheap
+      out
+    } finally {
+      edges.unpersist(); ()
+    }
+  }
+}

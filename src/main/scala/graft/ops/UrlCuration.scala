@@ -107,6 +107,41 @@ object UrlCuration {
           .cast("int").as("kept"))
   }
 
+  /** qu3: crawl-snapshot dedup — keep the LATEST fetch per canonical URL.
+    * Crawls re-fetch pages across snapshots (the input table's `warc_ts`
+    * axis): training pipelines keep one row per URL, preferring the newest
+    * capture (CCNet/RefinedWeb both collapse snapshots before any text
+    * pass). The fetch timestamp is planted deterministically from doc_id
+    * (epoch seconds — the same replay discipline as the raw URL itself).
+    *
+    * Scale shape: keep-latest is a hash AGGREGATION — max over the
+    * order-preserving (warc_epoch, doc_id) encoding `epoch<<20 | doc_id`
+    * (one BIGINT, so the max plans as a hash aggregate with map-side
+    * partials; max(struct(..)) would fall back to SortAggregate — the
+    * qd12 keeper-key lesson). A URL re-fetched in 10^4 snapshots combines
+    * map-side instead of serializing a window partition. Bound: doc_id <
+    * 2^20 per shifted key; epoch < 2^43 s. Keeper id/epoch are decoded
+    * back out of the max key arithmetically.
+    */
+  def snapshotDedup(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit(1704067200L) +
+      (col("doc_id") % 97) * 86400L + (col("doc_id") % 13) * 3600L
+    val u = withRawUrl(docs(spark, dir))
+      .select(col("doc_id"), col("raw_url"))
+      .withColumn("canon_url", canonicalize(col("raw_url")))
+      .withColumn("warc_epoch", epoch)
+    val key = shiftleft(col("warc_epoch"), 20) + col("doc_id")
+    val keepers = u.groupBy(col("canon_url"))
+      .agg(max(key).as("kk"))
+      .select(col("canon_url"),
+        (col("kk") % 1048576L).as("keeper_id"),
+        shiftright(col("kk"), 20).as("keeper_epoch"))
+    u.join(keepers, Seq("canon_url"))
+      .select(col("doc_id"), col("canon_url"), col("warc_epoch"),
+        col("keeper_id"), col("keeper_epoch"),
+        (col("doc_id") =!= col("keeper_id")).cast("int").as("is_stale"))
+  }
+
   /** qu2: URL canonicalization + exact-URL keep-first dedup — the frontier
     * dedup every crawler runs. Canonicalize the raw URL (string surgery,
     * [[canonicalize]]), then keep the smallest doc_id per canonical URL.

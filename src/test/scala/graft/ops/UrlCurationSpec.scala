@@ -80,6 +80,30 @@ class UrlCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qu3: snapshot dedup keeps the LATEST fetch per canonical URL") {
+    val rows = UrlCuration.snapshotDedup(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("warc_epoch"), r.getAs[Long]("keeper_id"),
+          r.getAs[Long]("keeper_epoch"), r.getAs[Int]("is_stale")))).toMap
+    assert(rows.size == 13)
+    // epoch plant: 1704067200 + (id%97)*86400 + (id%13)*3600
+    assert(rows(601L)._1 == 1704067200L + 19L * 86400 + 3L * 3600)
+    // {1,301,601} share a canon URL; 601 has the newest plant -> keeper
+    assert(rows(1L)._2 == 601L && rows(301L)._2 == 601L &&
+      rows(601L) == ((1705719600L, 601L, 1705719600L, 0)))
+    // {2,302,602,1202}: 1202 newest
+    Seq(2L, 302L, 602L).foreach(id => assert(rows(id)._2 == 1202L &&
+      rows(id)._4 == 1))
+    assert(rows(1202L)._4 == 0)
+    // keep-LATEST flips the qu2 keep-first choice on {300,600}: 600 wins
+    assert(rows(300L)._2 == 600L && rows(600L)._4 == 0)
+    // singletons keep themselves, keeper_epoch decodes back to their own
+    Seq(0L, 7L, 37L, 902L).foreach { id =>
+      assert(rows(id)._2 == id && rows(id)._3 == rows(id)._1 &&
+        rows(id)._4 == 0, s"doc $id: ${rows(id)}")
+    }
+  }
+
   test("qu1: per-host quota keeps the longest docs; blocklist zeroes spam") {
     val rows = UrlCuration.domainCap(spark, dir, cap = 3).collect()
       .map(r => r.getAs[Long]("doc_id") ->
