@@ -317,7 +317,12 @@ object Bench {
             effMedianNow < minEffStop) &&
           rateSamples.length < scaleReps * 3 &&
           timeLeftMs() > 0)) {
-      if (rateSamples.nonEmpty) stealGate()
+      // gate EVERY rep including the first: a 2 s probe in a quiet window
+      // is noise, but a steal storm otherwise burns the whole shrunken
+      // budget on rep 1 measuring the co-tenant (observed: 344 suite-steal
+      // window -> 1 doomed rep, 0 accepted legs, FALLBACK block). The gate
+      // is budget-aware, so it can never starve the guaranteed first rep.
+      stealGate()
       val (lo, stealLo) = extractionRate(scaleLo)
       val (hi, stealHi) = extractionRate(scaleHi)
       rateSamples = rateSamples :+

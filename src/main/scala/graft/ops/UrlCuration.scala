@@ -56,7 +56,7 @@ object UrlCuration {
     * separator, collapse the trailing slash. Every regex stays in the
     * Java ∩ RE2 subset (no lookaround) so the oracle replays each step.
     */
-  private[ops] def canonicalize(u: Column): Column = {
+  private[graft] def canonicalize(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val schemeHost = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
     val cased = concat(lower(schemeHost),

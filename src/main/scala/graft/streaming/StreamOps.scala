@@ -92,6 +92,21 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming URL-frontier dedup: the crawl-frontier admission every
+    * fetcher runs continuously — canonicalize the raw URL (the same string
+    * surgery as the batch pass, [[graft.ops.UrlCuration.canonicalize]])
+    * and keep the FIRST arrival per canonical URL within the watermark
+    * horizon. One state entry per unique canonical URL, aged out past the
+    * horizon (a re-fetch later than the horizon is re-admitted — the batch
+    * qu2/qu3 passes collapse those). Input: a stream with (url, ts, ...).
+    */
+  def streamingUrlFrontier(pages: DataFrame, horizon: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("canon_url",
+        graft.ops.UrlCuration.canonicalize(col("url")))
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("canon_url")
+
   /** Streaming admission against the PERSISTED dedup index — the streaming
     * face of [[graft.spark.IncrementalDedupJob]]: a docs stream is admitted
     * per micro-batch via foreachBatch, where the full batch API (joins +

@@ -329,4 +329,30 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       l.contains("query_id") && l.contains("vec_id") && !l.contains("embedding")),
       plan)
   }
+
+  test("qu1: domain quota ranks via the heap aggregate — no Window anywhere") {
+    val plan = planOf(UrlCuration.domainCap(spark, sf))
+    assert(plan.contains("top_k_rank"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qu2/qu3: URL keep-first/keep-latest are HASH aggregates, no Window") {
+    Seq(UrlCuration.urlDedup(spark, sf),
+        UrlCuration.snapshotDedup(spark, sf)).foreach { df =>
+      val plan = planOf(df)
+      assert(!plan.contains("Window"), plan)
+      // the BIGINT keeper-key encoding must keep the min/max in a hash
+      // aggregate (struct min/max would fall back to SortAggregate)
+      assert(!plan.contains("SortAggregate"), plan)
+      assert(!plan.toLowerCase.contains("udf"), plan)
+    }
+  }
+
+  test("qg1: pagerank rounds leave no cartesian and no window in the result plan") {
+    val plan = planOf(LinkGraph.hostPagerank(spark, sf, k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
 }

@@ -100,6 +100,33 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming URL frontier admits one fetch per canonical URL") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.streamingUrlFrontier(
+        input.toDF().toDF("fetch_id", "ts", "url"))
+      .writeStream.format("memory").queryName("frontier")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (0L, ts(0), "HTTPS://A.Example.com/p/1/?utm_source=x#top"),
+        (1L, ts(1), "https://a.example.com/p/1"), // canon dup of fetch 0
+        (2L, ts(2), "https://b.example.com/p/2?v=3"))
+      q.processAllAvailable()
+      input.addData((3L, ts(3), "https://a.example.com/p/1?utm_medium=y"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT fetch_id, canon_url FROM frontier").collect()
+      val ids = rows.map(_.getLong(0)).toSet
+      assert(ids.contains(2L))
+      // exactly one of the three a.example.com/p/1 fetches is admitted
+      assert((ids & Set(0L, 1L, 3L)).size == 1, ids.toString)
+      // and its canonical form is the normalized one
+      assert(rows.map(_.getString(1)).toSet ==
+        Set("https://a.example.com/p/1", "https://b.example.com/p/2?v=3"))
+    } finally q.stop()
+  }
+
   test("streaming extraction merges idempotently into the snapshot store") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
