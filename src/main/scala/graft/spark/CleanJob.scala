@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextAnalysis}
 
 /** The composed corpus-cleaning pipeline — the ops library's individual
-  * passes (exact dedup -> MinHash-LSH near-dup pairs -> connected-component
-  * clustering -> quality-aware survivorship -> quality gate) chained the way
-  * a production training-data job runs them, with per-stage lineage counts.
+  * passes (canonical-URL dedup -> exact dedup -> MinHash-LSH near-dup pairs
+  * -> connected-component clustering -> quality-aware survivorship ->
+  * quality gate) chained the way a production training-data job runs them,
+  * with per-stage lineage counts. URL dedup runs FIRST (the cheapest key),
+  * so re-crawled pages never reach the shingling/LSH stages at all.
   *
   * Two design points the suite queries can't show on their own:
   *
@@ -35,8 +37,8 @@ object CleanJob {
     * exact dups and n/10 near dups with known membership.
     */
   object DocCorpus {
-    final case class DocRow(doc_id: Long, text: String, lang: String,
-        source: String, n_chars: Long)
+    final case class DocRow(doc_id: Long, url: String, text: String,
+        lang: String, source: String, n_chars: Long)
 
     private val Vocab: Vector[String] = Vector(
       "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
@@ -84,8 +86,30 @@ object CleanJob {
       }
       val text = words.mkString(" ")
       val rng = new Rng(id + 0xdeadbeefL)
-      DocRow(id, text, Langs(rng.nextInt(Langs.length)),
+      DocRow(id, genUrl(id), text, Langs(rng.nextInt(Langs.length)),
         s"src${id % 20}", text.length.toLong)
+    }
+
+    /** Planted raw URL per doc: one host per ~100 decades, a unique path
+      * per doc — EXCEPT id%10==9, which re-crawls the decade base's URL
+      * (same canonical form under mixed case + a tracking param, different
+      * raw bytes). So stage 0's canonical-URL keep-first removes exactly
+      * the 9s and nothing else: the 7s/8s keep distinct URLs so the
+      * exact/near text-dedup structure downstream is preserved — URL dedup
+      * and text dedup catch DIFFERENT planted populations, as in a real
+      * crawl. Noise families (fragment, tracking param) on other residues
+      * keep the canonicalizer honest without creating collisions.
+      */
+    private[spark] def genUrl(id: Long): String = {
+      val decadeBase = id - (id % 10)
+      val h = (decadeBase / 10) % 997
+      (id % 10) match {
+        case 9 =>
+          s"HTTPS://H$h.EXAMPLE.COM/d/$decadeBase/$decadeBase?utm_source=recrawl"
+        case 3 => s"https://h$h.example.com/d/$decadeBase/$id#frag"
+        case 5 => s"https://h$h.example.com/d/$decadeBase/$id?utm_medium=feed"
+        case _ => s"https://h$h.example.com/d/$decadeBase/$id"
+      }
     }
 
     def generate(spark: SparkSession, n: Long,
@@ -118,7 +142,9 @@ object CleanJob {
       }
       val text = words.mkString(" ")
       val rng = new Rng(id + 0xdeadbeefL)
-      DocRow(id, text, Langs(rng.nextInt(Langs.length)),
+      // ingest batches arrive from fresh URLs: admission is content-keyed
+      DocRow(id, s"https://b${id % 991}.example.com/b/$id", text,
+        Langs(rng.nextInt(Langs.length)),
         s"src${id % 20}", text.length.toLong)
     }
 
@@ -132,6 +158,7 @@ object CleanJob {
 
   final case class CleanStats(
       nInput: Long,
+      urlRemoved: Long,
       exactRemoved: Long,
       nearPairs: Long,
       nearClusters: Long,
@@ -157,15 +184,38 @@ object CleanJob {
     val docsIn = spark.read.parquet(s"$corpusDir/documents.parquet")
     val nInput = docsIn.count()
 
+    // stage 0: URL-level dedup — runs BEFORE any text pass, as in a real
+    // crawl pipeline (a re-crawled URL never reaches the text stages, so
+    // the expensive shingling/LSH work downstream shrinks by the re-crawl
+    // rate). Canonical-URL keep-first as a hash aggregate on the canonical
+    // key (qu2's operator shape). Corpora without a url column (the suite
+    // test tables) skip the stage: the text stages then read corpusDir.
+    val hasUrls = docsIn.columns.contains("url")
+    val urlDir = s"$outDir/stage_url"
+    val textInDir = if (hasUrls) urlDir else corpusDir
+    val urlKept =
+      if (!hasUrls) nInput
+      else timed("url") {
+        val canon = docsIn.withColumn("canon_url",
+          graft.ops.UrlCuration.canonicalize(col("url")))
+        val keep = canon
+          .groupBy(col("canon_url")).agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"))
+        docsIn.join(keep, Seq("doc_id"))
+          .write.mode("overwrite").parquet(s"$urlDir/documents.parquet")
+        spark.read.parquet(s"$urlDir/documents.parquet").count()
+      }
+
     // stage 1: exact dedup (keep the smallest doc_id per normalized md5).
     // One hash shuffle; survivors checkpoint to parquet for the next stage.
     val exactDir = s"$outDir/stage_exact"
     val exactKept = timed("exact") {
-      val keep = docsIn
+      val textIn = spark.read.parquet(s"$textInDir/documents.parquet")
+      val keep = textIn
         .withColumn("fp", Dedup.fingerprintCol(col("text")))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      docsIn.join(keep, Seq("doc_id"))
+      textIn.join(keep, Seq("doc_id"))
         .write.mode("overwrite").parquet(s"$exactDir/documents.parquet")
       spark.read.parquet(s"$exactDir/documents.parquet").count()
     }
@@ -218,7 +268,8 @@ object CleanJob {
 
         CleanStats(
           nInput = nInput,
-          exactRemoved = nInput - exactKept,
+          urlRemoved = nInput - urlKept,
+          exactRemoved = urlKept - exactKept,
           nearPairs = nearPairs,
           nearClusters = nearClusters,
           nearRemoved = exactKept - nearKept,
@@ -229,7 +280,8 @@ object CleanJob {
     } finally pairs.unpersist()
 
     require(stats.nFinal ==
-      stats.nInput - stats.exactRemoved - stats.nearRemoved - stats.qualityRemoved,
+      stats.nInput - stats.urlRemoved - stats.exactRemoved -
+        stats.nearRemoved - stats.qualityRemoved,
       s"lineage does not conserve: $stats")
     stats
   }
@@ -279,6 +331,7 @@ object CleanJobRunner {
     val stages = stats.stageSecs
       .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
     println(f"""{"metric":"clean_pipeline","n_input":${stats.nInput},""" +
+      f""""url_removed":${stats.urlRemoved},""" +
       f""""exact_removed":${stats.exactRemoved},"near_pairs":${stats.nearPairs},""" +
       f""""near_clusters":${stats.nearClusters},"near_removed":${stats.nearRemoved},""" +
       f""""quality_removed":${stats.qualityRemoved},"n_final":${stats.nFinal},""" +

@@ -37,6 +37,13 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val near = CleanJob.DocCorpus.genDoc(48).text.split(" ")
     assert(base.length == near.length)
     assert(base.zip(near).count { case (x, y) => x != y } <= 2)
+    // id%10==9 re-crawls the decade base's URL: same canonical form,
+    // different raw bytes; fresh TEXT (url dedup and text dedup catch
+    // different planted populations)
+    assert(CleanJob.DocCorpus.genDoc(49).url !=
+      CleanJob.DocCorpus.genDoc(40).url)
+    assert(CleanJob.DocCorpus.genDoc(49).text !=
+      CleanJob.DocCorpus.genDoc(40).text)
   }
 
   test("pipeline degenerate inputs: single doc and empty near-dup graph") {
@@ -45,7 +52,8 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     CleanJob.DocCorpus.generate(spark, 1L, partitions = 1)
       .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
     val stats = CleanJob.run(spark, s"$out/corpus", out)
-    assert(stats.nInput == 1 && stats.exactRemoved == 0 &&
+    assert(stats.nInput == 1 && stats.urlRemoved == 0 &&
+      stats.exactRemoved == 0 &&
       stats.nearPairs == 0 && stats.nearRemoved == 0)
     assert(stats.nFinal + stats.qualityRemoved == 1)
     // CC on an empty edge list converges immediately to an empty labeling
@@ -61,6 +69,9 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stats = CleanJob.run(spark, s"$out/corpus", out)
 
     assert(stats.nInput == n)
+    // stage 0 removes exactly the 50 planted URL re-crawls (id%10==9),
+    // whose TEXT is fresh — only the canonical URL collides
+    assert(stats.urlRemoved == n / 10, stats.toString)
     // 50 planted exact dups (+ any near-dups whose 2 seeded substitutions
     // both drew the original word, degenerating to exact)
     assert(stats.exactRemoved >= n / 10 && stats.exactRemoved <= n / 10 + 3,
@@ -75,7 +86,8 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val finalCount = spark.read.parquet(s"$out/clean/documents.parquet").count()
     assert(finalCount == stats.nFinal)
     assert(stats.nFinal ==
-      n - stats.exactRemoved - stats.nearRemoved - stats.qualityRemoved)
+      n - stats.urlRemoved - stats.exactRemoved - stats.nearRemoved -
+        stats.qualityRemoved)
     // the clean table has no remaining exact dups
     val distinctTexts = spark.read.parquet(s"$out/clean/documents.parquet")
       .select("text").distinct().count()
