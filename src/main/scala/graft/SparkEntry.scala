@@ -419,10 +419,10 @@ object SparkEntry {
          FROM c1),
        c3 AS (SELECT doc_id, raw_url,
            regexp_replace(s, '[?&](utm_[a-z_]+|ref)=[^&#]*', '', 'g') AS s FROM c2),
-       c4 AS (SELECT doc_id, raw_url, regexp_replace(s, '^([^?]*)&', '\1?') AS s FROM c3),
+       c4 AS (SELECT doc_id, raw_url, regexp_replace(s, '^([^?&]*)&', '\1?') AS s FROM c3),
        c5 AS (SELECT doc_id, raw_url, regexp_replace(s, '\?$', '') AS s FROM c4),
-       c6 AS (SELECT doc_id, raw_url, regexp_replace(s, '/(\?)', '\1') AS s FROM c5),
-       cz AS (SELECT doc_id, raw_url, regexp_replace(s, '/$', '') AS canon_url FROM c6)"""
+       c6 AS (SELECT doc_id, raw_url, regexp_replace(s, '/+(\?)', '\1') AS s FROM c5),
+       cz AS (SELECT doc_id, raw_url, regexp_replace(s, '/+$', '') AS canon_url FROM c6)"""
 
   /** DuckDB replay of [[graft.ops.LinkGraph.hostPagerank]]: the planted
     * edge construction verbatim, then k UNROLLED rounds of the exact

@@ -62,10 +62,16 @@ object UrlCuration {
     val cased = concat(lower(schemeHost),
       noFrag.substr(length(schemeHost) + 1, lit(1 << 20)))
     val noTrack = regexp_replace(cased, "[?&](utm_[a-z_]+|ref)=[^&#]*", "")
-    val fixedSep = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    // separator repair: the FIRST '&' preceding any '?' becomes '?' (the
+    // tracker strip above can consume the original '?'). [^?&]* — not
+    // [^?]* — so multiple surviving params keep their '&'s and the repair
+    // is idempotent (greedy [^?]* would convert the LAST pre-? ampersand)
+    val fixedSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
     val noEmptyQ = regexp_replace(fixedSep, "\\?$", "")
-    val slashBeforeQ = regexp_replace(noEmptyQ, "/(\\?)", "$1")
-    regexp_replace(slashBeforeQ, "/$", "")
+    // /+ not /: a crawl URL can end in '//' (or '//?q') and one-slash
+    // stripping would need two canonicalization passes to stabilize
+    val slashBeforeQ = regexp_replace(noEmptyQ, "/+(\\?)", "$1")
+    regexp_replace(slashBeforeQ, "/+$", "")
   }
 
   /** qu1: per-domain quota + blocklist — the C4-style host-level gate. Each
