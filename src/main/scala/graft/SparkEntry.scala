@@ -96,6 +96,8 @@ object SparkEntry {
       Dedup.passageDedup(s, d)),
     "qd13_dup_ngrams" -> ((s: SparkSession, d: String) =>
       Dedup.dupNgramProfile(s, d)),
+    "qd14_exact_substr" -> ((s: SparkSession, d: String) =>
+      Dedup.exactSubstrDedup(s, d)),
     // ---- URL-level curation ----
     "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlCuration.domainCap(s, d)),
@@ -355,24 +357,49 @@ object SparkEntry {
            FROM a$rounds)"""
 
   /** DuckDB replay of [[graft.ops.Multimodal.mediaTable]]'s payload
-    * construction, byte for byte: PNG signature + IHDR (doc_id-derived
-    * width/height as big-endian u32) for doc_id%3==0, JPEG SOI + APP0/JFIF +
-    * SOF0 (height/width as big-endian u16) for doc_id%3==1, raw UTF-8 text
+    * construction, byte for byte, across the six doc_id lanes: PNG
+    * signature + IHDR (doc_id-derived width/height as big-endian u32) for
+    * doc_id%6==0, JPEG SOI + APP0/JFIF + SOF0 (height/width as big-endian
+    * u16) for %6==1, GIF89a logical screen descriptor (little-endian u16s)
+    * for %6==3, WebP RIFF/VP8X (accurate little-endian RIFF size; canvas
+    * width-1/height-1 as little-endian u24) for %6==4, raw UTF-8 text
     * bytes otherwise. The Spark side PARSES dimensions back out of these
-    * bytes, so qm oracle hash-matches certify the header decoder.
+    * bytes, so qm oracle hash-matches certify the header decoder. The
+    * little-endian helper mirrors Multimodal.le: byte i = (v >> 8i) % 256.
     */
   private val MediaPayloadSql =
     """SELECT doc_id, text,
-         CASE WHEN doc_id % 3 = 0 THEN
+         CASE WHEN doc_id % 6 = 0 THEN
            from_hex('89504E470D0A1A0A0000000D49484452') ||
            from_hex(lpad(to_hex(100 + doc_id % 1800), 8, '0')) ||
            from_hex(lpad(to_hex(80 + (doc_id * 7) % 1000), 8, '0')) ||
            from_hex('080600000000000000') || encode(text)
-         WHEN doc_id % 3 = 1 THEN
+         WHEN doc_id % 6 = 1 THEN
            from_hex('FFD8FFE000104A46494600010100000100010000FFC0001108') ||
            from_hex(lpad(to_hex(80 + (doc_id * 7) % 1000), 4, '0')) ||
            from_hex(lpad(to_hex(100 + doc_id % 1800), 4, '0')) ||
            from_hex('03011100021101031101') || encode(text)
+         WHEN doc_id % 6 = 3 THEN
+           from_hex('474946383961') ||
+           from_hex(lpad(to_hex((100 + doc_id % 1800) % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((100 + doc_id % 1800) // 256), 2, '0')) ||
+           from_hex(lpad(to_hex((80 + (doc_id * 7) % 1000) % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((80 + (doc_id * 7) % 1000) // 256), 2, '0')) ||
+           from_hex('F70000') || encode(text)
+         WHEN doc_id % 6 = 4 THEN
+           from_hex('52494646') ||
+           from_hex(lpad(to_hex((22 + octet_length(encode(text))) % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((22 + octet_length(encode(text))) // 256 % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((22 + octet_length(encode(text))) // 65536 % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((22 + octet_length(encode(text))) // 16777216 % 256), 2, '0')) ||
+           from_hex('57454250565038580A00000010000000') ||
+           from_hex(lpad(to_hex((99 + doc_id % 1800) % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((99 + doc_id % 1800) // 256 % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((99 + doc_id % 1800) // 65536 % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((79 + (doc_id * 7) % 1000) % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((79 + (doc_id * 7) % 1000) // 256 % 256), 2, '0')) ||
+           from_hex(lpad(to_hex((79 + (doc_id * 7) % 1000) // 65536 % 256), 2, '0')) ||
+           encode(text)
          ELSE encode(text) END AS payload
        FROM documents"""
 
@@ -475,6 +502,68 @@ object SparkEntry {
              / COUNT(*), 6) AS dup_frac
          FROM g LEFT JOIN dup ON g.gram = dup.gram
          GROUP BY g.doc_id""",
+    // ExactSubstr span removal replayed end to end: positional 5-grams on
+    // portable 60-bit md5 keys, distinct-doc df >= 2, gaps-and-islands span
+    // merge (adjacency = gap <= w), spans >= 8 tokens cut, text rebuilt
+    // from surviving token indexes. lag's NULL first row falls to ELSE 1 on
+    // both engines (Spark's otherwise() and SQL CASE agree on NULL).
+    "qd14_exact_substr" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+5)], ' ')),
+               1, 15) AS BIGINT) AS gh
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(n - 5 AS INT))) AS i
+                 FROM base WHERE n >= 5)),
+         dup AS (
+           SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM g)
+           GROUP BY gh HAVING COUNT(*) >= 2),
+         h AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         br AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 5
+               THEN 0 ELSE 1 END AS brk
+           FROM h),
+         isl AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM br),
+         sp AS (
+           SELECT doc_id, MIN(pos) AS s, MAX(pos) + 5 AS e
+           FROM isl GROUP BY doc_id, grp
+           HAVING MAX(pos) + 5 - MIN(pos) >= 8),
+         agg AS (
+           SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS removed
+           FROM sp GROUP BY doc_id),
+         rem AS (
+           SELECT doc_id,
+             unnest(generate_series(CAST(s AS INT), CAST(e - 1 AS INT))) AS idx
+           FROM sp),
+         tok AS (
+           SELECT doc_id, i - 1 AS idx, w[i] AS tok
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, CAST(n AS INT))) AS i
+                 FROM base)),
+         kept AS (
+           SELECT t.doc_id, t.idx, t.tok
+           FROM tok t LEFT JOIN rem r
+             ON t.doc_id = r.doc_id AND t.idx = r.idx
+           WHERE r.idx IS NULL),
+         rebuilt AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.removed, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+         FROM base b
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN rebuilt r USING (doc_id)""",
     // the within-host rank window here REPLAYS the top_k_rank aggregate
     // (q19's oracle discipline: window form == heap-aggregate form)
     "qu1_domain_cap" -> (urlOracleCte +
@@ -1486,20 +1575,22 @@ object SparkEntry {
                FOR i IN range(1, len(h)+1, 2)]) AS byte_sum
            FROM m)
          SELECT doc_id, n_bytes,
-           CASE WHEN doc_id % 3 = 0 THEN 'png'
-                WHEN doc_id % 3 = 1 THEN 'jpeg' ELSE 'webm' END AS format,
-           CAST(CASE WHEN doc_id % 3 <= 1 THEN 100 + doc_id % 1800
+           CASE WHEN doc_id % 6 = 0 THEN 'png'
+                WHEN doc_id % 6 = 1 THEN 'jpeg'
+                WHEN doc_id % 6 = 3 THEN 'gif'
+                WHEN doc_id % 6 = 4 THEN 'webp' ELSE 'webm' END AS format,
+           CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 100 + doc_id % 1800
                 ELSE 64 + (text_bytes % 512) END AS INT) AS width,
-           CAST(CASE WHEN doc_id % 3 <= 1 THEN 80 + (doc_id * 7) % 1000
+           CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 80 + (doc_id * 7) % 1000
                 ELSE 64 + ((text_bytes // 7) % 512) END AS INT) AS height,
-           CAST(CASE WHEN doc_id % 3 <= 1 THEN 1
+           CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 1
                 ELSE 1 + (text_bytes % 30) END AS INT) AS n_frames,
            floor(sqrt(CAST(byte_sum AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS feature_norm
          FROM s""",
     "qm3_frame_sample" ->
       """WITH f AS (
            SELECT doc_id,
-             CAST(CASE WHEN doc_id % 3 <= 1 THEN 1
+             CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 1
                ELSE 1 + (octet_length(encode(text)) % 30) END AS INT) AS n_frames
            FROM documents)
          SELECT doc_id, n_frames, frame_idx,
@@ -1513,9 +1604,9 @@ object SparkEntry {
            SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
          dims AS (
            SELECT doc_id,
-             CAST(CASE WHEN doc_id % 3 <= 1 THEN 100 + doc_id % 1800
+             CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 100 + doc_id % 1800
                ELSE 64 + (n_bytes % 512) END AS INT) AS width,
-             CAST(CASE WHEN doc_id % 3 <= 1 THEN 80 + (doc_id * 7) % 1000
+             CAST(CASE WHEN doc_id % 6 IN (0,1,3,4) THEN 80 + (doc_id * 7) % 1000
                ELSE 64 + ((n_bytes // 7) % 512) END AS INT) AS height
            FROM m),
          s AS (

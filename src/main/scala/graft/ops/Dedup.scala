@@ -805,4 +805,84 @@ object Dedup {
       .withColumn("dup_frac",
         round(col("dup_grams").cast("double") / col("n_grams"), 6))
   }
+
+  /** qd14: exact-substring span removal — the REWRITE counterpart of qd13's
+    * profile. Every maximal run of >= `minLen` tokens that is duplicated
+    * across documents is CUT from every document that carries it, and the
+    * text is rebuilt from the surviving tokens (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr pass; RefinedWeb drops the matched spans from all copies,
+    * which is the variant implemented here: a conservative filter rather
+    * than Lee's keep-one-copy, because keep-one would split merged islands
+    * into per-gram ownership and no production pipeline does that).
+    *
+    * Method: positional word w-grams; a gram is duplicated when it occurs
+    * in >= 2 DISTINCT documents. The corpus-wide exchanges carry portable
+    * 60-bit md5 keys (the qt12 discipline), never 5-word strings. Each
+    * doc's duplicated-gram hit positions merge into maximal islands — hits
+    * p < p' overlap or adjoin when p' - p <= w — and islands whose merged
+    * token length e - s >= minLen are removed.
+    *
+    * Scale shape: the duplicated-gram table is distinct + hash aggregate on
+    * the 60-bit key (map-side partials; a boilerplate gram in 10^6 docs
+    * combines before the shuffle) and is PRUNED to nd >= 2 before the probe
+    * join, so the join's build side carries only the duplicated vocabulary
+    * (qd13's pruning). Island merge is a gaps-and-islands window keyed by
+    * doc_id — high-cardinality key, partition bounded by tokens-per-doc.
+    * The rebuild joins the (tiny) per-doc span list back ONCE on doc_id and
+    * filters the doc's own token array with an index lambda — tokens are
+    * never exploded through a shuffle, and a doc with no duplicated span
+    * passes through untouched on the null side of the join.
+    */
+  def exactSubstrDedup(spark: SparkSession, dir: String, w: Int = 5,
+      minLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+
+    val grams = base.where(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_tokens") - w).cast("int")),
+          i => conv(substring(md5(
+            array_join(slice(col("words"), i + 1, lit(w)), " ")),
+            1, 15), 16, 10).cast("long"))))
+      .toDF("doc_id", "pos", "gh")
+
+    val dup = grams.select(col("gh"), col("doc_id")).distinct()
+      .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("gh"))
+
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams.join(dup, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+      .where(col("e") - col("s") >= minLen)
+
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast("long")).as("removed_tokens"),
+        collect_list(struct(col("s"), col("e"))).as("spans"))
+
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("spans").isNull, array_join(col("words"), " "))
+          .otherwise(array_join(
+            filter(col("words"), (_: Column, i: Column) =>
+              !exists(col("spans"), sp =>
+                sp.getField("s") <= i && i < sp.getField("e"))),
+            " ")).as("clean_text"))
+  }
 }

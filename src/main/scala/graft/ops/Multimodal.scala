@@ -89,9 +89,63 @@ object Multimodal {
       None
     }
 
+    private def le2(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+    private def le3(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+
+    /** GIF: "GIF87a"/"GIF89a", then the logical screen descriptor —
+      * width (2, little-endian), height (2, little-endian).
+      */
+    def gifDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 10 &&
+          b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+          (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+        val w = le2(b, 6); val h = le2(b, 8)
+        if (w > 0 && h > 0) Some((w, h)) else None
+      } else None
+
+    /** WebP: RIFF container ("RIFF" <size32le> "WEBP"), first chunk at 12.
+      *  - VP8X (extended): flags(1) reserved(3) then canvas width-1 and
+      *    height-1 as 24-bit little-endian;
+      *  - "VP8 " (lossy): 3-byte frame tag, start code 9D 01 2A, then
+      *    14-bit width and height in two little-endian u16s;
+      *  - VP8L (lossless): signature byte 2F, then a packed u32 holding
+      *    width-1 (14 bits) and height-1 (14 bits).
+      */
+    def webpDims(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b.length < 30 ||
+          b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'E' || b(10) != 'B' || b(11) != 'P')
+        return None
+      val fourcc = new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      fourcc match {
+        case "VP8X" =>
+          Some((1 + le3(b, 24), 1 + le3(b, 27))) // canvas dims are size-1
+        case "VP8 " =>
+          if ((b(23) & 0xff) != 0x9d || (b(24) & 0xff) != 0x01 ||
+              (b(25) & 0xff) != 0x2a) None
+          else {
+            val w = le2(b, 26) & 0x3fff; val h = le2(b, 28) & 0x3fff
+            if (w > 0 && h > 0) Some((w, h)) else None
+          }
+        case "VP8L" =>
+          if ((b(20) & 0xff) != 0x2f) None
+          else {
+            val bits = (b(21) & 0xff) | ((b(22) & 0xff) << 8) |
+              ((b(23) & 0xff) << 16) | ((b(24) & 0xff).toLong << 24).toInt
+            Some((1 + (bits & 0x3fff), 1 + ((bits >> 14) & 0x3fff)))
+          }
+        case _ => None
+      }
+    }
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
       pngDims(bytes).map { case (w, h) => ("png", w, h, 1) }
         .orElse(jpegDims(bytes).map { case (w, h) => ("jpeg", w, h, 1) })
+        .orElse(gifDims(bytes).map { case (w, h) => ("gif", w, h, 1) })
+        .orElse(webpDims(bytes).map { case (w, h) => ("webp", w, h, 1) })
         .getOrElse {
           // deterministic STUB for non-image payloads (video stand-in): a
           // real codec goes here — dimensions/frames derived from the bytes
@@ -111,12 +165,22 @@ object Multimodal {
   private def be(width: Int)(c: org.apache.spark.sql.Column) =
     unhex(lpad(hex(c), width * 2, "0"))
 
-  /** Derive a binary "media" table from documents: every third doc gets a
+  /** Little-endian byte constructors for the GIF/RIFF lanes. */
+  private def le(width: Int)(c: org.apache.spark.sql.Column) = {
+    val bytes = (0 until width).map(i =>
+      be(1)(shiftright(c.cast("long"), 8 * i) % 256))
+    concat(bytes: _*)
+  }
+
+  /** Derive a binary "media" table from documents: six doc_id lanes — a
     * REAL PNG byte prefix (signature + IHDR with doc_id-derived dimensions),
-    * every third a REAL JPEG prefix (SOI + APP0/JFIF + SOF0 — the SOF sits
-    * BEHIND a skippable segment so the decoder's marker scan is exercised),
-    * and the rest stay raw UTF-8 text bytes (the non-image fallback path);
-    * plus the passthrough metadata a real pipeline would carry.
+    * a REAL JPEG prefix (SOI + APP0/JFIF + SOF0 — the SOF sits BEHIND a
+    * skippable segment so the decoder's marker scan is exercised), a REAL
+    * GIF prefix (GIF89a logical screen descriptor, little-endian u16s), a
+    * REAL WebP VP8X prefix (RIFF container with an ACCURATE chunk size and
+    * 24-bit little-endian canvas dims), and two lanes of raw UTF-8 text
+    * bytes (the non-image fallback path); plus the passthrough metadata a
+    * real pipeline would carry.
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame = {
     val text = encode(col("text"), "UTF-8")
@@ -130,10 +194,24 @@ object Multimodal {
       be(2)(embH), be(2)(embW), // SOF0 stores height first
       unhex(lit("03011100021101031101")), // 3 components
       text)
+    val gif = concat(
+      unhex(lit("474946383961")), // "GIF89a"
+      le(2)(embW), le(2)(embH),
+      unhex(lit("F70000")), // packed GCT descriptor, bg index, aspect
+      text)
+    val webp = concat(
+      unhex(lit("52494646")), // "RIFF"
+      le(4)(lit(22) + length(text)), // riff size: WEBP + VP8X chunk + text
+      unhex(lit("5745425056503858")), // "WEBP" "VP8X"
+      unhex(lit("0A00000010000000")), // chunk len 10, alpha flag, reserved
+      le(3)(embW - 1), le(3)(embH - 1),
+      text)
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, png)
-          .when(col("doc_id") % 3 === 1, jpeg)
+        when(col("doc_id") % 6 === 0, png)
+          .when(col("doc_id") % 6 === 1, jpeg)
+          .when(col("doc_id") % 6 === 3, gif)
+          .when(col("doc_id") % 6 === 4, webp)
           .otherwise(text).as("payload"),
         col("source"), col("lang"))
   }

@@ -100,6 +100,63 @@ class MediaDecoderSpec extends AnyFunSuite {
       val jpeg = hex("FFD8FFE000104A46494600010100000100010000FFC0001108" +
         be2(h) + be2(w) + "03011100021101031101") ++ "body".getBytes("UTF-8")
       assert(MediaDecoder.decode(jpeg) === (("jpeg", w, h, 1)))
+      val gif = hex("474946383961" + le2(w) + le2(h) + "F70000") ++
+        "body".getBytes("UTF-8")
+      assert(MediaDecoder.decode(gif) === (("gif", w, h, 1)))
+      val body = "body".getBytes("UTF-8")
+      val webp = hex("52494646" + le4(22 + body.length) +
+        "5745425056503858" + "0A00000010000000" +
+        le3(w - 1) + le3(h - 1)) ++ body
+      assert(MediaDecoder.decode(webp) === (("webp", w, h, 1)))
     }
+  }
+
+  private def le2(v: Int) = f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X"
+  private def le3(v: Int) =
+    f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X"
+  private def le4(v: Int) = le2(v) + le2(v >> 16)
+
+  test("GIF logical screen descriptor: 87a and 89a, little-endian dims") {
+    val b89 = hex("474946383961" + le2(320) + le2(240) + "F70000")
+    assert(MediaDecoder.gifDims(b89).contains((320, 240)))
+    val b87 = hex("474946383761" + le2(1) + le2(65535) + "000000")
+    assert(MediaDecoder.gifDims(b87).contains((1, 65535)))
+    // bad version letter, truncated descriptor, zero width
+    assert(MediaDecoder.gifDims(hex("474946383861" + le2(1) + le2(1) + "00")).isEmpty)
+    assert(MediaDecoder.gifDims(hex("47494638396100")).isEmpty)
+    assert(MediaDecoder.gifDims(hex("474946383961" + le2(0) + le2(9) + "000000")).isEmpty)
+  }
+
+  test("WebP VP8X: 24-bit little-endian canvas dims") {
+    val b = hex("52494646" + le4(22) + "5745425056503858" +
+      "0A00000010000000" + le3(16383) + le3(99))
+    assert(MediaDecoder.webpDims(b).contains((16384, 100)))
+    // not a RIFF / not WEBP / unknown first chunk
+    assert(MediaDecoder.webpDims(hex("52494658" + le4(22) + "5745425056503858" +
+      "0A00000010000000" + le3(1) + le3(1))).isEmpty)
+    assert(MediaDecoder.webpDims(hex("52494646" + le4(22) + "5741565056503858" +
+      "0A00000010000000" + le3(1) + le3(1))).isEmpty)
+    assert(MediaDecoder.webpDims(hex("52494646" + le4(22) + "5745425041414141" +
+      "0A00000010000000" + le3(1) + le3(1))).isEmpty)
+  }
+
+  test("WebP VP8 (lossy): start code gates the 14-bit dims") {
+    val b = hex("52494646" + le4(22) + "57454250" + "56503820" + le4(10) +
+      "000000" + "9D012A" + le2(640) + le2(360) + "00")
+    assert(MediaDecoder.webpDims(b).contains((640, 360)))
+    // broken start code
+    assert(MediaDecoder.webpDims(hex("52494646" + le4(22) + "57454250" +
+      "56503820" + le4(10) + "000000" + "9D022A" + le2(640) + le2(360) + "00")).isEmpty)
+  }
+
+  test("WebP VP8L (lossless): packed 14+14 bit dims") {
+    val w = 1899; val h = 1079
+    val bits = ((w - 1) & 0x3fff) | (((h - 1) & 0x3fff) << 14)
+    val b = hex("52494646" + le4(22) + "57454250" + "5650384C" + le4(6) +
+      "2F" + le4(bits) + "0000000000")
+    assert(MediaDecoder.webpDims(b).contains((w, h)))
+    // wrong signature byte
+    assert(MediaDecoder.webpDims(hex("52494646" + le4(22) + "57454250" +
+      "5650384C" + le4(6) + "2E" + le4(bits) + "0000000000")).isEmpty)
   }
 }

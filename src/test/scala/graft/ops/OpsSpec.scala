@@ -690,18 +690,22 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.length == 10)
     assert(meta.forall(m => m.n_bytes > 0 && m.width >= 64 && m.n_frames >= 1))
     // real-header rows: the generator embeds doc_id-derived dimensions into
-    // actual PNG IHDR / JPEG SOF bytes; decode must parse them back out
+    // actual PNG IHDR / JPEG SOF / GIF LSD / WebP VP8X bytes; decode must
+    // parse them back out
     meta.foreach { m =>
-      m.doc_id % 3 match {
-        case 0 =>
-          assert(m.format == "png" && m.n_frames == 1, m.toString)
+      val fmt = m.doc_id % 6 match {
+        case 0 => Some("png")
+        case 1 => Some("jpeg")
+        case 3 => Some("gif")
+        case 4 => Some("webp")
+        case _ => None
+      }
+      fmt match {
+        case Some(f) =>
+          assert(m.format == f && m.n_frames == 1, m.toString)
           assert(m.width == 100 + m.doc_id % 1800, m.toString)
           assert(m.height == 80 + (m.doc_id * 7) % 1000, m.toString)
-        case 1 =>
-          assert(m.format == "jpeg" && m.n_frames == 1, m.toString)
-          assert(m.width == 100 + m.doc_id % 1800, m.toString)
-          assert(m.height == 80 + (m.doc_id * 7) % 1000, m.toString)
-        case _ => assert(m.format == "webm", m.toString)
+        case None => assert(m.format == "webm", m.toString)
       }
     }
     val again = Multimodal.decodeMeta(spark, dupDir).collect()
@@ -804,5 +808,36 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the final trigram is unique, the leading 7 are shared
     assert(out(4L) == ((8L, 7L, 0.875)))
     assert(out(5L) == ((8L, 7L, 0.875)))
+  }
+
+  test("qd14: exact-substring span removal cuts cross-doc duplicated runs") {
+    val out = Dedup.exactSubstrDedup(spark, dupDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("removed_tokens"), r.getAs[String]("clean_text"))))
+      .toMap
+    assert(out.size == 10)
+    // doc 0's full 13 tokens are duplicated by doc 2's prefix: whole doc cut
+    assert(out(0L) == ((13L, 1L, 13L, "")))
+    // doc 2 shares its prefix with 0 and its suffix with 3: islands merge
+    // into one whole-doc span
+    assert(out(2L) == ((17L, 1L, 17L, "")))
+    // doc 1's case/double-space damage breaks the leading grams (raw-token
+    // match); only the clean suffix run [5,14) is duplicated. The kept
+    // prefix ends in the empty token from the double space.
+    assert(out(1L) == ((14L, 1L, 9L, "The quick brown fox ")))
+    // doc 3: leading shared island [0,7) is 7 tokens — BELOW minLen=8, kept;
+    // trailing island [8,17) is 9 tokens — cut
+    assert(out(3L) == ((17L, 1L, 9L,
+      "the quick brown fox jumps over the sleepy")))
+    // docs 4/5 share their first 9 tokens; each keeps only its last word
+    assert(out(4L) == ((10L, 1L, 9L, "kappa")))
+    assert(out(5L) == ((10L, 1L, 9L, "lambda")))
+    // unrelated docs pass through untouched
+    Seq(6L, 7L, 8L, 9L).foreach { id =>
+      assert(out(id)._2 == 0L && out(id)._3 == 0L, s"doc $id modified")
+    }
+    assert(out(7L)._4 ==
+      "weather report sunny tomorrow with light winds expected")
   }
 }

@@ -303,6 +303,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qd14: exact-substring dedup shuffles BIGINT gram keys, never tokens") {
+    val plan = planOf(Dedup.exactSubstrDedup(spark, sf))
+    // the duplicated-gram table is distinct + hash aggregate with map-side
+    // partials on the 60-bit key; the rebuild must be an array lambda over
+    // the doc's own tokens (one doc-keyed join), never a token explode
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    // exactly one Window: the doc_id-keyed gaps-and-islands merge
+    assert("Window\\b".r.findAllIn(plan).size >= 1, plan)
+  }
+
   test("qt10 repetition is map-only: zero exchanges, native expression") {
     val plan = planOf(TextAnalysis.repetitionSignals(spark, sf))
     assert(!plan.contains("Exchange"), plan)
