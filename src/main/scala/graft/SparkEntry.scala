@@ -98,6 +98,10 @@ object SparkEntry {
       Dedup.dupNgramProfile(s, d)),
     "qd14_exact_substr" -> ((s: SparkSession, d: String) =>
       Dedup.exactSubstrDedup(s, d)),
+    "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.classifierGate(s, d)),
+    "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.domainMixture(s, d)),
     // ---- URL-level curation ----
     "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlCuration.domainCap(s, d)),
@@ -666,6 +670,67 @@ object SparkEntry {
              (a, b) -> a + b), 6) AS log_weight
          FROM fb JOIN lam USING (bucket)
          GROUP BY doc_id""",
+    // qt21's fitted model, SQ8-quantized (round-half-away, scale=127/max|w|);
+    // the logit sum and keep flag are pure integers — the whole decision is
+    // hash-verified, not epsilon-compared
+    "qt24_classifier_gate" ->
+      """WITH w AS (
+           SELECT doc_id, lang,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         f AS (
+           SELECT doc_id, lang, unnest(
+             ['u:' || x FOR x IN words] ||
+             ['b:' || words[i] || ' ' || words[i+1]
+              FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS f
+           FROM w),
+         fb AS (
+           SELECT doc_id, lang,
+             CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 1024 AS bucket
+           FROM f),
+         cnt AS (
+           SELECT bucket, COUNT(*) AS n_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_tgt
+           FROM fb GROUP BY bucket),
+         tot AS (
+           SELECT COUNT(*) AS t_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_tgt
+           FROM fb),
+         spine AS (SELECT unnest(range(0, 1024)) AS bucket),
+         lam AS (
+           SELECT spine.bucket,
+             ROUND(ln((COALESCE(n_tgt, 0) + 1.0) / (t_tgt + 1024.0)) -
+                   ln((COALESCE(n_raw, 0) + 1.0) / (t_raw + 1024.0)), 9) AS lam
+           FROM spine LEFT JOIN cnt ON spine.bucket = cnt.bucket CROSS JOIN tot),
+         mx AS (SELECT MAX(abs(lam)) AS max_abs FROM lam),
+         qm AS (
+           SELECT bucket,
+             CASE WHEN max_abs = 0 THEN 0
+               ELSE CAST(ROUND(lam * 127.0 / max_abs) AS BIGINT) END AS qw
+           FROM lam, mx)
+         SELECT doc_id, COUNT(*) AS n_feats, SUM(qw) AS logit_q,
+           CAST(SUM(qw) > 0 AS INTEGER) AS kept
+         FROM fb JOIN qm USING (bucket)
+         GROUP BY doc_id""",
+    // alpha = 0.5 temperature mixing: sqrt is IEEE-correctly-rounded on
+    // both engines, so floor(k*sqrt(n_min)/sqrt(n_d)) agrees bit-for-bit
+    "qt25_domain_mixture" ->
+      """WITH c AS (
+           SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         m AS (SELECT MIN(n_docs) AS n_min FROM c),
+         r AS (
+           SELECT source, n_docs,
+             CAST(FLOOR(1000000.0 * sqrt(CAST(n_min AS DOUBLE)) /
+               sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS keep_per_k
+           FROM c, m),
+         d AS (
+           SELECT doc_id, source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'),
+               1, 15) AS BIGINT) % 1000000 AS h
+           FROM documents)
+         SELECT d.doc_id, d.source, r.n_docs AS domain_docs, r.keep_per_k,
+           CAST(d.h < r.keep_per_k AS INTEGER) AS kept
+         FROM d JOIN r USING (source)""",
     "qc2_semdedup" -> semdedupOracleSql(8, 4, 2025L),
     "qc3_prototype_prune" -> prototypePruneOracleSql(8, 4),
     "qt20_gopher_rules" ->

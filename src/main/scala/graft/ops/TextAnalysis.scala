@@ -634,6 +634,20 @@ object TextAnalysis {
     */
   def dsirWeights(spark: SparkSession, dir: String, buckets: Int = 1024,
       targetLang: String = "en"): DataFrame = {
+    val feats = hashedFeats(spark, dir, buckets)
+    feats.join(broadcast(dsirLam(spark, feats, buckets, targetLang)),
+        Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(aggregate(array_sort(collect_list(col("lam"))), lit(0.0d),
+          (acc, x) => acc + x), 6).as("log_weight"))
+  }
+
+  /** Hashed unigram+bigram features (doc_id, lang, bucket) — the shared
+    * featurizer of qt21/qt24: portable md5 bucket, map-only.
+    */
+  private def hashedFeats(spark: SparkSession, dir: String,
+      buckets: Int): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
     val base = docs(spark, dir).select(col("doc_id"), col("lang"), norm.as("w"))
     val unis = transform(col("w"), x => concat(lit("u:"), x))
@@ -642,27 +656,107 @@ object TextAnalysis {
         i => concat(lit("b:"), element_at(col("w"), i + 1), lit(" "),
           element_at(col("w"), i + 2))))
       .otherwise(array().cast("array<string>"))
-    val feats = base
+    base
       .select(col("doc_id"), col("lang"), explode(concat(unis, bis)).as("f"))
       .withColumn("bucket",
         conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
+  }
+
+  /** The fitted DSIR model: per-bucket log-likelihood-ratio weights over
+    * the B-bucket spine (fixed-size — broadcast-legit model state).
+    */
+  private def dsirLam(spark: SparkSession, feats: DataFrame, buckets: Int,
+      targetLang: String): DataFrame = {
     val isTgt = when(col("lang") === targetLang, 1L).otherwise(0L)
     val counts = feats.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_raw"), sum(isTgt).as("n_tgt"))
     val totals = feats.agg(count(lit(1)).as("t_raw"), sum(isTgt).as("t_tgt"))
     val spine = spark.range(buckets).select(col("id").as("bucket"))
     val b = lit(buckets.toDouble)
-    val lam = spine.join(counts, Seq("bucket"), "left")
+    spine.join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("n_raw", "n_tgt"))
       .crossJoin(broadcast(totals))
       .select(col("bucket"),
         round(log((col("n_tgt") + 1.0d) / (col("t_tgt") + b)) -
           log((col("n_raw") + 1.0d) / (col("t_raw") + b)), 9).as("lam"))
-    feats.join(broadcast(lam), Seq("bucket"))
+  }
+
+  /** qt24: quantized-classifier quality gate — the model-based filtering
+    * stage (GPT-3's LR quality classifier, LLaMA/RefinedWeb's fastText
+    * gates) in its production DEPLOYMENT shape: the fitted linear model is
+    * SQ8-quantized (qs4's round-half-away scheme, scale = 127/max|w|) and
+    * inference is pure integer arithmetic — a broadcast of the fixed-size
+    * code table, one hash-aggregate logit sum per doc, and an integer
+    * threshold decision. Quantization is what a billion-doc deployment
+    * ships (4-8x less model traffic per executor, integer SIMD dot), and
+    * the integer path is what lets the DuckDB oracle hash-match the WHOLE
+    * decision — logits and keep flags — rather than settling for an
+    * epsilon on f64 scores (the qs5 argument, applied to classifiers).
+    *
+    * The model here is qt21's DSIR discriminator fitted on the corpus
+    * itself (target = `targetLang` docs) — a stand-in with the exact
+    * production shape: any externally-trained weight vector drops into the
+    * same broadcast + integer-dot plan.
+    *
+    * Scale shape: featurize map-only; model fit = one hash aggregate over
+    * B buckets; quantize = B-row map; inference = broadcast join (model is
+    * FIXED-SIZE, the broadcast invariant holds) + one doc-keyed hash
+    * aggregate with map-side partial sums. No windows, no driver state
+    * beyond the B-row model.
+    */
+  def classifierGate(spark: SparkSession, dir: String, buckets: Int = 1024,
+      targetLang: String = "en"): DataFrame = {
+    val feats = hashedFeats(spark, dir, buckets)
+    val lam = dsirLam(spark, feats, buckets, targetLang)
+    val maxAbs = lam.agg(max(abs(col("lam"))).as("max_abs"))
+    val qmodel = lam.crossJoin(broadcast(maxAbs))
+      .select(col("bucket"),
+        when(col("max_abs") === 0d, lit(0L))
+          .otherwise(round(col("lam") * 127d / col("max_abs")).cast("long"))
+          .as("qw"))
+    feats.join(broadcast(qmodel), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"),
-        round(aggregate(array_sort(collect_list(col("lam"))), lit(0.0d),
-          (acc, x) => acc + x), 6).as("log_weight"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("qw")).as("logit_q"))
+      .withColumn("kept", (col("logit_q") > 0L).cast("int"))
+  }
+
+  /** qt25: temperature-balanced domain mixture — the data-mixing pass that
+    * rebalances a head-heavy corpus before training (GPT-3 §2.2's weighted
+    * sampling; DoReMi/UniMax's domain temperature): each source keeps docs
+    * at rate proportional to n_d^(alpha-1) so the kept mixture follows
+    * n_d^alpha. alpha is pinned to 0.5 because sqrt is the one power IEEE
+    * requires to be correctly rounded — both engines compute bit-identical
+    * rates, so the keep decision is exactly replayable (a pow()-based
+    * temperature would differ in ulps at rule boundaries). The smallest
+    * domain keeps everything; a domain 100x larger keeps 10%.
+    *
+    * Membership is the qt7 salted-md5 predicate (deterministic across
+    * engines/runs/parallelism — never rand()): keep iff
+    * h(doc) mod k < floor(k * sqrt(n_min)/sqrt(n_d)).
+    *
+    * Scale shape: per-domain counts are one hash aggregate with map-side
+    * partials (a 10^8-page mega-host combines before the shuffle); n_min is
+    * a 1-row broadcast; the rate table grows with |domains| so its join is
+    * NOT broadcast-hinted (AQE size-gates it, the qt9 discipline) — and the
+    * head-heavy source key is exactly the skew AQE's skew-join split
+    * handles. The keep predicate itself is map-only integer math.
+    */
+  def domainMixture(spark: SparkSession, dir: String,
+      k: Int = 1000000): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"))
+    val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val minN = counts.agg(min(col("n_docs")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col("source"), col("n_docs"),
+        floor(lit(k.toDouble) * sqrt(col("n_min").cast("double")) /
+          sqrt(col("n_docs").cast("double"))).cast("long").as("keep_per_k"))
+    val h = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit("#mix"))), 1, 15), 16, 10)
+      .cast("long") % k
+    d.withColumn("h", h)
+      .join(rates, Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_docs").as("domain_docs"),
+        col("keep_per_k"), (col("h") < col("keep_per_k")).cast("int").as("kept"))
   }
 
   /** qt20: the Gopher quality-rule composite (Rae et al. 2021,

@@ -742,6 +742,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == w)
   }
 
+  test("qt24: quantized classifier gate rejects the out-of-target doc") {
+    val rows = TextAnalysis.classifierGate(spark, dupDir, targetLang = "en")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logit_q"),
+          r.getAs[Int]("kept")))).toMap
+    assert(rows.size == 10)
+    // doc 9 is the lone German doc: its features never hit the target
+    // slice, so the quantized logit must fall below every English doc's
+    // and below the keep threshold
+    val (_, deLogit, deKept) = rows(9L)
+    assert(deKept == 0, s"de doc kept with logit $deLogit")
+    (0L to 8L).foreach { id =>
+      assert(rows(id)._2 > deLogit, s"doc $id logit ${rows(id)._2} <= de $deLogit")
+    }
+    // the integer path is deterministic by construction
+    val again = TextAnalysis.classifierGate(spark, dupDir, targetLang = "en")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_feats"), r.getAs[Long]("logit_q"),
+          r.getAs[Int]("kept")))).toMap
+    assert(again == rows)
+  }
+
+  test("qt25: temperature mixture downsamples head domains, keeps the tail") {
+    // skewed corpus: 900 docs of source A, 100 of B, 25 of C
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-mix").toString
+    (0 until 1025).map { i =>
+      val src = if (i < 900) "A" else if (i < 1000) "B" else "C"
+      (i.toLong, s"doc $i words", "en", src, 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.domainMixture(spark, dir).collect()
+    assert(out.length == 1025)
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    // alpha=0.5: rate_d = floor(k * sqrt(n_min/n_d))
+    assert(bySrc("A").head.getAs[Long]("keep_per_k") == 166666L) // sqrt(25/900)
+    assert(bySrc("B").head.getAs[Long]("keep_per_k") == 500000L) // sqrt(25/100)
+    assert(bySrc("C").head.getAs[Long]("keep_per_k") == 1000000L)
+    // the smallest domain keeps everything; bigger domains keep ever less
+    assert(bySrc("C").forall(_.getAs[Int]("kept") == 1))
+    def frac(s: String) =
+      bySrc(s).count(_.getAs[Int]("kept") == 1).toDouble / bySrc(s).length
+    assert(frac("A") < frac("B") && frac("B") < 1.0, s"${frac("A")} ${frac("B")}")
+    // the md5 predicate is a fair 1/6 and 1/2 sampler at these sizes
+    assert(math.abs(frac("A") - 1.0 / 6) < 0.05, frac("A").toString)
+    assert(math.abs(frac("B") - 0.5) < 0.15, frac("B").toString)
+    // balanced domains (the fixture corpus) are untouched
+    val even = TextAnalysis.domainMixture(spark, dupDir).collect()
+    assert(even.forall(_.getAs[Int]("kept") == 1))
+  }
+
   test("qt22: PII redaction counts and scrubs exactly the planted spans") {
     val rows = TextAnalysis.piiRedact(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r).toMap

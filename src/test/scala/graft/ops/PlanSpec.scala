@@ -316,6 +316,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("Window\\b".r.findAllIn(plan).size >= 1, plan)
   }
 
+  test("qt24: classifier inference broadcasts the fixed-size model, no Window") {
+    val plan = planOf(TextAnalysis.classifierGate(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
+  test("qt25: domain mixture is two hash aggregates + an unhinted rate join") {
+    val plan = planOf(TextAnalysis.domainMixture(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("partial_count"), plan)
+  }
+
   test("qt10 repetition is map-only: zero exchanges, native expression") {
     val plan = planOf(TextAnalysis.repetitionSignals(spark, sf))
     assert(!plan.contains("Exchange"), plan)
