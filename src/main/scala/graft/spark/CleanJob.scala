@@ -8,9 +8,11 @@ import graft.ops.{Dedup, TextAnalysis}
 /** The composed corpus-cleaning pipeline — the ops library's individual
   * passes (canonical-URL dedup -> exact dedup -> MinHash-LSH near-dup pairs
   * -> connected-component clustering -> quality-aware survivorship ->
-  * quality gate) chained the way a production training-data job runs them,
-  * with per-stage lineage counts. URL dedup runs FIRST (the cheapest key),
-  * so re-crawled pages never reach the shingling/LSH stages at all.
+  * quality gate -> exact-substring span removal) chained the way a
+  * production training-data job runs them, with per-stage lineage counts.
+  * URL dedup runs FIRST (the cheapest key), so re-crawled pages never reach
+  * the shingling/LSH stages at all; the substring REWRITE runs LAST, on the
+  * smallest table (the RefinedWeb order).
   *
   * Two design points the suite queries can't show on their own:
   *
@@ -32,9 +34,13 @@ object CleanJob {
     * structure (pure function of the row index, SplitMix64 — no RNG, per
     * the determinism invariant). Per decade of ids [10k, 10k+9]:
     * id%10==7 is an EXACT copy of the decade base (10k), id%10==8 is a
-    * NEAR dup of the base (2 words substituted), everything else is fresh
+    * NEAR dup of the base (2 words substituted), id%10==5 is fresh text
+    * carrying the fixed 12-word BOILERPLATE tail (the cross-document
+    * duplicated span the substring stage must cut — otherwise-distinct
+    * docs that no document-level dedup catches), everything else is fresh
     * text of 30-79 words over a 64-word vocabulary. So n docs carry n/10
-    * exact dups and n/10 near dups with known membership.
+    * exact dups, n/10 near dups, and n/10 boilerplate carriers, each with
+    * known membership.
     */
   object DocCorpus {
     final case class DocRow(doc_id: Long, url: String, text: String,
@@ -53,6 +59,15 @@ object CleanJob {
     require(Vocab.length == 64)
 
     private val Langs = Vector("en", "fr", "de", "es", "pt")
+
+    /** The planted cross-document boilerplate: a fixed 12-token run every
+      * id%10==5 doc carries. 12 >= the substring stage's minLen (8), and
+      * the flanking 5-grams mix in doc-specific words, so the stage must
+      * cut EXACTLY these 12 tokens from every surviving carrier.
+      */
+    private[spark] val Boilerplate: Array[String] = Array(
+      "snapshot", "commit", "resume", "lineage", "quality", "cluster",
+      "bucket", "band", "sketch", "sample", "probe", "index")
 
     private final class Rng(var state: Long) {
       def nextLong(): Long = {
@@ -82,6 +97,7 @@ object CleanJob {
           w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
           w(rng.nextInt(w.length)) = Vocab(rng.nextInt(Vocab.length))
           w
+        case 5 => freshWords(id) ++ Boilerplate
         case _ => freshWords(id)
       }
       val text = words.mkString(" ")
@@ -165,6 +181,8 @@ object CleanJob {
       nearRemoved: Long,
       qualityRemoved: Long,
       nFinal: Long,
+      substrRewritten: Long = 0L,
+      substrTokensRemoved: Long = 0L,
       stageSecs: Map[String, Double] = Map.empty)
 
   /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
@@ -254,9 +272,9 @@ object CleanJob {
           (nC, spark.read.parquet(s"$nearDir/documents.parquet").count())
         }
 
-        // stage 4: quality gate on the deduped corpus -> the final table
-        // (reuses the persisted stage-3 scores; nearDir docs are a subset
-        // of the scored exactDir docs)
+        // stage 4: quality gate on the deduped corpus -> the doc-level
+        // clean table (reuses the persisted stage-3 scores; nearDir docs
+        // are a subset of the scored exactDir docs)
         val nFinal = timed("quality_gate") {
           val passing = quality.filter(col("quality_score") >= minQuality)
             .select(col("doc_id"))
@@ -264,6 +282,35 @@ object CleanJob {
             .join(passing, Seq("doc_id"), "left_semi")
             .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
           spark.read.parquet(s"$outDir/clean/documents.parquet").count()
+        }
+
+        // stage 5: exact-substring span removal (qd14's operator) — the
+        // SUB-document rewrite document-level dedup cannot do: cross-doc
+        // duplicated runs >= 8 tokens (boilerplate, templates, mirrors
+        // embedded in otherwise-distinct pages) are cut from every
+        // surviving doc and the text rebuilt. Runs LAST, on the smallest
+        // table, as in RefinedWeb's order (doc-level dedup first shrinks
+        // the gram table the substring pass must build).
+        val (substrRewritten, substrTokensRemoved) = timed("substr") {
+          val prof = Dedup.exactSubstrDedup(spark, s"$outDir/clean")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val a = prof.agg(
+              coalesce(sum((col("n_spans") > 0).cast("long")), lit(0L)).as("rd"),
+              coalesce(sum(col("removed_tokens")), lit(0L)).as("rt")).collect()(0)
+            spark.read.parquet(s"$outDir/clean/documents.parquet")
+              .drop("text", "n_chars")
+              .join(prof.select(col("doc_id"), col("clean_text").as("text")),
+                Seq("doc_id"))
+              .withColumn("n_chars", length(col("text")).cast("long"))
+              .write.mode("overwrite")
+              .parquet(s"$outDir/final/documents.parquet")
+            val nOut = spark.read.parquet(s"$outDir/final/documents.parquet")
+              .count()
+            require(nOut == nFinal,
+              s"substr stage must rewrite, never drop: $nOut != $nFinal")
+            (a.getAs[Long]("rd"), a.getAs[Long]("rt"))
+          } finally prof.unpersist()
         }
 
         CleanStats(
@@ -275,6 +322,8 @@ object CleanJob {
           nearRemoved = exactKept - nearKept,
           qualityRemoved = nearKept - nFinal,
           nFinal = nFinal,
+          substrRewritten = substrRewritten,
+          substrTokensRemoved = substrTokensRemoved,
           stageSecs = stageSecs.toMap)
       } finally quality.unpersist()
     } finally pairs.unpersist()
@@ -335,6 +384,8 @@ object CleanJobRunner {
       f""""exact_removed":${stats.exactRemoved},"near_pairs":${stats.nearPairs},""" +
       f""""near_clusters":${stats.nearClusters},"near_removed":${stats.nearRemoved},""" +
       f""""quality_removed":${stats.qualityRemoved},"n_final":${stats.nFinal},""" +
+      f""""substr_rewritten":${stats.substrRewritten},""" +
+      f""""substr_tokens_removed":${stats.substrTokensRemoved},""" +
       f""""stage_secs":{$stages},""" +
       f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
     spark.stop()

@@ -60,7 +60,11 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("minhash LSH surfaces the near-duplicate pairs with correct jaccard") {
-    val pairs = Dedup.minhashLshPairs(spark, dupDir, shingleSize = 3, threshold = 0.4)
+    // banding matched to the threshold: 32 bands x 2 rows puts the S-curve
+    // midpoint at (1/32)^(1/2) ~= 0.18, so recall at J >= 0.4 is ~1 (the
+    // default 16x4 is tuned for t=0.5 and leaves a ~3% miss tail at 0.67)
+    val pairs = Dedup.minhashLshPairs(spark, dupDir, shingleSize = 3,
+        bands = 32, threshold = 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val keys = pairs.map(p => (p._1, p._2)).toSet
     assert(keys.contains((0L, 1L)), s"exact dup pair missing from $keys")

@@ -44,6 +44,14 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       CleanJob.DocCorpus.genDoc(40).url)
     assert(CleanJob.DocCorpus.genDoc(49).text !=
       CleanJob.DocCorpus.genDoc(40).text)
+    // id%10==5 carries the fixed 12-word boilerplate tail; two carriers
+    // from different decades share EXACTLY that run
+    val bp = CleanJob.DocCorpus.Boilerplate.mkString(" ")
+    val c45 = CleanJob.DocCorpus.genDoc(45).text
+    val c55 = CleanJob.DocCorpus.genDoc(55).text
+    assert(c45.endsWith(" " + bp) && c55.endsWith(" " + bp))
+    assert(c45.stripSuffix(bp) != c55.stripSuffix(bp))
+    assert(!CleanJob.DocCorpus.genDoc(40).text.contains(bp))
   }
 
   test("pipeline degenerate inputs: single doc and empty near-dup graph") {
@@ -92,6 +100,38 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val distinctTexts = spark.read.parquet(s"$out/clean/documents.parquet")
       .select("text").distinct().count()
     assert(distinctTexts == stats.nFinal)
+
+    // stage 5: every surviving boilerplate carrier (id%10==5) is rewritten
+    // (its 12 planted tokens cut), PLUS both members of any near-dup pair
+    // that slipped under the LSH threshold and survived doc-level dedup —
+    // the substring stage catching what document-level dedup missed is
+    // exactly why production pipelines run it last
+    import org.apache.spark.sql.functions.col
+    val bp = CleanJob.DocCorpus.Boilerplate.mkString(" ")
+    val clean = spark.read.parquet(s"$out/clean/documents.parquet")
+    val fin = spark.read.parquet(s"$out/final/documents.parquet")
+    assert(fin.count() == stats.nFinal)
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val carriers = cleanIds.count(_ % 10 == 5)
+    assert(carriers >= 2, s"too few surviving carriers: $carriers")
+    // near pairs whose base AND near both reached the clean table: their
+    // shared runs (>= 10 tokens: 2 substitutions split >= 30 words into
+    // runs of >= ~len/3) are cross-doc duplicated spans stage 5 must cut
+    val slippedPairDocs = (0L until n by 10L)
+      .filter(b => cleanIds.contains(b) && cleanIds.contains(b + 8))
+      .flatMap(b => Seq(b, b + 8)).toSet
+    assert(stats.substrRewritten == carriers + slippedPairDocs.size,
+      s"rewritten ${stats.substrRewritten} != $carriers carriers + " +
+        s"${slippedPairDocs.size} slipped near docs")
+    assert(stats.substrTokensRemoved >= 12 * carriers, stats.toString)
+    assert(fin.filter(col("text").contains(bp)).count() == 0)
+    // nothing else is touched: changed docs are exactly carriers + slipped
+    val changed = fin.select(col("doc_id"), col("text").as("t2"))
+      .join(clean.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("t2") =!= col("text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(changed == cleanIds.filter(_ % 10 == 5) ++ slippedPairDocs,
+      s"unexpected rewrites: ${changed.filter(id => id % 10 != 5 && !slippedPairDocs(id))}")
   }
 
   test("incremental admission: persisted index equals recompute, flags the " +
