@@ -189,15 +189,51 @@ object CleanJob {
     * stage outputs under `outDir`. Returns lineage counts (which must
     * conserve: nFinal == nInput - exactRemoved - nearRemoved -
     * qualityRemoved, asserted here so a silently-lossy stage cannot ship).
+    *
+    * `resume = true` makes the run RESUMABLE at stage granularity — the
+    * preemption-survival story multi-day cleaning jobs need: each stage
+    * writes its parquet output first and a tiny stats marker
+    * (`stage_<name>.stats`, java.util.Properties) AFTER the write lands,
+    * so a kill mid-stage leaves no marker and the stage recomputes
+    * idempotently (mode=overwrite), while completed stages are skipped
+    * (their lineage numbers come from the marker; stageSecs records 0.0).
+    * Each marker also records the stage's INPUT row count: resuming
+    * against a different upstream (e.g. a regenerated corpus of another
+    * size) invalidates the marker instead of serving stale outputs.
     */
   def run(spark: SparkSession, corpusDir: String, outDir: String,
-      lshThreshold: Double = 0.5, minQuality: Double = 0.35): CleanStats = {
+      lshThreshold: Double = 0.5, minQuality: Double = 0.35,
+      resume: Boolean = false): CleanStats = {
     val stageSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def timed[T](name: String)(body: => T): T = {
       val t0 = System.nanoTime()
       val r = body
       stageSecs(name) = (System.nanoTime() - t0) / 1e9
       r
+    }
+    // stage wrapper: marker-gated skip on resume, marker write on success
+    def stage(name: String, input: Long)(body: => Map[String, Long]): Map[String, Long] = {
+      val f = new java.io.File(s"$outDir/stage_$name.stats")
+      val cached: Option[Map[String, Long]] =
+        if (resume && f.exists()) {
+          val p = new java.util.Properties()
+          val in = new java.io.FileInputStream(f)
+          try p.load(in) finally in.close()
+          import scala.jdk.CollectionConverters._
+          val m = p.stringPropertyNames().asScala
+            .map(k => k -> p.getProperty(k).toLong).toMap
+          if (m.get("input").contains(input)) Some(m) else None
+        } else None
+      cached match {
+        case Some(m) => stageSecs(name) = 0.0; m
+        case None =>
+          val r = timed(name)(body) + ("input" -> input)
+          val p = new java.util.Properties()
+          r.foreach { case (k, v) => p.setProperty(k, v.toString) }
+          val out = new java.io.FileOutputStream(f)
+          try p.store(out, null) finally out.close()
+          r
+      }
     }
     val docsIn = spark.read.parquet(s"$corpusDir/documents.parquet")
     val nInput = docsIn.count()
@@ -213,7 +249,7 @@ object CleanJob {
     val textInDir = if (hasUrls) urlDir else corpusDir
     val urlKept =
       if (!hasUrls) nInput
-      else timed("url") {
+      else stage("url", nInput) {
         val canon = docsIn.withColumn("canon_url",
           graft.ops.UrlCuration.canonicalize(col("url")))
         val keep = canon
@@ -221,13 +257,13 @@ object CleanJob {
           .select(col("doc_id"))
         docsIn.join(keep, Seq("doc_id"))
           .write.mode("overwrite").parquet(s"$urlDir/documents.parquet")
-        spark.read.parquet(s"$urlDir/documents.parquet").count()
-      }
+        Map("kept" -> spark.read.parquet(s"$urlDir/documents.parquet").count())
+      }("kept")
 
     // stage 1: exact dedup (keep the smallest doc_id per normalized md5).
     // One hash shuffle; survivors checkpoint to parquet for the next stage.
     val exactDir = s"$outDir/stage_exact"
-    val exactKept = timed("exact") {
+    val exactKept = stage("exact", urlKept) {
       val textIn = spark.read.parquet(s"$textInDir/documents.parquet")
       val keep = textIn
         .withColumn("fp", Dedup.fingerprintCol(col("text")))
@@ -235,28 +271,33 @@ object CleanJob {
         .select(col("doc_id"))
       textIn.join(keep, Seq("doc_id"))
         .write.mode("overwrite").parquet(s"$exactDir/documents.parquet")
-      spark.read.parquet(s"$exactDir/documents.parquet").count()
-    }
+      Map("kept" -> spark.read.parquet(s"$exactDir/documents.parquet").count())
+    }("kept")
 
     // stage 2: near-dup candidate pairs on the exact-deduped corpus —
-    // banded MinHash-LSH with exact-Jaccard verification (qd7's operator)
-    val pairs = Dedup.minhashLshPairs(spark, exactDir,
-        shingleSize = 3, threshold = lshThreshold)
-      .select(col("doc_a"), col("doc_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nearPairs = timed("lsh_pairs")(pairs.count())
+    // banded MinHash-LSH with exact-Jaccard verification (qd7's operator).
+    // The verified edge list is ITSELF a checkpointed stage output now
+    // (the most expensive stage's work survives preemption).
+    val pairsDir = s"$outDir/stage_pairs"
+    val nearPairs = stage("lsh_pairs", exactKept) {
+      Dedup.minhashLshPairs(spark, exactDir,
+          shingleSize = 3, threshold = lshThreshold)
+        .select(col("doc_a"), col("doc_b"))
+        .write.mode("overwrite").parquet(s"$pairsDir/pairs.parquet")
+      Map("pairs" -> spark.read.parquet(s"$pairsDir/pairs.parquet").count())
+    }("pairs")
 
     // stage 3: transitive closure (pointer-jumping CC — throws rather than
-    // under-merge) + quality-aware survivorship (qd8's operator). The
-    // quality pass (5 regexes over every doc) runs ONCE here and is
-    // persisted: the final gate reuses it instead of re-scoring the corpus.
-    val stats = try {
+    // under-merge) + quality-aware survivorship (qd8's operator)
+    val nearDir = s"$outDir/stage_near"
+    val ccStats = stage("cc_survivors", exactKept) {
       val quality = TextAnalysis.qualityScores(spark, exactDir)
         .select(col("doc_id"), col("quality_score"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nearDir = s"$outDir/stage_near"
-        val (nearClusters, nearKept) = timed("cc_survivors") {
+        val pairs = spark.read.parquet(s"$pairsDir/pairs.parquet")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
           val labels = Dedup.connectedComponents(pairs)
           val sizes = labels.groupBy(col("label").as("cluster_id"))
             .agg(count(lit(1)).as("cluster_size"))
@@ -269,64 +310,69 @@ object CleanJob {
           spark.read.parquet(s"$exactDir/documents.parquet")
             .join(dropIds, Seq("doc_id"), "left_anti")
             .write.mode("overwrite").parquet(s"$nearDir/documents.parquet")
-          (nC, spark.read.parquet(s"$nearDir/documents.parquet").count())
-        }
-
-        // stage 4: quality gate on the deduped corpus -> the doc-level
-        // clean table (reuses the persisted stage-3 scores; nearDir docs
-        // are a subset of the scored exactDir docs)
-        val nFinal = timed("quality_gate") {
-          val passing = quality.filter(col("quality_score") >= minQuality)
-            .select(col("doc_id"))
-          spark.read.parquet(s"$nearDir/documents.parquet")
-            .join(passing, Seq("doc_id"), "left_semi")
-            .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
-          spark.read.parquet(s"$outDir/clean/documents.parquet").count()
-        }
-
-        // stage 5: exact-substring span removal (qd14's operator) — the
-        // SUB-document rewrite document-level dedup cannot do: cross-doc
-        // duplicated runs >= 8 tokens (boilerplate, templates, mirrors
-        // embedded in otherwise-distinct pages) are cut from every
-        // surviving doc and the text rebuilt. Runs LAST, on the smallest
-        // table, as in RefinedWeb's order (doc-level dedup first shrinks
-        // the gram table the substring pass must build).
-        val (substrRewritten, substrTokensRemoved) = timed("substr") {
-          val prof = Dedup.exactSubstrDedup(spark, s"$outDir/clean")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val a = prof.agg(
-              coalesce(sum((col("n_spans") > 0).cast("long")), lit(0L)).as("rd"),
-              coalesce(sum(col("removed_tokens")), lit(0L)).as("rt")).collect()(0)
-            spark.read.parquet(s"$outDir/clean/documents.parquet")
-              .drop("text", "n_chars")
-              .join(prof.select(col("doc_id"), col("clean_text").as("text")),
-                Seq("doc_id"))
-              .withColumn("n_chars", length(col("text")).cast("long"))
-              .write.mode("overwrite")
-              .parquet(s"$outDir/final/documents.parquet")
-            val nOut = spark.read.parquet(s"$outDir/final/documents.parquet")
-              .count()
-            require(nOut == nFinal,
-              s"substr stage must rewrite, never drop: $nOut != $nFinal")
-            (a.getAs[Long]("rd"), a.getAs[Long]("rt"))
-          } finally prof.unpersist()
-        }
-
-        CleanStats(
-          nInput = nInput,
-          urlRemoved = nInput - urlKept,
-          exactRemoved = urlKept - exactKept,
-          nearPairs = nearPairs,
-          nearClusters = nearClusters,
-          nearRemoved = exactKept - nearKept,
-          qualityRemoved = nearKept - nFinal,
-          nFinal = nFinal,
-          substrRewritten = substrRewritten,
-          substrTokensRemoved = substrTokensRemoved,
-          stageSecs = stageSecs.toMap)
+          Map("clusters" -> nC,
+            "kept" -> spark.read.parquet(s"$nearDir/documents.parquet").count())
+        } finally pairs.unpersist()
       } finally quality.unpersist()
-    } finally pairs.unpersist()
+    }
+    val (nearClusters, nearKept) = (ccStats("clusters"), ccStats("kept"))
+
+    // stage 4: quality gate on the deduped corpus -> the doc-level clean
+    // table. Scores the (smaller) nearDir table directly — per-doc scores
+    // are deterministic, so this equals gating on the stage-3 scores while
+    // keeping the stage self-contained for resume.
+    val nFinal = stage("quality_gate", nearKept) {
+      val passing = TextAnalysis.qualityScores(spark, nearDir)
+        .filter(col("quality_score") >= minQuality)
+        .select(col("doc_id"))
+      spark.read.parquet(s"$nearDir/documents.parquet")
+        .join(passing, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$outDir/clean/documents.parquet")
+      Map("kept" -> spark.read.parquet(s"$outDir/clean/documents.parquet").count())
+    }("kept")
+
+    // stage 5: exact-substring span removal (qd14's operator) — the
+    // SUB-document rewrite document-level dedup cannot do: cross-doc
+    // duplicated runs >= 8 tokens (boilerplate, templates, mirrors
+    // embedded in otherwise-distinct pages) are cut from every surviving
+    // doc and the text rebuilt. Runs LAST, on the smallest table, as in
+    // RefinedWeb's order (doc-level dedup first shrinks the gram table the
+    // substring pass must build).
+    val substrStats = stage("substr", nFinal) {
+      val prof = Dedup.exactSubstrDedup(spark, s"$outDir/clean")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val a = prof.agg(
+          coalesce(sum((col("n_spans") > 0).cast("long")), lit(0L)).as("rd"),
+          coalesce(sum(col("removed_tokens")), lit(0L)).as("rt")).collect()(0)
+        spark.read.parquet(s"$outDir/clean/documents.parquet")
+          .drop("text", "n_chars")
+          .join(prof.select(col("doc_id"), col("clean_text").as("text")),
+            Seq("doc_id"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/final/documents.parquet")
+        val nOut = spark.read.parquet(s"$outDir/final/documents.parquet")
+          .count()
+        require(nOut == nFinal,
+          s"substr stage must rewrite, never drop: $nOut != $nFinal")
+        Map("rewritten" -> a.getAs[Long]("rd"),
+          "tokens_removed" -> a.getAs[Long]("rt"))
+      } finally prof.unpersist()
+    }
+
+    val stats = CleanStats(
+      nInput = nInput,
+      urlRemoved = nInput - urlKept,
+      exactRemoved = urlKept - exactKept,
+      nearPairs = nearPairs,
+      nearClusters = nearClusters,
+      nearRemoved = exactKept - nearKept,
+      qualityRemoved = nearKept - nFinal,
+      nFinal = nFinal,
+      substrRewritten = substrStats("rewritten"),
+      substrTokensRemoved = substrStats("tokens_removed"),
+      stageSecs = stageSecs.toMap)
 
     require(stats.nFinal ==
       stats.nInput - stats.urlRemoved - stats.exactRemoved -
@@ -350,9 +396,12 @@ object CleanJobRunner {
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: CleanJobRunner <corpusPath|gen:N> <outDir> [partitions]")
+      "usage: CleanJobRunner <corpusPath|gen:N> <outDir> [partitions] [resume]\n" +
+        "  resume: skip stages whose stats marker exists in <outDir> " +
+        "(kill-and-resume; markers self-invalidate if the upstream changed)")
     val input = args(0)
     val outDir = args(1)
+    val resume = args.contains("resume")
     val builder = SparkSession.builder()
       .appName("graft-clean")
       .config("spark.sql.session.timeZone", "UTC")
@@ -375,7 +424,7 @@ object CleanJobRunner {
     } else input
 
     val t0 = System.nanoTime()
-    val stats = CleanJob.run(spark, corpusDir, outDir)
+    val stats = CleanJob.run(spark, corpusDir, outDir, resume = resume)
     val wall = (System.nanoTime() - t0) / 1e9
     val stages = stats.stageSecs
       .map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")

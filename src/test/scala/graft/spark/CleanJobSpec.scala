@@ -134,6 +134,50 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"unexpected rewrites: ${changed.filter(id => id % 10 != 5 && !slippedPairDocs(id))}")
   }
 
+  test("kill-and-resume: completed stages are skipped, lineage identical") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft-clean-resume").toString
+    val n = 300L
+    CleanJob.DocCorpus.generate(spark, n, partitions = 4)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    val full = CleanJob.run(spark, s"$out/corpus", out)
+
+    // simulate a kill between stage 3 and 4: drop the downstream markers
+    // (their parquet may be partial in a real kill; overwrite handles it)
+    assert(new java.io.File(s"$out/stage_quality_gate.stats").delete())
+    assert(new java.io.File(s"$out/stage_substr.stats").delete())
+    val exactParquet = new java.io.File(s"$out/stage_exact")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap
+    val resumed = CleanJob.run(spark, s"$out/corpus", out, resume = true)
+    // identical lineage end to end
+    assert(resumed.copy(stageSecs = Map.empty) ==
+      full.copy(stageSecs = Map.empty), s"$resumed vs $full")
+    // upstream stages were NOT recomputed: markers served them (0.0 secs)
+    // and the exact stage's parquet bytes were never rewritten
+    Seq("url", "exact", "lsh_pairs", "cc_survivors").foreach { s =>
+      assert(resumed.stageSecs(s) == 0.0, s"stage $s recomputed")
+    }
+    assert(resumed.stageSecs("quality_gate") > 0.0)
+    assert(new java.io.File(s"$out/stage_exact")
+      .listFiles().map(f => f.getName -> f.lastModified()).toMap == exactParquet)
+
+    // marker self-invalidation: a DIFFERENT corpus into the same outDir
+    // must recompute, not serve stale stage outputs
+    CleanJob.DocCorpus.generate(spark, n + 100, partitions = 4)
+      .write.mode("overwrite").parquet(s"$out/corpus/documents.parquet")
+    val regen = CleanJob.run(spark, s"$out/corpus", out, resume = true)
+    assert(regen.nInput == n + 100)
+    assert(regen.stageSecs("url") > 0.0, "stale url marker served")
+    assert(spark.read.parquet(s"$out/final/documents.parquet").count() ==
+      regen.nFinal)
+    // re-check conservation on the regenerated run's outputs
+    assert(regen.nFinal == regen.nInput - regen.urlRemoved -
+      regen.exactRemoved - regen.nearRemoved - regen.qualityRemoved)
+    assert(spark.read.parquet(s"$out/final/documents.parquet")
+      .filter(col("text").contains(CleanJob.DocCorpus.Boilerplate.mkString(" ")))
+      .count() == 0)
+  }
+
   test("incremental admission: persisted index equals recompute, flags the " +
       "planted batch structure") {
     import org.apache.spark.sql.functions._
