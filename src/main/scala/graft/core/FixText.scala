@@ -63,7 +63,16 @@ object FixText {
       while (changed && rounds < 4) {
         val un = unescapeEntities(cur)
         val cp = undoCp1252Mojibake(un)
-        val next = if (cp ne un) cp else undoLatin1Mojibake(un)
+        val next =
+          if (cp ne un) cp
+          else {
+            val l1 = undoLatin1Mojibake(un)
+            // MIXED lines: clean non-ASCII next to damage blocks both
+            // whole-string undos ("café â€™" — the lone é byte is not
+            // valid UTF-8); fall back to decoding just the
+            // UTF-8-shaped runs
+            if (l1 ne un) l1 else undoMojibakeSegments(un)
+          }
         changed = next ne cur // every undo step returns the SAME instance on no-op
         cur = next
         rounds += 1
@@ -214,6 +223,77 @@ object FixText {
     } catch {
       case _: CharacterCodingException => s
     }
+  }
+
+  /** Sloppy-cp1252 byte for char `c`, or -1 when not encodable. */
+  private def cp1252ByteOf(c: Char): Int =
+    if (c < 0x80 || (c >= 0xa0 && c < 0x100)) c
+    else Cp1252Reverse.get(c) match {
+      case Some(b) => b & 0xff
+      case None    => -1
+    }
+
+  /** Segment-wise mojibake undo for MIXED lines — applied only when the
+    * whole-string undos fail (a clean standalone "é" anywhere makes the
+    * full byte string invalid UTF-8, shielding damage elsewhere on the
+    * line). Finds maximal runs of COMPLETE UTF-8-shaped groups — a char
+    * whose sloppy-cp1252 byte is a UTF-8 lead (0xC2-0xF4) followed by
+    * exactly its count of continuation-byte chars (0x80-0xBF) — and
+    * strict-decodes each run in place, leaving everything around it
+    * untouched. This is ftfy's tradeoff made explicit: a run of chars that
+    * byte-maps to well-formed UTF-8 is assumed to BE misread UTF-8 (real
+    * text where "é" is legitimately followed by two cp1252-punctuation
+    * chars would be misjudged; such sequences do not occur in natural
+    * prose, which is why ftfy ships the same assumption). A run that fails
+    * the strict decode (overlong, surrogate, out-of-range) is left
+    * byte-for-byte. Returns the SAME instance on no-op.
+    */
+  private[core] def undoMojibakeSegments(s: String): String = {
+    var out: java.lang.StringBuilder = null
+    var copied = 0
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) < 0x80) i += 1
+      else {
+        // try a maximal run of complete groups starting here
+        val start = i
+        var j = i
+        var more = true
+        while (more && j < s.length) {
+          val b = cp1252ByteOf(s.charAt(j))
+          if (b >= 0xc2 && b <= 0xf4) {
+            val need = if (b < 0xe0) 1 else if (b < 0xf0) 2 else 3
+            var k = 1
+            var contOk = true
+            while (k <= need && contOk) {
+              val cb = if (j + k < s.length) cp1252ByteOf(s.charAt(j + k)) else -1
+              contOk = cb >= 0x80 && cb <= 0xbf
+              k += 1
+            }
+            if (contOk) j += need + 1 else more = false
+          } else more = false
+        }
+        if (j > start) {
+          val bytes = new Array[Byte](j - start)
+          var k = start
+          while (k < j) { bytes(k - start) = cp1252ByteOf(s.charAt(k)).toByte; k += 1 }
+          val decoder = StandardCharsets.UTF_8
+            .newDecoder()
+            .onMalformedInput(CodingErrorAction.REPORT)
+            .onUnmappableCharacter(CodingErrorAction.REPORT)
+          try {
+            val dec = decoder.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (out == null) out = new java.lang.StringBuilder(s.length)
+            out.append(s, copied, start)
+            out.append(dec)
+            copied = j
+          } catch { case _: CharacterCodingException => () }
+          i = j
+        } else i += 1
+      }
+    }
+    if (out == null) s
+    else { out.append(s, copied, s.length); out.toString }
   }
 
   /** Undo exactly one round of "UTF-8 bytes decoded as Latin-1". */

@@ -56,6 +56,15 @@ object PagesTable {
     */
   val EdgeFamily: String = "edge"
 
+  /** Mixed-encoding family: NOT in the cycled corpus; golden keys
+    * mix0..mix9. Lines mixing ALREADY-CORRECT non-ASCII with cp1252
+    * mojibake — the damage family that defeats whole-string decoding (a
+    * clean standalone é makes the full byte string invalid UTF-8) and so
+    * exercises fix_text's segment fallback; plus the lead-shaped
+    * lookalikes that must survive untouched.
+    */
+  val MixedFamily: String = "mixed"
+
   private val Langs = Vector("en", "fr", "de", "es")
 
   /** Deterministic SplitMix64 stream. */
@@ -264,6 +273,35 @@ object PagesTable {
         }
         // trailing paragraph so the damaged lines are never the page's final
         // (unfixed) line
+        sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        sb ++= "</page>"
+
+      case "mixed" =>
+        // Mixed lines as the wild serves them: correct typographic or
+        // accented chars NEXT TO cp1252 mojibake on the same line. The
+        // whole-string undo guards reject these (clean é = invalid UTF-8
+        // byte), so only the segment fallback can repair the damaged runs
+        // — and the lookalikes pin that it never fires on clean text.
+        val damaged = Vector(
+          "café â€™quotedâ€™",        // clean é + damaged curly quotes
+          "â€œstartâ€ é end",   // damage at start, clean é after
+          "é naÃ¯ve â‚¬9",            // two damaged runs astride a clean é
+          "über â€“ dash",            // clean ü + damaged en-dash
+          "ÃƒÂ© é double",            // double-encoded é next to a clean é
+          "Ã test é",                 // lead-shaped lookalike: untouched
+          "é Ã",                      // trailing incomplete lead: untouched
+          "¿Cómo? â€¦",               // clean Spanish + damaged ellipsis
+          "Ärger â„¢ mark",           // clean Ä + damaged trade mark
+          "caf&eacute; â€™ mix"       // entity + segment repairs compose
+        )
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 3) {
+          val w = damaged(rng.nextInt(damaged.length))
+          sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
+        }
+        // trailing paragraph so the damaged lines are never the page's
+        // final (unfixed) line
         sb ++= s"<p>${para(rng, 1, 2)}</p>"
         sb ++= "</page>"
 

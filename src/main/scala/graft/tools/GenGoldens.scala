@@ -40,6 +40,9 @@ object GenGoldens {
     // the non-cycled adversarial edge family (parser/geometry edge paths)
     (0L until 10L).foreach(i =>
       write(s"edge$i", PagesTable.genDocFamily(PagesTable.EdgeFamily, i)))
+    // the non-cycled mixed-encoding family (fix_text segment fallback)
+    (0L until 10L).foreach(i =>
+      write(s"mix$i", PagesTable.genDocFamily(PagesTable.MixedFamily, i)))
     println(s"wrote $written goldens to $outDir")
   }
 }

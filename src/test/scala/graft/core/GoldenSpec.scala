@@ -76,6 +76,34 @@ class GoldenSpec extends AnyFunSuite {
     assert(manyPages.nPages == 40)
   }
 
+  test("mixed-family extraction matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir.resolve("text").resolve("mix0.txt")),
+      "mixed goldens not generated yet")
+    var sawRepaired = false
+    var sawLookalike = false
+    (0L until 10L).foreach { i =>
+      val row = PagesTable.genDocFamily(PagesTable.MixedFamily, i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"mix doc $i: ${d.errorClass}")
+      assert(d.extractedText == read("text", s"mix$i.txt"), s"text drift in mix doc $i")
+      assert(d.markdown == read("md", s"mix$i.md"), s"markdown drift in mix doc $i")
+      assert(d.blocksJson == read("blocks", s"mix$i.json"), s"blocks drift in mix doc $i")
+      // behavioral, beyond the byte pin: no complete mojibake group may
+      // survive a fixed line (the incomplete-lead lookalikes "Ã test"/"é Ã"
+      // are the ONLY legitimate â/Ã carriers, and never followed by a
+      // continuation-mapped char)
+      assert(!d.extractedText.contains("â€™") &&
+        !d.extractedText.contains("â€œ") && !d.extractedText.contains("â‚¬"),
+        s"unrepaired mojibake run in mix doc $i")
+      if (d.extractedText.contains("’") || d.extractedText.contains("€"))
+        sawRepaired = true
+      if (d.extractedText.contains("Ã ") || d.extractedText.endsWith("Ã") ||
+        d.extractedText.contains("Ã\n")) sawLookalike = true
+    }
+    assert(sawRepaired, "no doc exercised a segment repair")
+    assert(sawLookalike, "no doc exercised a preserved lookalike")
+  }
+
   test("ocr-family extraction matches committed goldens byte-for-byte") {
     assume(Files.exists(goldenDir.resolve("text").resolve("ocr0.txt")),
       "ocr goldens not generated yet")

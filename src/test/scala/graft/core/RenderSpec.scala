@@ -157,9 +157,42 @@ class RenderSpec extends AnyFunSuite {
       assert(FixText.fixText(ok) == ok, ok)
     // mixed damage: entity + cp1252 rounds compose
     assert(FixText.fixText("&amp;euro;") == "€")
-    // documented subset limit: a line mixing ALREADY-CORRECT typographic
-    // chars with mojibake fails the whole-string encodability guard and is
-    // left untouched (ftfy fixes per-segment; out of the pinned subset)
-    assert(FixText.fixText(damage1252("it’s") + " &#8217;") == damage1252("it’s") + " ’")
+    // MIXED lines (was the documented subset limit, now fixed): correct
+    // typographic chars fail the whole-string guard, but the segment
+    // fallback decodes just the UTF-8-shaped run in place
+    assert(FixText.fixText(damage1252("it’s") + " &#8217;") == "it’s ’")
+  }
+
+  test("fixText: segment fallback repairs mixed lines, never clean ones") {
+    val fwd = ("\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021" +
+      "\u02c6\u2030\u0160\u2039\u0152\u008d\u017d\u008f" +
+      "\u0090\u2018\u2019\u201c\u201d\u2022\u2013\u2014" +
+      "\u02dc\u2122\u0161\u203a\u0153\u009d\u017e\u0178")
+    def damage1252(s: String): String =
+      s.getBytes("UTF-8").map { b =>
+        val u = b & 0xff
+        if (u >= 0x80 && u <= 0x9f) fwd.charAt(u - 0x80) else u.toChar
+      }.mkString
+    // clean standalone é shields the damage from BOTH whole-string undos;
+    // the segment decoder fixes the run and leaves the é alone
+    assert(FixText.fixText("café " + damage1252("’quoted’")) == "café ’quoted’")
+    // damage at line start and end, clean unicode in between
+    assert(FixText.fixText(damage1252("“") + "é mid é" + damage1252("”")) ==
+      "“é mid é”")
+    // two separate damaged segments on one line
+    assert(FixText.fixText("é " + damage1252("naïve") + " é " +
+      damage1252("€9")) == "é naïve é €9")
+    // double-encoded segment inside a line a clean é keeps undecodable
+    // whole-string: two fixpoint rounds through the segment path
+    assert(FixText.fixText("é " + damage1252(damage1252("’"))) == "é ’")
+    // lead-shaped char NOT followed by continuations stays (no false fire)
+    for (ok <- Seq("Ã test", "é fin", "Ärger Ökonomie", "¿Cómo?"))
+      assert(FixText.fixText(ok) == ok, ok)
+    // a run that byte-maps to invalid UTF-8 (overlong/surrogate shapes
+    // can't form here; an incomplete trailing lead) is left byte-for-byte
+    assert(FixText.fixText("é Ã") == "é Ã")
+    // idempotence: fixing twice equals fixing once
+    val once = FixText.fixText("café " + damage1252("’x”") + " é")
+    assert(FixText.fixText(once) == once)
   }
 }
