@@ -102,6 +102,8 @@ object SparkEntry {
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
       TextAnalysis.domainMixture(s, d)),
+    "qt26_c4_lines" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.c4LineClean(s, d)),
     // ---- URL-level curation ----
     "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlCuration.domainCap(s, d)),
@@ -731,6 +733,45 @@ object SparkEntry {
          SELECT d.doc_id, d.source, r.n_docs AS domain_docs, r.keep_per_k,
            CAST(d.h < r.keep_per_k AS INTEGER) AS kept
          FROM d JOIN r USING (source)""",
+    // C4 line-level battery: the deterministic md5 segmentation, both
+    // per-line rules, the keep-first dedup (list_position == 1-based lambda
+    // index), and the >=3-lines doc gate are all replayed in list math
+    "qt26_c4_lines" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         seg AS (
+           SELECT doc_id, w, len(w) AS n,
+             [i FOR i IN range(0, len(w))
+              IF (CAST('0x' || substr(md5(doc_id || ':' || i), 1, 15)
+                  AS BIGINT)) % 5 = 0] AS brk
+           FROM base),
+         lined AS (
+           SELECT doc_id,
+             list_filter(
+               [array_to_string(
+                  w[(list_prepend(0, [b + 1 FOR b IN brk])[k] + 1)
+                    :(list_append(brk, n - 1)[k] + 1)], ' ')
+                FOR k IN range(1, len(brk) + 2)],
+               x -> x <> '') AS lines_all
+           FROM seg),
+         ruled AS (
+           SELECT doc_id, lines_all,
+             list_filter(lines_all, l ->
+               len(string_split(l, ' ')) >= 4 AND
+               NOT list_contains(string_split(l, ' '), 'dup')) AS lr
+           FROM lined),
+         kept AS (
+           SELECT doc_id, lines_all, lr,
+             list_filter(lr, (l, i) -> list_position(lr, l) = i) AS lk
+           FROM ruled)
+         SELECT doc_id,
+           CAST(len(lines_all) AS BIGINT) AS n_lines,
+           CAST(len(lines_all) - len(lr) AS BIGINT) AS n_rule_dropped,
+           CAST(len(lr) - len(lk) AS BIGINT) AS n_dup_dropped,
+           CAST(len(lk) AS BIGINT) AS n_kept,
+           CAST(len(lk) >= 3 AS INTEGER) AS kept,
+           COALESCE(array_to_string(lk, ' '), '') AS clean_text
+         FROM kept""",
     "qc2_semdedup" -> semdedupOracleSql(8, 4, 2025L),
     "qc3_prototype_prune" -> prototypePruneOracleSql(8, 4),
     "qt20_gopher_rules" ->

@@ -884,4 +884,65 @@ object TextAnalysis {
       .withColumn("chars_per_token",
         round(col("n_chars").cast("double") / col("n_tokens"), 6))
   }
+
+  /** qt26: C4-style LINE-level cleaning (Raffel et al. 2020 §2.2; CCNet's
+    * per-line pass) — the line-granular battery every released web corpus
+    * runs, distinct from qt20's doc-level rules and qd12/qd14's cross-doc
+    * dedup because every decision here is WITHIN one document:
+    *
+    *   1. segment the document into lines,
+    *   2. drop lines failing per-line rules (C4: "at least 5 words",
+    *      "remove lines with the word javascript" — here minWords words
+    *      and a blocklist token, parameterized),
+    *   3. drop exact repeats of an earlier surviving line (keep-first —
+    *      C4 §2.2 "discard all but one of any three-sentence span
+    *      occurring more than once", applied at line granularity),
+    *   4. gate the document on >= minLines surviving lines (C4: "pages
+    *      with fewer than 3 sentences"), and rebuild the text.
+    *
+    * The corpus has no newline structure, so lines come from the qd12-style
+    * deterministic segmentation both engines replay: word i ends a line iff
+    * its portable 60-bit md5 bucket over (doc_id, i) is 0 mod meanLen —
+    * mean line length meanLen, reproducible across engines and parallelism.
+    *
+    * Scale shape: ONE map-only pass, zero exchanges — segmentation, rules,
+    * dedup and rebuild are all array math inside the row (PlanSpec-style
+    * assertion in the spec). The keep-first step is array_position over the
+    * rule-surviving lines (first-occurrence index), O(L^2) in a document's
+    * LINE count — doc-bounded like qt14/qt16's collect_list rebuilds, never
+    * corpus-bounded; a corpus-wide line-frequency gate is qd12's shape, not
+    * this one. Scan reads exactly (doc_id, text).
+    */
+  def c4LineClean(spark: SparkSession, dir: String, meanLen: Int = 5,
+      minWords: Int = 4, block: String = "dup", minLines: Int = 3): DataFrame = {
+    val words = split(col("text"), " ")
+    // word i (0-based) ends a line iff md5_60(doc_id:i) % meanLen == 0
+    val brk = filter(sequence(lit(0), size(words) - 1), i =>
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        i.cast("string"))), 1, 15), 16, 10).cast("long") % meanLen === 0)
+    val starts = concat(array(lit(0)), transform(brk, b => b + 1))
+    val ends = concat(brk, array(size(words) - 1))
+    val linesAll = filter(
+      zip_with(starts, ends,
+        (s, e) => array_join(slice(words, s + 1, e - s + 1), " ")),
+      l => l =!= "")
+    val ruleOk = (l: Column) =>
+      size(split(l, " ")) >= minWords and
+        not(array_contains(split(l, " "), block))
+
+    docs(spark, dir)
+      .select(col("doc_id"), linesAll.as("lines_all"))
+      .withColumn("lr", filter(col("lines_all"), ruleOk))
+      .withColumn("lk",
+        filter(col("lr"), (l, i) => array_position(col("lr"), l) === i + 1))
+      .select(
+        col("doc_id"),
+        size(col("lines_all")).cast("long").as("n_lines"),
+        (size(col("lines_all")) - size(col("lr"))).cast("long")
+          .as("n_rule_dropped"),
+        (size(col("lr")) - size(col("lk"))).cast("long").as("n_dup_dropped"),
+        size(col("lk")).cast("long").as("n_kept"),
+        (size(col("lk")) >= minLines).cast("int").as("kept"),
+        array_join(col("lk"), " ").as("clean_text"))
+  }
 }

@@ -897,4 +897,68 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(7L)._4 ==
       "weather report sunny tomorrow with light winds expected")
   }
+
+  test("c4 line cleaning: planted dups/blocklist/short docs match an " +
+      "independent reference; map-only plan") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-c4").toString
+    val varied = (0 until 50).map(i => s"w${i % 13}").mkString(" ")
+    val rows = Seq(
+      // 60 identical words: any two rule-surviving lines of equal length
+      // are exact duplicates, so the keep-first path must fire
+      (100L, Seq.fill(60)("x").mkString(" "), "en", "s0", 119L),
+      // blocklist token in every line: rules drop everything, doc gated out
+      (101L, Seq.fill(30)("dup").mkString(" "), "en", "s0", 89L),
+      // one word: a single sub-minWords line, gated out
+      (102L, "hello", "en", "s1", 5L),
+      (103L, varied, "en", "s1", varied.length.toLong)
+    )
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent single-threaded reference (MessageDigest, not Spark SQL)
+    def md5mod(key: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map("%02x".format(_)).mkString.substring(0, 15), 16) % m
+    }
+    def ref(id: Long, text: String): (Long, Long, Long, Long, Int, String) = {
+      val words = text.split(" ", -1)
+      val brk = (0 until words.length).filter(i => md5mod(s"$id:$i", 5) == 0)
+      val starts = 0 +: brk.map(_ + 1)
+      val ends = brk :+ (words.length - 1)
+      val linesAll = starts.zip(ends)
+        .map { case (s, e) => words.slice(s, e + 1).mkString(" ") }
+        .filter(_.nonEmpty)
+      val lr = linesAll.filter { l =>
+        val w = l.split(" ", -1); w.length >= 4 && !w.contains("dup")
+      }
+      val lk = lr.zipWithIndex.collect {
+        case (l, i) if lr.indexOf(l) == i => l
+      }
+      (linesAll.size.toLong, (linesAll.size - lr.size).toLong,
+        (lr.size - lk.size).toLong, lk.size.toLong,
+        if (lk.size >= 3) 1 else 0, lk.mkString(" "))
+    }
+
+    val got = TextAnalysis.c4LineClean(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getString(6)))).toMap
+    assert(got.keySet == rows.map(_._1).toSet)
+    rows.foreach { case (id, text, _, _, _) =>
+      assert(got(id) == ref(id, text), s"doc $id: ${got(id)} vs reference")
+    }
+    // the planted paths actually fired
+    assert(got(100L)._3 > 0, s"no dup lines dropped: ${got(100L)}")
+    assert(got(101L)._4 == 0L && got(101L)._5 == 0) // blocklist kills all
+    assert(got(102L)._1 == 1L && got(102L)._5 == 0) // short single line
+    assert(got(103L)._5 == 1) // varied doc survives the gate
+    // conservation: every line is kept, rule-dropped, or dup-dropped
+    got.values.foreach(v => assert(v._1 == v._2 + v._3 + v._4, v.toString))
+    // one map-only pass: segmentation, rules, dedup and rebuild shuffle-free
+    val plan = TextAnalysis.c4LineClean(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
