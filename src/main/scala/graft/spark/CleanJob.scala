@@ -8,11 +8,12 @@ import graft.ops.{Dedup, TextAnalysis}
 /** The composed corpus-cleaning pipeline — the ops library's individual
   * passes (canonical-URL dedup -> exact dedup -> MinHash-LSH near-dup pairs
   * -> connected-component clustering -> quality-aware survivorship ->
-  * quality gate -> exact-substring span removal) chained the way a
-  * production training-data job runs them, with per-stage lineage counts.
-  * URL dedup runs FIRST (the cheapest key), so re-crawled pages never reach
-  * the shingling/LSH stages at all; the substring REWRITE runs LAST, on the
-  * smallest table (the RefinedWeb order).
+  * quality gate -> exact-substring span removal -> C4 line-level cleaning)
+  * chained the way a production training-data job runs them, with per-stage
+  * lineage counts. URL dedup runs FIRST (the cheapest key), so re-crawled
+  * pages never reach the shingling/LSH stages at all; the substring REWRITE
+  * and the line-level battery run LAST, on the smallest table (the
+  * RefinedWeb order for the rewrite; see the stage-6 note on line order).
   *
   * Two design points the suite queries can't show on their own:
   *
@@ -183,6 +184,9 @@ object CleanJob {
       nFinal: Long,
       substrRewritten: Long = 0L,
       substrTokensRemoved: Long = 0L,
+      lineGated: Long = 0L,
+      lineLinesDropped: Long = 0L,
+      nDelivered: Long = 0L,
       stageSecs: Map[String, Double] = Map.empty)
 
   /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
@@ -361,6 +365,48 @@ object CleanJob {
       } finally prof.unpersist()
     }
 
+    // stage 6: LINE-level cleaning (qt26's operator, C4 §2.2 / CCNet's
+    // per-line pass) — per-line min-words + blocklist rules, within-doc
+    // keep-first line dedup, the >=3-surviving-lines doc gate, text rebuilt
+    // from surviving lines. Blocklist token "graft" plays C4's
+    // "javascript" over this vocabulary. Production order note: RefinedWeb
+    // runs line-wise corrections BEFORE dedup (real newlines exist there);
+    // this corpus has no newline structure, so segmentation is the
+    // doc_id-keyed synthetic one — running it pre-dedup would perturb the
+    // planted exact/near-dup populations that the dedup stages are
+    // verified against, so it runs LAST here, on the smallest table (the
+    // C4-style post-dedup cleanup position). All decisions are within-doc
+    // (one map-only pass); the gate is the only stage after quality that
+    // may DROP documents, so lineage tracks it separately.
+    val lineStats = stage("line_clean", nFinal) {
+      val prof = TextAnalysis.c4LineClean(spark, s"$outDir/final",
+          block = "graft")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val a = prof.agg(
+          coalesce(sum((col("kept") === 0).cast("long")), lit(0L)).as("g"),
+          coalesce(sum(when(col("kept") === 1,
+            col("n_rule_dropped") + col("n_dup_dropped")).otherwise(0L)),
+            lit(0L)).as("ld")).collect()(0)
+        spark.read.parquet(s"$outDir/final/documents.parquet")
+          .drop("text", "n_chars")
+          .join(prof.filter(col("kept") === 1)
+            .select(col("doc_id"), col("clean_text").as("text")),
+            Seq("doc_id"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/delivered/documents.parquet")
+        val nOut = spark.read.parquet(s"$outDir/delivered/documents.parquet")
+          .count()
+        require(nOut == nFinal - a.getAs[Long]("g"),
+          s"line stage drops exactly the gated docs: $nOut != " +
+            s"$nFinal - ${a.getAs[Long]("g")}")
+        Map("gated" -> a.getAs[Long]("g"),
+          "lines_dropped" -> a.getAs[Long]("ld"),
+          "delivered" -> nOut)
+      } finally prof.unpersist()
+    }
+
     val stats = CleanStats(
       nInput = nInput,
       urlRemoved = nInput - urlKept,
@@ -372,12 +418,17 @@ object CleanJob {
       nFinal = nFinal,
       substrRewritten = substrStats("rewritten"),
       substrTokensRemoved = substrStats("tokens_removed"),
+      lineGated = lineStats("gated"),
+      lineLinesDropped = lineStats("lines_dropped"),
+      nDelivered = lineStats("delivered"),
       stageSecs = stageSecs.toMap)
 
     require(stats.nFinal ==
       stats.nInput - stats.urlRemoved - stats.exactRemoved -
         stats.nearRemoved - stats.qualityRemoved,
       s"lineage does not conserve: $stats")
+    require(stats.nDelivered == stats.nFinal - stats.lineGated,
+      s"line-stage lineage does not conserve: $stats")
     stats
   }
 }
@@ -435,6 +486,9 @@ object CleanJobRunner {
       f""""quality_removed":${stats.qualityRemoved},"n_final":${stats.nFinal},""" +
       f""""substr_rewritten":${stats.substrRewritten},""" +
       f""""substr_tokens_removed":${stats.substrTokensRemoved},""" +
+      f""""line_gated":${stats.lineGated},""" +
+      f""""line_lines_dropped":${stats.lineLinesDropped},""" +
+      f""""n_delivered":${stats.nDelivered},""" +
       f""""stage_secs":{$stages},""" +
       f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
     spark.stop()

@@ -132,6 +132,27 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(changed == cleanIds.filter(_ % 10 == 5) ++ slippedPairDocs,
       s"unexpected rewrites: ${changed.filter(id => id % 10 != 5 && !slippedPairDocs(id))}")
+
+    // stage 6: the line battery delivers the gated-survivor table; only
+    // whole lines are removed, so every delivered text's word sequence is
+    // a subsequence of its stage-5 text
+    val delivered = spark.read.parquet(s"$out/delivered/documents.parquet")
+    assert(delivered.count() == stats.nDelivered)
+    assert(stats.nDelivered == stats.nFinal - stats.lineGated)
+    // vocabulary contains the blocklist token, so line drops must occur
+    assert(stats.lineLinesDropped > 0, stats.toString)
+    val finTexts = fin.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    delivered.select(col("doc_id"), col("text")).collect().foreach { r =>
+      val a = finTexts(r.getLong(0)).split(" ")
+      val b = r.getString(1).split(" ")
+      var i = 0
+      a.foreach { w => if (i < b.length && b(i) == w) i += 1 }
+      assert(i == b.length,
+        s"doc ${r.getLong(0)}: delivered text is not a word-subsequence")
+      // blocklist token never survives (any line containing it is dropped)
+      assert(!b.contains("graft"), s"doc ${r.getLong(0)} kept a graft line")
+    }
   }
 
   test("kill-and-resume: completed stages are skipped, lineage identical") {
