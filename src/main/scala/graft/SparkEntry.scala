@@ -104,6 +104,8 @@ object SparkEntry {
       TextAnalysis.domainMixture(s, d)),
     "qt26_c4_lines" -> ((s: SparkSession, d: String) =>
       TextAnalysis.c4LineClean(s, d)),
+    "qt27_hll_distinct" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.hllDistinct(s, d)),
     // ---- URL-level curation ----
     "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlCuration.domainCap(s, d)),
@@ -772,6 +774,31 @@ object SparkEntry {
            CAST(len(lk) >= 3 AS INTEGER) AS kept,
            COALESCE(array_to_string(lk, ' '), '') AS clean_text
          FROM kept""",
+    // HLL registers replayed exactly: same bigram + 60-bit md5-half hash
+    // stream as qt12, bucket = h % 64, rank = 55 - bitlength(h // 64)
+    // (bitlength via bin() string math — integer-exact, no log2 rounding
+    // risk), max per bucket, zero registers pinned by the range left join
+    "qt27_hll_distinct" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         e AS (SELECT unnest(sh) AS g FROM sh),
+         h AS (SELECT DISTINCT CAST('0x' || substr(md5(g),1,15) AS BIGINT) AS h FROM e),
+         r AS (SELECT h % 64 AS bucket,
+                 CASE WHEN h // 64 = 0 THEN 55
+                   ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS rank
+               FROM h),
+         regs AS (SELECT bucket, MAX(rank) AS register FROM r GROUP BY bucket)
+         SELECT CAST(b.bucket AS INT) AS bucket,
+           CAST(COALESCE(regs.register, 0) AS INT) AS register
+         FROM (SELECT unnest(range(0, 64)) AS bucket) b
+         LEFT JOIN regs USING (bucket)""",
     "qc2_semdedup" -> semdedupOracleSql(8, 4, 2025L),
     "qc3_prototype_prune" -> prototypePruneOracleSql(8, 4),
     "qt20_gopher_rules" ->

@@ -528,6 +528,85 @@ case class KmvSketch(
   override def prettyName: String = "kmv_sketch"
 }
 
+/** hll_sketch(item, m): HyperLogLog distinct-cardinality registers over the
+  * 60-bit md5-half hash stream (Flajolet et al. 2007) — the log-space
+  * COUNT(DISTINCT) companion to kmv_sketch: KMV keeps k raw hashes (k*8
+  * bytes, exact content), HLL keeps only m one-byte registers, the shape
+  * that scales to per-group cardinalities (one 64-byte state per key vs
+  * 2 KB+ for KMV). m must be a power of two; register j = max over items
+  * with h mod m == j of (leading-zero run of h div m within its 60-log2(m)
+  * bits, plus 1) — every quantity integer, so the DuckDB oracle replays the
+  * register CONTENT exactly (bucket = h % m, rank = (61 - log2(m)) -
+  * bitlength(h // m)) and the usual "HLL is engine-specific" caveat does
+  * not apply. Returns the m-element int array of registers; the standard
+  * bias-corrected estimate alpha_m * m^2 / sum(2^-M_j) is derived from it
+  * (HllSketchSpec pins the estimator to within the published 1.04/sqrt(m)
+  * band on known cardinalities).
+  */
+case class HllSketch(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Byte]] {
+  require(m >= 16 && (m & (m - 1)) == 0 && m <= 4096,
+    s"m must be a power of two in [16, 4096], got $m")
+
+  private val p = java.lang.Integer.numberOfTrailingZeros(m)
+  // h is 60 bits; after dropping the p bucket bits, 60-p remain, so the
+  // zero-run rank ranges 1 .. 61-p (the all-zero word reads 61-p)
+  private val maxRank = 61 - p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  @transient private lazy val md5 = java.security.MessageDigest.getInstance("MD5")
+
+  override def update(buffer: Array[Byte],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      md5.reset()
+      val dg = md5.digest(v.asInstanceOf[UTF8String].getBytes)
+      val h = GraftImpl.md5Halves(dg)._1
+      val bucket = (h & (m - 1)).toInt
+      val w = h >>> p
+      val rank =
+        if (w == 0L) maxRank else maxRank - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > buffer(bucket)) buffer(bucket) = rank.toByte
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.map(_.toInt))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllSketch =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_sketch"
+}
+
 object TopKRank {
   /** (sort_key, payload) heap entry; WORST-first comparator for the bounded
     * min-heap (worst = lowest key, then highest payload — the element the
@@ -810,6 +889,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("kmv_sketch",
       exprs => KmvSketch(exprs(0), intLit(exprs(1)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_sketch",
+      exprs => HllSketch(exprs(0), intLit(exprs(1)))
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_affine",
       exprs => MinHashAffine(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("top_k_rank",
@@ -865,6 +947,11 @@ object GraftFunctions {
   def kmvSketch(item: Column, k: Int): Column = {
     ensureRegistered()
     call_function("kmv_sketch", item, org.apache.spark.sql.functions.lit(k))
+  }
+
+  def hllSketch(item: Column, m: Int): Column = {
+    ensureRegistered()
+    call_function("hll_sketch", item, org.apache.spark.sql.functions.lit(m))
   }
 
   def minhashAffine(shingles: Column, lanes: Int): Column = {

@@ -117,6 +117,26 @@ object TextAnalysis {
       .select(posexplode(col("sk")).as(Seq("pos", "h")))
       .select((col("pos") + 1).cast("int").as("rank"), col("h"))
 
+  /** HyperLogLog distinct-cardinality registers of the corpus bigram
+    * vocabulary — the LOG-SPACE companion to qt12's KMV: same item stream,
+    * same 60-bit md5-half hash lane, but the state is m one-byte registers
+    * instead of k retained hashes, the shape that scales to per-group
+    * cardinalities (a 64-byte state per key). One map-side-partial
+    * aggregation, no corpus-sized shuffle; registers are pure integer math
+    * (bucket = h mod m, rank = leading-zero run of h div m, max per bucket),
+    * so the DuckDB oracle replays the register CONTENT exactly — unlike
+    * production HLLs whose hash makes the sketch engine-private. The
+    * left-join against sequence(0, m-1) pins the zero registers too (an
+    * empty bucket is part of the sketch).
+    */
+  def hllDistinct(spark: SparkSession, dir: String, m: Int = 64): DataFrame =
+    docs(spark, dir)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("item"))
+      .agg(graft.functions.GraftFunctions.hllSketch(col("item"), m).as("sk"))
+      .select(posexplode(col("sk")).as(Seq("bucket", "register")))
+      .select(col("bucket").cast("int").as("bucket"),
+        col("register").cast("int").as("register"))
+
   /** Deterministic hash sampling: keep documents whose salted-md5 bucket
     * (0..999) falls under rate*1000 — the standard way to cut a FIXED eval/
     * holdout slice from a moving corpus: reproducible across engines, runs

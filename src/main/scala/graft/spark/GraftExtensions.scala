@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CmsSketch, CosineSimilarity, DotI64,
-  GraftFunctions, JaccardSorted, KmvSketch, MinHashAffine, MinHashSig,
+  GraftFunctions, HllSketch, JaccardSorted, KmvSketch, MinHashAffine, MinHashSig,
   RepetitionProfile, SimHash64, SrpSigs, TopKRankAgg, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
@@ -45,6 +45,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression())
     inject("kmv_sketch", classOf[KmvSketch],
       exprs => KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
+    inject("hll_sketch", classOf[HllSketch],
+      exprs => HllSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
     inject("top_k_rank", classOf[TopKRankAgg],
       exprs => TopKRankAgg(exprs(0), exprs(1), intLit(exprs(2)))
         .toAggregateExpression())

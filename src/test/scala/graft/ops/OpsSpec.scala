@@ -326,6 +326,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("hll sketch: registers match a MessageDigest reference, estimate in band") {
+    val sf = "/root/testdata/sf0.001"
+    val m = 64
+    val rows = TextAnalysis.hllDistinct(spark, sf, m).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.length == m)
+    assert(rows.map(_._1).toSeq == (0 until m)) // posexplode order = bucket
+    assert(rows.forall { case (_, reg) => reg >= 0 && reg <= 55 })
+    // independent reference: registers recomputed in plain Scala over the
+    // distinct bigram stream (same md5-half lane the engine uses)
+    import org.apache.spark.sql.functions.{col, explode}
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .distinct().collect().map(_.getString(0))
+    val ref = new Array[Int](m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    grams.foreach { g =>
+      md.reset()
+      val h = graft.functions.GraftImpl.md5Halves(md.digest(g.getBytes("UTF-8")))._1
+      val bucket = (h & (m - 1)).toInt
+      val w = h >>> 6
+      val rank = if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rank > ref(bucket)) ref(bucket) = rank
+    }
+    assert(rows.map(_._2).sameElements(ref))
+    // bias-corrected estimate within a generous multiple of 1.04/sqrt(64)
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val rawEst = alpha * m * m / rows.map { case (_, reg) => math.pow(2.0, -reg) }.sum
+    val zeros = rows.count(_._2 == 0)
+    val est =
+      if (rawEst <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else rawEst
+    val trueD = grams.length.toDouble
+    assert(math.abs(est - trueD) / trueD < 0.30, s"HLL estimate $est vs true $trueD")
+    // identical on re-evaluation, and partial-merged map-side
+    val again = TextAnalysis.hllDistinct(spark, sf, m).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(rows.sameElements(again))
+    val plan = TextAnalysis.hllDistinct(spark, sf, m)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("bloom-prefiltered contamination equals the exact pass bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val exact = TextAnalysis.contamination(spark, sf).collect()

@@ -52,6 +52,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "SELECT kmv_sketch(w, 4) AS k FROM (SELECT explode(array('a','b','a','c')) AS w)")
         .head.getSeq[Long](0)
       assert(kmv.length == 3 && kmv == kmv.sorted) // 3 distinct, ascending
+      val hll = spark.sql(
+        "SELECT hll_sketch(w, 16) AS h FROM (SELECT explode(array('a','b','a','c')) AS w)")
+        .head.getSeq[Int](0)
+      // m registers; 3 distinct items touch at most 3 buckets
+      assert(hll.length == 16 && hll.count(_ > 0) >= 1 && hll.count(_ > 0) <= 3)
       val topk = spark.sql(
         "SELECT top_k_rank(k, p, 2) AS t FROM VALUES " +
           "(CAST(1.0 AS DOUBLE), CAST(10 AS BIGINT)), (3.0D, 30L), (2.0D, 20L) " +
