@@ -98,6 +98,8 @@ object SparkEntry {
       Dedup.dupNgramProfile(s, d)),
     "qd14_exact_substr" -> ((s: SparkSession, d: String) =>
       Dedup.exactSubstrDedup(s, d)),
+    "qd15_winnow_fps" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowFingerprints(s, d)),
     "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
@@ -572,6 +574,27 @@ object SparkEntry {
          FROM base b
          LEFT JOIN agg a USING (doc_id)
          LEFT JOIN rebuilt r USING (doc_id)""",
+    // winnowing SELECTION replayed exactly: positional 3-gram md5-half
+    // hashes, each 4-window picks its rightmost-min position, distinct
+    "qd15_winnow_fps" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         g AS (
+           SELECT doc_id,
+             [CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+3)], ' ')),
+                1, 15) AS BIGINT)
+              FOR i IN range(0, CAST(n - 3 + 1 AS INT))] AS h
+           FROM base WHERE n >= 6),
+         sel AS (
+           SELECT doc_id, h, list_distinct([
+               j + list_max([i FOR i IN range(0, 4)
+                             IF h[j+i+1] = list_min(h[(j+1):(j+4)])])
+               FOR j IN range(0, len(h) - 4 + 1)]) AS sel
+           FROM g)
+         SELECT doc_id, CAST(p AS BIGINT) AS pos, h[CAST(p + 1 AS INT)] AS fp
+         FROM sel, unnest(sel.sel) AS t(p)""",
     // the within-host rank window here REPLAYS the top_k_rank aggregate
     // (q19's oracle discipline: window form == heap-aggregate form)
     "qu1_domain_cap" -> (urlOracleCte +

@@ -905,4 +905,54 @@ object Dedup {
                 sp.getField("s") <= i && i < sp.getField("e"))),
             " ")).as("clean_text"))
   }
+
+  /** qd15: winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS algorithm): from each document's positional k-gram
+    * hash sequence, every sliding window of `win` consecutive grams selects
+    * its minimal hash (ties broken RIGHTMOST — the paper's stateless
+    * variant; the "robust" refinement only thins density under ties, which
+    * a 60-bit hash makes negligible). The selected (position, fingerprint)
+    * set is the local-fingerprint sketch the probabilistic lanes (qd2/qd7
+    * MinHash) cannot provide: winnowing GUARANTEES that any shared run of
+    * >= win + k - 1 tokens between two documents yields at least one common
+    * fingerprint, while keeping density at ~2/(win+1) of the grams — the
+    * plagiarism/code-clone detection shape. Grams travel as portable 60-bit
+    * md5 halves (the qt12/qd14 lane), so the DuckDB oracle replays the
+    * SELECTION exactly, not just its statistics.
+    *
+    * Execution shape: one map-only pass — the entire window scan is
+    * per-document array math inside whole-stage codegen (no exchange at
+    * all until the output explode), so at 100 TB it is embarrassingly
+    * parallel; a downstream shared-fingerprint self-join would shuffle only
+    * (fp, doc_id) longs, exactly like qd13's duplicated-gram probe.
+    * Documents with fewer than win + k - 1 tokens produce no window and are
+    * excluded (the guarantee is vacuous below one window).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 3,
+      win: Int = 4): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+    base.where(col("n_tokens") >= k + win - 1)
+      .withColumn("h", transform(
+        sequence(lit(0), (col("n_tokens") - k).cast("int")),
+        i => conv(substring(md5(
+          array_join(slice(col("words"), i + 1, lit(k)), " ")),
+          1, 15), 16, 10).cast("long")))
+      // window j (0-based, size(h)-win+1 windows) selects the rightmost
+      // position attaining the window min; consecutive windows usually
+      // re-select the same position, so distinct the selection
+      .withColumn("sel", array_distinct(transform(
+        sequence(lit(0), (size(col("h")) - win).cast("int")),
+        j => j + aggregate(
+          sequence(lit(0), lit(win - 1)),
+          lit(0),
+          (acc, i) => when(
+            element_at(col("h"), (j + i + 1).cast("int")) ===
+              array_min(slice(col("h"), j + 1, lit(win))), i)
+            .otherwise(acc)))))
+      .select(col("doc_id"), col("h"), explode(col("sel")).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        element_at(col("h"), (col("p") + 1).cast("int")).as("fp"))
+  }
 }

@@ -368,6 +368,52 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
 
+  test("winnowing: selection matches reference, detection guarantee, map-only") {
+    val k = 3; val win = 4
+    // plain-Scala reference (rightmost-min per window, distinct positions)
+    def winnowRef(text: String): Seq[(Long, Long)] = {
+      val words = text.split(" ")
+      if (words.length < k + win - 1) Seq.empty
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val h = (0 to words.length - k).map { i =>
+          md.reset()
+          graft.functions.GraftImpl.md5Halves(
+            md.digest(words.slice(i, i + k).mkString(" ").getBytes("UTF-8")))._1
+        }
+        (0 to h.length - win).map { j =>
+          val wnd = h.slice(j, j + win)
+          j + wnd.lastIndexOf(wnd.min)
+        }.distinct.map(p => (p.toLong, h(p)))
+      }
+    }
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.winnowFingerprints(spark, sf, k, win).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val want = texts.flatMap { case (id, t) =>
+      winnowRef(t).map { case (p, fp) => (id, p, fp) }
+    }
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+    // density ~ 2/(win+1): far fewer fingerprints than grams
+    val nGrams = texts.map(_._2.split(" ").length - k + 1).filter(_ > 0).sum
+    assert(got.length < nGrams / 2, s"${got.length} fps vs $nGrams grams")
+    // the winnowing guarantee on the crafted corpus: docs 0 and 2 share a
+    // 13-token run >= win + k - 1 = 6, so they MUST share a fingerprint
+    val dup = Dedup.winnowFingerprints(spark, dupDir, k, win).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val fp0 = dup.filter(_._1 == 0L).map(_._2).toSet
+    val fp2 = dup.filter(_._1 == 2L).map(_._2).toSet
+    assert(fp0.intersect(fp2).nonEmpty, "shared 13-token run left no common fp")
+    // the selection is a single map-only pass: no exchange anywhere
+    val plan = Dedup.winnowFingerprints(spark, sf, k, win)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("bloom-prefiltered contamination equals the exact pass bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val exact = TextAnalysis.contamination(spark, sf).collect()
