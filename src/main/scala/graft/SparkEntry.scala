@@ -100,6 +100,8 @@ object SparkEntry {
       Dedup.exactSubstrDedup(s, d)),
     "qd15_winnow_fps" -> ((s: SparkSession, d: String) =>
       Dedup.winnowFingerprints(s, d)),
+    "qd16_winnow_containment" -> ((s: SparkSession, d: String) =>
+      Dedup.winnowContainment(s, d)),
     "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
@@ -118,6 +120,10 @@ object SparkEntry {
     // ---- link-graph centrality ----
     "qg1_host_pagerank" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostPagerank(s, d)),
+    "qg2_host_components" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostComponents(s, d)),
+    "qg3_host_hyperball" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostHyperball(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -491,6 +497,67 @@ object SparkEntry {
         FROM r$k JOIN deg ON deg.src = r$k.node"""
   }
 
+  /** DuckDB replay of [[graft.ops.LinkGraph.hostHyperball]]: the planted
+    * chain graph, each host's single-item HLL registers (the qt27 md5
+    * bucket/rank lane on CAST(host AS VARCHAR)), then k UNROLLED rounds of
+    * register-wise MAX over self + neighbors, in sparse (node, bucket, reg)
+    * row form; the final select zero-fills absent registers (the qt27
+    * sequence left-join discipline).
+    */
+  private def hyperballOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS (
+            SELECT node, bucket, MAX(reg) AS reg FROM (
+              SELECT node, bucket, reg FROM b${i - 1}
+              UNION ALL
+              SELECT e.dst, p.bucket, p.reg
+              FROM edges e JOIN b${i - 1} p ON p.node = e.src)
+            GROUP BY node, bucket)"""
+    }.mkString(",\n")
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 64 AS ch FROM documents),
+        e0 AS (
+          SELECT ch AS a,
+            CASE WHEN ch IN (8, 19, 44, 63) THEN ch ELSE ch + 1 END AS b
+          FROM hosts),
+        edges AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        b0 AS (
+          SELECT ch AS node, h % 64 AS bucket,
+            CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS reg
+          FROM (SELECT ch,
+              CAST('0x' || substr(md5(CAST(ch AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM hosts)),
+        $rounds
+        SELECT h.ch AS host_id, CAST(bk.bucket AS INT) AS bucket,
+          CAST(COALESCE(b$k.reg, 0) AS INT) AS register
+        FROM hosts h
+        CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) bk
+        LEFT JOIN b$k ON b$k.node = h.ch AND b$k.bucket = bk.bucket"""
+  }
+
+  /** Shared winnowing-selection CTE (qd15/qd16): positional 3-gram md5-half
+    * hashes, each 4-window picks its rightmost-min position, distinct.
+    */
+  private val winnowCte: String =
+    """WITH base AS (
+         SELECT doc_id, string_split(text, ' ') AS w,
+           len(string_split(text, ' ')) AS n
+         FROM documents),
+       g AS (
+         SELECT doc_id,
+           [CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+3)], ' ')),
+              1, 15) AS BIGINT)
+            FOR i IN range(0, CAST(n - 3 + 1 AS INT))] AS h
+         FROM base WHERE n >= 6),
+       sel AS (
+         SELECT doc_id, h, list_distinct([
+             j + list_max([i FOR i IN range(0, 4)
+                           IF h[j+i+1] = list_min(h[(j+1):(j+4)])])
+             FOR j IN range(0, len(h) - 4 + 1)]) AS sel
+         FROM g)"""
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qd13_dup_ngrams" ->
@@ -574,27 +641,36 @@ object SparkEntry {
          FROM base b
          LEFT JOIN agg a USING (doc_id)
          LEFT JOIN rebuilt r USING (doc_id)""",
-    // winnowing SELECTION replayed exactly: positional 3-gram md5-half
-    // hashes, each 4-window picks its rightmost-min position, distinct
-    "qd15_winnow_fps" ->
-      """WITH base AS (
-           SELECT doc_id, string_split(text, ' ') AS w,
-             len(string_split(text, ' ')) AS n
-           FROM documents),
-         g AS (
-           SELECT doc_id,
-             [CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+3)], ' ')),
-                1, 15) AS BIGINT)
-              FOR i IN range(0, CAST(n - 3 + 1 AS INT))] AS h
-           FROM base WHERE n >= 6),
-         sel AS (
-           SELECT doc_id, h, list_distinct([
-               j + list_max([i FOR i IN range(0, 4)
-                             IF h[j+i+1] = list_min(h[(j+1):(j+4)])])
-               FOR j IN range(0, len(h) - 4 + 1)]) AS sel
-           FROM g)
+    // winnowing SELECTION replayed exactly (shared CTE with qd16)
+    "qd15_winnow_fps" -> (winnowCte +
+      """
          SELECT doc_id, CAST(p AS BIGINT) AS pos, h[CAST(p + 1 AS INT)] AS fp
-         FROM sel, unnest(sel.sel) AS t(p)""",
+         FROM sel, unnest(sel.sel) AS t(p)"""),
+    // MOSS containment over the SAME winnowing selection: hot-fp cap (>1024
+    // carriers dropped both sides), shared-count self-join on fp, ratio
+    // against the capped per-doc fingerprint count, threshold applied to
+    // the UNROUNDED ratio (the qd7 jaccard discipline)
+    "qd16_winnow_containment" -> (winnowCte +
+      """,
+         fps AS (
+           SELECT DISTINCT doc_id, h[CAST(p + 1 AS INT)] AS fp
+           FROM sel, unnest(sel.sel) AS t(p)),
+         nd AS (SELECT fp, COUNT(*) AS nd FROM fps GROUP BY fp),
+         cold AS (SELECT fps.doc_id, fps.fp
+           FROM fps JOIN nd USING (fp) WHERE nd.nd <= 1024),
+         nfp AS (SELECT doc_id, COUNT(*) AS n_fp FROM cold GROUP BY doc_id),
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+           FROM cold a JOIN cold b
+             ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT p.doc_a, p.doc_b, CAST(p.shared AS BIGINT) AS shared,
+           CAST(na.n_fp AS BIGINT) AS n_a, CAST(nb.n_fp AS BIGINT) AS n_b,
+           ROUND(p.shared / LEAST(na.n_fp, nb.n_fp), 6) AS containment
+         FROM pairs p
+         JOIN nfp na ON na.doc_id = p.doc_a
+         JOIN nfp nb ON nb.doc_id = p.doc_b
+         WHERE p.shared / LEAST(na.n_fp, nb.n_fp) >= 0.2"""),
     // the within-host rank window here REPLAYS the top_k_rank aggregate
     // (q19's oracle discipline: window form == heap-aggregate form)
     "qu1_domain_cap" -> (urlOracleCte +
@@ -634,6 +710,32 @@ object SparkEntry {
            CAST(w.doc_id <> kk.kk % 1048576 AS INTEGER) AS is_stale
          FROM w JOIN kk USING (canon_url)"""),
     "qg1_host_pagerank" -> pagerankOracleSql(5),
+    "qg3_host_hyperball" -> hyperballOracleSql(4),
+    // reachability recomputed with a recursive CTE (min reachable label) —
+    // independent of the pointer-jumping CC implementation (qd6 discipline)
+    "qg2_host_components" ->
+      """WITH RECURSIVE hosts AS (
+           SELECT DISTINCT doc_id % 64 AS ch FROM documents),
+         e0 AS (
+           SELECT ch AS a,
+             CASE WHEN ch IN (8, 19, 44, 63) THEN ch ELSE ch + 1 END AS b
+           FROM hosts),
+         edges AS (
+           SELECT a AS src, b AS dst FROM e0
+           UNION SELECT b, a FROM e0),
+         reach(hid, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.hid),
+         comp AS (
+           SELECT hid AS host_id, MIN(r) AS component_id FROM reach GROUP BY hid),
+         sizes AS (
+           SELECT component_id, COUNT(*) AS component_size
+           FROM comp GROUP BY component_id)
+         SELECT comp.host_id, comp.component_id,
+           CAST(sizes.component_size AS BIGINT) AS component_size,
+           comp.host_id = comp.component_id AS is_root
+         FROM comp JOIN sizes USING (component_id)""",
     "qt19_bpe_merges" -> bpeOracleSql(8),
     "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
     "qt22_pii_redact" ->

@@ -607,6 +607,74 @@ case class HllSketch(
   override def prettyName: String = "hll_sketch"
 }
 
+/** hll_merge(registers, m): elementwise-MAX union of pre-built HLL register
+  * arrays — the aggregate half of HyperBall (Boldi & Vigna 2013): union of
+  * HLL sketches is register-wise max, so ball(v, r) = merge over neighbors
+  * of ball(·, r-1) is ONE hash aggregate per round with map-side partials
+  * (a host with 10^8 in-links combines its neighbor sketches before the
+  * shuffle, shipping one m-byte state per reducer key). Input rows are the
+  * int arrays [[HllSketch]] emits; the all-zero array is the empty-sketch
+  * identity, so the aggregate over zero rows after a left join degrades
+  * correctly.
+  */
+case class HllMerge(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends org.apache.spark.sql.catalyst.expressions.aggregate
+    .TypedImperativeAggregate[Array[Byte]] {
+  require(m >= 16 && (m & (m - 1)) == 0 && m <= 4096,
+    s"m must be a power of two in [16, 4096], got $m")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buffer: Array[Byte],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(arr.numElements() == m,
+        s"hll_merge(m=$m) fed a ${arr.numElements()}-register array")
+      var i = 0
+      while (i < m) {
+        val r = arr.getInt(i)
+        if (r > buffer(i)) buffer(i) = r.toByte
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) {
+      if (other(i) > buffer(i)) buffer(i) = other(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: Array[Byte]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.map(_.toInt))
+
+  override def serialize(buffer: Array[Byte]): Array[Byte] = buffer
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllMerge =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_merge"
+}
+
 object TopKRank {
   /** (sort_key, payload) heap entry; WORST-first comparator for the bounded
     * min-heap (worst = lowest key, then highest payload — the element the
@@ -892,6 +960,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("hll_sketch",
       exprs => HllSketch(exprs(0), intLit(exprs(1)))
         .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("hll_merge",
+      exprs => HllMerge(exprs(0), intLit(exprs(1)))
+        .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash_affine",
       exprs => MinHashAffine(exprs(0), intLit(exprs(1))), "built-in")
     reg.createOrReplaceTempFunction("top_k_rank",
@@ -952,6 +1023,11 @@ object GraftFunctions {
   def hllSketch(item: Column, m: Int): Column = {
     ensureRegistered()
     call_function("hll_sketch", item, org.apache.spark.sql.functions.lit(m))
+  }
+
+  def hllMerge(registers: Column, m: Int): Column = {
+    ensureRegistered()
+    call_function("hll_merge", registers, org.apache.spark.sql.functions.lit(m))
   }
 
   def minhashAffine(shingles: Column, lanes: Int): Column = {

@@ -955,4 +955,47 @@ object Dedup {
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         element_at(col("h"), (col("p") + 1).cast("int")).as("fp"))
   }
+
+  /** qd16: winnowing-fingerprint CONTAINMENT pairs — the MOSS scoring step
+    * over [[winnowFingerprints]]' sketch. Jaccard (qd4/qd7) misses the
+    * asymmetric case — a short document wholly embedded in a long one has
+    * tiny Jaccard but containment ~1 — which is exactly the
+    * quote-farm/scraper-wrapping duplication crawl corpora carry. Per the
+    * winnowing guarantee, any shared run of >= win + k - 1 tokens yields a
+    * shared fingerprint, so containment(shorter) = |fp_a ∩ fp_b| /
+    * min(|fp_a|, |fp_b|) is a dense, deterministic overlap estimate (MOSS
+    * reports exactly this ratio).
+    *
+    * Scale shape: the pair generator shuffles ONLY (fp, doc_id) longs —
+    * one exchange on fp for the self-join, one hash aggregate on the pair
+    * key with map-side partials. Hot fingerprints (carried by more than
+    * `maxDocsPerFp` documents — boilerplate shingles whose pair fanout is
+    * quadratic) are dropped on BOTH sides before the join, the qd13
+    * prune / qd7 capBuckets discipline; the oracle replays the cap, so
+    * parity is unconditional. Per-doc fingerprint counts are taken over
+    * the SAME capped set, keeping containment = 1.0 reachable for full
+    * duplicates that share hot grams.
+    */
+  def winnowContainment(spark: SparkSession, dir: String, k: Int = 3,
+      win: Int = 4, threshold: Double = 0.2,
+      maxDocsPerFp: Int = 1024): DataFrame = {
+    val fps = winnowFingerprints(spark, dir, k, win)
+      .select(col("doc_id"), col("fp")).distinct()
+    val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > maxDocsPerFp).select(col("fp"))
+    val cold = fps.join(hot, Seq("fp"), "left_anti")
+    val nfp = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val pairs = cold.as("a").join(cold.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(nfp.toDF("doc_a", "n_a"), "doc_a")
+      .join(nfp.toDF("doc_b", "n_b"), "doc_b")
+      .withColumn("c",
+        col("shared").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("c") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_a"), col("n_b"), round(col("c"), 6).as("containment"))
+  }
 }

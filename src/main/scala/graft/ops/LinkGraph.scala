@@ -88,4 +88,102 @@ object LinkGraph {
       edges.unpersist(); ()
     }
   }
+
+  /** qg2: connected components over a planted host graph — the
+    * domain-clustering leg of crawl curation (mirror farms and site
+    * networks are removed per COMPONENT, not per host; Common Crawl's own
+    * host-level dedup works on the host webgraph's components). The CC
+    * core is [[graft.ops.Dedup.connectedComponents]] — pointer-jumping
+    * min-label propagation, O(log diameter) rounds, throws on
+    * non-convergence — reused unchanged; what qg2 adds is a graph whose
+    * DIAMETER actually exercises it: the planted graph is four chains of
+    * 9/11/25/19 hosts (edge h -> h+1 except at the community boundaries
+    * {8, 19, 44, 63}, which self-loop), so the widest component has
+    * diameter 24 and pointer jumping must fold it in ~5 rounds — the
+    * worst-case shape for label propagation, where qd6's organic near-dup
+    * clusters are shallow. The oracle recomputes reachability with a
+    * recursive CTE (min reachable label), fully independent of the
+    * pointer-jumping implementation.
+    *
+    * Output: one row per host: (host_id, component_id = component's min
+    * host, component_size, is_root).
+    */
+  /** qg3: HyperBall neighborhood-function estimation (Boldi & Vigna 2013)
+    * over the qg2 chain graph — the algorithm behind the harmonic-centrality
+    * host ranks Common Crawl publishes. ball(v, 0) = HLL sketch of {v};
+    * each round merges every node's ball with its neighbors' previous
+    * balls, and because HLL union is REGISTER-WISE MAX, the merge is one
+    * hash aggregate per round over the native hll_merge
+    * TypedImperativeAggregate — map-side partials combine a high-in-degree
+    * host's neighbor sketches before the shuffle, shipping one m-byte
+    * state per key, which is the whole reason HyperBall scales to
+    * 10^11-edge webgraphs on one machine in the paper. Per-round
+    * materialization and edge-list persistence follow the qg1/qd6
+    * iterative-dataflow invariant.
+    *
+    * Registers are pure integer math on the portable 60-bit md5 lane, so
+    * the DuckDB oracle replays the ENTIRE iteration (init + `rounds`
+    * unrolled merge rounds) register-for-register; the spec additionally
+    * pins ball(v, r) == hll_sketch(exact BFS ball members) — union of
+    * single-item sketches is exactly the max of their registers, so the
+    * iterated sketch must equal the sketch of the set it claims to cover.
+    *
+    * Output: the final-round registers, exploded (host_id, bucket,
+    * register) with zero registers included (the qt27 shape).
+    */
+  def hostHyperball(spark: SparkSession, dir: String, rounds: Int = 4,
+      m: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions
+    val e0 = docs(spark, dir)
+      .select((col("doc_id") % 64).as("ch"))
+      .select(col("ch").as("a"),
+        when(col("ch").isin(8L, 19L, 44L, 63L), col("ch"))
+          .otherwise(col("ch") + 1).as("b"))
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist()
+    try {
+      edges.count() // materialize the reused edge list once
+      // ball(v, 0): the sketch of {v} itself — one single-row group per host
+      var ball = edges.select(col("src").as("node")).distinct()
+        .groupBy(col("node"))
+        .agg(GraftFunctions.hllSketch(col("node").cast("string"), m).as("sk"))
+        .localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val contrib = ball.union(
+          edges.join(ball.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("sk")))
+        val next = contrib.groupBy(col("node"))
+          .agg(GraftFunctions.hllMerge(col("sk"), m).as("sk"))
+          .localCheckpoint(true)
+        ball.unpersist() // predecessor released once successor materialized
+        ball = next
+      }
+      ball
+        .select(col("node").as("host_id"),
+          posexplode(col("sk")).as(Seq("bucket", "register")))
+        .select(col("host_id"), col("bucket").cast("int").as("bucket"),
+          col("register").cast("int").as("register"))
+    } finally {
+      edges.unpersist(); ()
+    }
+  }
+
+  def hostComponents(spark: SparkSession, dir: String,
+      maxRounds: Int = 16): DataFrame = {
+    val edges = docs(spark, dir)
+      .select((col("doc_id") % 64).as("ch"))
+      .select(col("ch").as("doc_a"),
+        when(col("ch").isin(8L, 19L, 44L, 63L), col("ch"))
+          .otherwise(col("ch") + 1).as("doc_b"))
+      .distinct()
+    val labels = Dedup.connectedComponents(edges, maxRounds)
+    val sizes = labels.groupBy(col("label").as("component_id"))
+      .agg(count(lit(1)).as("component_size"))
+    labels.select(col("doc_id").as("host_id"), col("label").as("component_id"))
+      .join(sizes, Seq("component_id"))
+      .select(col("host_id"), col("component_id"), col("component_size"),
+        (col("host_id") === col("component_id")).as("is_root"))
+  }
 }

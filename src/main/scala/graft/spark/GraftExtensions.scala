@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CmsSketch, CosineSimilarity, DotI64,
-  GraftFunctions, HllSketch, JaccardSorted, KmvSketch, MinHashAffine, MinHashSig,
-  RepetitionProfile, SimHash64, SrpSigs, TopKRankAgg, WordShingles}
+  GraftFunctions, HllMerge, HllSketch, JaccardSorted, KmvSketch, MinHashAffine,
+  MinHashSig, RepetitionProfile, SimHash64, SrpSigs, TopKRankAgg, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => KmvSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
     inject("hll_sketch", classOf[HllSketch],
       exprs => HllSketch(exprs(0), intLit(exprs(1))).toAggregateExpression())
+    inject("hll_merge", classOf[HllMerge],
+      exprs => HllMerge(exprs(0), intLit(exprs(1))).toAggregateExpression())
     inject("top_k_rank", classOf[TopKRankAgg],
       exprs => TopKRankAgg(exprs(0), exprs(1), intLit(exprs(2)))
         .toAggregateExpression())

@@ -83,4 +83,65 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("qg3: iterated HyperBall registers equal the sketch of the exact BFS ball") {
+    val rounds = 4; val m = 64
+    // independent reference: the planted chain graph from first principles,
+    // exact radius-`rounds` BFS balls, and each ball's registers as the
+    // register-wise max of its members' single-item sketches — union of HLL
+    // sketches IS elementwise max, so the iterated sketch must equal the
+    // sketch of the set it claims to cover, bit for bit
+    val hosts = ids.map(_ % 64).distinct
+    val e0 = hosts.map(h => (h, if (Set(8L, 19L, 44L, 63L)(h)) h else h + 1))
+    val adj = (e0 ++ e0.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def ballMembers(v: Long): Set[Long] = {
+      var cur = Set(v)
+      for (_ <- 1 to rounds)
+        cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Set.empty[Long]))
+      cur
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def registers(members: Set[Long]): Array[Int] = {
+      val regs = new Array[Int](m)
+      members.foreach { v =>
+        md.reset()
+        val h = graft.functions.GraftImpl.md5Halves(
+          md.digest(v.toString.getBytes("UTF-8")))._1
+        val bucket = (h & (m - 1)).toInt
+        val w = h >>> 6
+        val rank =
+          if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(bucket)) regs(bucket) = rank
+      }
+      regs
+    }
+    val got = LinkGraph.hostHyperball(spark, dir, rounds, m).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val nodes = adj.keySet
+    assert(got.keySet == nodes.flatMap(n => (0 until m).map(b => (n, b))))
+    nodes.foreach { n =>
+      val want = registers(ballMembers(n))
+      (0 until m).foreach { b =>
+        assert(got((n, b)) == want(b),
+          s"host $n bucket $b: spark ${got((n, b))} vs exact-ball ${want(b)}")
+      }
+    }
+    // a chain interior node's radius-4 ball holds 9 hosts: registers must
+    // be strictly richer than its own single-item sketch (growth happened)
+    val interior = 30L
+    assert(registers(ballMembers(interior)).sum > registers(Set(interior)).sum)
+    // the merge is a TypedImperativeAggregate: ObjectHashAggregate planned
+    // (hostHyperball's own rounds hide behind localCheckpoint scans, so
+    // assert on an un-checkpointed sketch -> merge chain directly)
+    import org.apache.spark.sql.functions.col
+    val sk = spark.range(4)
+      .groupBy((col("id") % 2).as("k"))
+      .agg(graft.functions.GraftFunctions
+        .hllSketch(col("id").cast("string"), 16).as("sk"))
+    val plan = sk.groupBy()
+      .agg(graft.functions.GraftFunctions.hllMerge(col("sk"), 16).as("u"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
 }

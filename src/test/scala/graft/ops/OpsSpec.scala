@@ -414,6 +414,55 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("winnow containment: prefix-doc scores 1.0, hot cap empties, no cartesian") {
+    // doc 0's text is a strict token prefix of doc 2's, so every window of
+    // doc 0's hash array is also a window of doc 2's and selects the same
+    // rightmost-min — fp(0) ⊆ fp(2), containment exactly 1.0
+    val pairs = Dedup.winnowContainment(spark, dupDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    assert(pairs.nonEmpty)
+    assert(pairs.get((0L, 2L)).contains(1.0),
+      s"expected full containment of doc 0 in doc 2; got $pairs")
+    // docs 2/3 share the 7-token run before the changed word (>= win+k-1=6),
+    // so the winnowing guarantee forces at least one shared fingerprint
+    assert(pairs.contains((2L, 3L)), s"guaranteed shared fp missing: $pairs")
+    // the hot-fingerprint cap is replayed on BOTH sides: with every fp
+    // hot (cap 0), no pairs survive
+    assert(Dedup.winnowContainment(spark, dupDir, maxDocsPerFp = 0).isEmpty)
+    // pair generation is an equi-join on fp — never a cartesian
+    val plan = Dedup.winnowContainment(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("host components: planted chains resolve; pointer jumping folds diameter 24") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = LinkGraph.hostComponents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // all 64 hosts present at sf0.001; four chain components of known sizes
+    assert(rows.length == 64)
+    val bySize = rows.groupBy(_._2).map { case (c, rs) => c -> rs.length }
+    assert(bySize == Map(0L -> 9, 9L -> 11, 20L -> 25, 45L -> 19), bySize)
+    rows.foreach { case (h, c, sz, root) =>
+      assert(sz == bySize(c).toLong)
+      assert(root == (h == c))
+    }
+    // the widest chain has diameter 24: pointer jumping must fold it in
+    // ~log2 rounds, while plain min-label propagation walks one hop per
+    // round and MUST throw at maxRounds = 8 (the qd6 convergence guard)
+    val edges = spark.read.parquet(s"$sf/documents.parquet")
+      .selectExpr("doc_id % 64 AS doc_a",
+        "CASE WHEN doc_id % 64 IN (8, 19, 44, 63) THEN doc_id % 64 " +
+          "ELSE doc_id % 64 + 1 END AS doc_b")
+      .distinct()
+    val (_, rounds) = Dedup.ccWithRounds(edges, maxRounds = 16, pointerJump = true)
+    assert(rounds <= 7, s"pointer jumping took $rounds rounds on diameter 24")
+    assertThrows[IllegalStateException] {
+      Dedup.ccWithRounds(edges, maxRounds = 8, pointerJump = false)
+    }
+  }
+
   test("bloom-prefiltered contamination equals the exact pass bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val exact = TextAnalysis.contamination(spark, sf).collect()

@@ -57,6 +57,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getSeq[Int](0)
       // m registers; 3 distinct items touch at most 3 buckets
       assert(hll.length == 16 && hll.count(_ > 0) >= 1 && hll.count(_ > 0) <= 3)
+      // merging a sketch with itself is idempotent (union = registerwise max)
+      val hllm = spark.sql(
+        "SELECT hll_merge(h, 16) AS m FROM (" +
+          "SELECT hll_sketch(w, 16) AS h FROM (SELECT explode(array('a','b','a','c')) AS w) " +
+          "UNION ALL " +
+          "SELECT hll_sketch(w, 16) AS h FROM (SELECT explode(array('a','b','a','c')) AS w))")
+        .head.getSeq[Int](0)
+      assert(hllm == hll, s"$hllm vs $hll")
       val topk = spark.sql(
         "SELECT top_k_rank(k, p, 2) AS t FROM VALUES " +
           "(CAST(1.0 AS DOUBLE), CAST(10 AS BIGINT)), (3.0D, 30L), (2.0D, 20L) " +
