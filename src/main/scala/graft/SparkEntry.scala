@@ -170,6 +170,8 @@ object SparkEntry {
       TextAnalysis.lmScore(s, d)),
     "qt17_quantile_hist" -> ((s: SparkSession, d: String) =>
       TextAnalysis.quantileHist(s, d)),
+    "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.ccnetBuckets(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
       TextAnalysis.packBins(s, d)),
     "qt19_bpe_merges" -> ((s: SparkSession, d: String) =>
@@ -536,6 +538,37 @@ object SparkEntry {
         CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) bk
         LEFT JOIN b$k ON b$k.node = h.ch AND b$k.bucket = bk.bucket"""
   }
+
+  /** Shared bigram-LM score CTE (qt16/qt28): add-one-smoothed bigram model,
+    * per-instance logs rounded to 9 digits and summed in sorted order (the
+    * order-pinned f64 fold both engines replay); ends in the per-doc table
+    * `lmsc(doc_id, n_bigrams, avg_logp)`.
+    */
+  private val lmScoreCte: String =
+    """WITH w AS (
+         SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+         FROM documents),
+       bi AS (
+         SELECT doc_id, unnest(
+           [words[i] || ' ' || words[i+1]
+            FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS bg
+         FROM w),
+       inst AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
+       cb AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+       cu AS (SELECT unnest(words) AS word FROM w),
+       cuc AS (SELECT word, COUNT(*) AS cu FROM cu GROUP BY word),
+       v AS (SELECT COUNT(*) AS v FROM cuc),
+       lp AS (
+         SELECT inst.doc_id,
+           ROUND(ln((cb.cb + 1.0) / (cuc.cu + v.v)), 9) AS logp
+         FROM inst JOIN cb USING (bg)
+           JOIN cuc ON cuc.word = inst.w1 CROSS JOIN v),
+       lmsc AS (
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS avg_logp
+         FROM lp GROUP BY doc_id)"""
 
   /** Shared winnowing-selection CTE (qd15/qd16): positional 3-gram md5-half
     * hashes, each 4-window picks its rightmost-min position, distinct.
@@ -1645,30 +1678,35 @@ object SparkEntry {
          GROUP BY doc_id""",
     // bigram-LM score: integer counts -> exact rational -> ln rounded to 9
     // digits -> SORTED in-order f64 fold — order-pinned float aggregation
-    "qt16_lm_score" ->
-      """WITH w AS (
-           SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
-           FROM documents),
-         bi AS (
-           SELECT doc_id, unnest(
-             [words[i] || ' ' || words[i+1]
-              FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS bg
-           FROM w),
-         inst AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM bi),
-         cb AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
-         cu AS (SELECT unnest(words) AS word FROM w),
-         cuc AS (SELECT word, COUNT(*) AS cu FROM cu GROUP BY word),
-         v AS (SELECT COUNT(*) AS v FROM cuc),
-         lp AS (
-           SELECT inst.doc_id,
-             ROUND(ln((cb.cb + 1.0) / (cuc.cu + v.v)), 9) AS logp
-           FROM inst JOIN cb USING (bg)
-             JOIN cuc ON cuc.word = inst.w1 CROSS JOIN v)
-         SELECT doc_id, COUNT(*) AS n_bigrams,
-           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-             list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS avg_logp
-         FROM lp GROUP BY doc_id""",
+    "qt16_lm_score" -> (lmScoreCte +
+      """
+         SELECT doc_id, n_bigrams, avg_logp FROM lmsc"""),
+    // per-language head/middle/tail thresholds as the minimal descending-
+    // cumulative crossings of ceil(n/3)/ceil(2n/3) over the (lang, score)
+    // value histogram — ties closed into the better bucket
+    "qt28_ccnet_buckets" -> (lmScoreCte +
+      """,
+         d AS (
+           SELECT lmsc.doc_id, documents.lang, lmsc.avg_logp
+           FROM lmsc JOIN documents USING (doc_id)),
+         hist AS (
+           SELECT lang, avg_logp, COUNT(*) AS cnt FROM d GROUP BY 1, 2),
+         c AS (
+           SELECT lang, avg_logp, cnt,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY avg_logp DESC
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM hist),
+         n AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY 1),
+         th AS (
+           SELECT c.lang,
+             MAX(CASE WHEN cum >= (n.n + 2) // 3 THEN avg_logp END) AS t1,
+             MAX(CASE WHEN cum >= (2 * n.n + 2) // 3 THEN avg_logp END) AS t2
+           FROM c JOIN n USING (lang) GROUP BY c.lang)
+         SELECT d.doc_id, d.lang, d.avg_logp,
+           CASE WHEN d.avg_logp >= th.t1 THEN 'head'
+                WHEN d.avg_logp >= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM d JOIN th USING (lang)"""),
     // histogram-based exact quantiles over the deterministic hash sample:
     // integer rank math ((n-1)*p div 100 + 1, lower quantile) replays exactly
     "qt17_quantile_hist" ->

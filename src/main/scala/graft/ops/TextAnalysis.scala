@@ -393,6 +393,45 @@ object TextAnalysis {
           (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logp"))
   }
 
+  /** qt28: CCNet head/middle/tail perplexity buckets (Wenzek et al. 2019
+    * §4.3) — the split every CCNet-derived corpus ships: per LANGUAGE,
+    * documents are cut into thirds by LM score ([[lmScore]]'s avg_logp;
+    * higher = better-predicted = "head"), and downstream training mixes
+    * sample head/middle heavily and tail lightly. Thresholds are the
+    * minimal descending-cumulative crossings of ceil(n/3) and ceil(2n/3),
+    * closed under ties (all docs sharing a threshold score land in the
+    * better bucket), so the assignment is a pure function of the score
+    * table — no row_number over a corpus-sized per-language partition.
+    *
+    * Scale shape: the cumulative runs over the per-language (lang,
+    * avg_logp) VALUE HISTOGRAM (qt17's discipline) — avg_logp is rounded
+    * to 6 dp, so the histogram is bounded by the score domain (~10^7
+    * cells), never by corpus size; the per-doc bucket assignment is one
+    * join against the |lang|-sized threshold table. lmScore's own joins
+    * are vocabulary-sized and AQE-gated (qt16).
+    */
+  def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sc = lmScore(spark, dir).select(col("doc_id"), col("avg_logp"))
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(sc, Seq("doc_id"))
+    val hist = d.groupBy(col("lang"), col("avg_logp")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = hist.withColumn("cum", sum(col("cnt")).over(w))
+    val n = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n"))
+    val th = c.join(n, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("cum") >= expr("(n + 2) DIV 3"), col("avg_logp"))).as("t1"),
+        max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("avg_logp"))).as("t2"))
+    d.join(th, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("avg_logp"),
+        when(col("avg_logp") >= col("t1"), "head")
+          .when(col("avg_logp") >= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Deterministic stratified sampling: the k hash-smallest documents PER
     * GROUP (lang) — the fixed per-stratum quota cut (eval slices balanced
     * across languages/sources) that [[hashSample]]'s global rate cut can't

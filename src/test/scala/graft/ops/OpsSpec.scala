@@ -463,6 +463,33 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ccnet buckets: per-language thirds by LM score, ties closed upward") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.ccnetBuckets(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    // independent reference: thresholds as the minimal descending-cumulative
+    // crossings of ceil(n/3) / ceil(2n/3) over each language's score multiset
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val n = rs.length
+      val descScores = rs.map(_._3).sorted(Ordering[Double].reverse)
+      // max v with |{s >= v}| >= k is exactly the k-th largest score
+      val t1 = descScores((n + 2) / 3 - 1)
+      val t2 = descScores((2 * n + 2) / 3 - 1)
+      rs.foreach { case (id, _, s, b) =>
+        val want = if (s >= t1) "head" else if (s >= t2) "middle" else "tail"
+        assert(b == want, s"lang $lang doc $id score $s: got $b want $want " +
+          s"(t1=$t1 t2=$t2 n=$n)")
+      }
+      // quota lower bounds hold (ties can only inflate the better bucket)
+      val head = rs.count(_._4 == "head")
+      val headMid = rs.count(r => r._4 == "head" || r._4 == "middle")
+      assert(head >= (n + 2) / 3 && headMid >= (2 * n + 2) / 3,
+        s"lang $lang: head=$head headMid=$headMid n=$n")
+    }
+  }
+
   test("bloom-prefiltered contamination equals the exact pass bit-for-bit") {
     val sf = "/root/testdata/sf0.001"
     val exact = TextAnalysis.contamination(spark, sf).collect()
