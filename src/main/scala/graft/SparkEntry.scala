@@ -180,6 +180,8 @@ object SparkEntry {
       Similarity.int8QuantStats(s, d)),
     "qs5_ann_int8" -> ((s: SparkSession, d: String) =>
       Similarity.annInt8(s, d)),
+    "qs6_ann_pq" -> ((s: SparkSession, d: String) =>
+      Similarity.annPq(s, d)),
     "qt20_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(s, d)),
     "qt21_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -332,6 +334,85 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, rounds: Int): String =
     kmeansOracleBlocks(k, rounds) +
       s"\n         SELECT vec_id, cluster, dist AS dist_sq FROM a$rounds"
+
+  /** qs6's oracle, generated: product-quantization END TO END — per-subspace
+    * codebook training (the qc1 Lloyd chain, with the subspace id as one
+    * more group key so all m chains replay in a single CTE per round),
+    * full-corpus code assignment against the trained books, exact int64
+    * ADC distances, and the per-query ranking. Training replays the
+    * driver-side sample cap (WHERE vec_id < sampleCap), argmin ties to the
+    * smallest code id, half-away M-step re-rounding, and empty cells
+    * COALESCE to their previous centroid — bit-for-bit the Spark semantics
+    * (Similarity.pqCodebooks).
+    */
+  private def pqOracleSql(m: Int, ks: Int, rounds: Int, sampleCap: Int,
+      nQueries: Int, k: Int): String = {
+    val sd = "(len(qv)/" + m + ")" // subDim, derived from the data like Spark
+    val head =
+      s"""WITH q AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         sub AS (
+           SELECT vec_id, CAST(t.m AS INTEGER) AS m,
+             [qv[i] FOR i IN range(CAST(t.m*$sd+1 AS BIGINT),
+                                   CAST((t.m+1)*$sd+1 AS BIGINT))] AS sv
+           FROM q, unnest(range(0, $m)) AS t(m)),
+         samp AS (SELECT * FROM sub WHERE vec_id < $sampleCap),
+         c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS cv
+                FROM samp WHERE vec_id < $ks)"""
+    // rounds-1 M-steps: assignment a_r over the SAMPLE, then centroid update
+    val train = (1 until rounds).map { r =>
+      s""",
+         a$r AS (
+           SELECT vec_id, m, cid AS cluster FROM (
+             SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                                FOR i IN range(1, len(s.sv)+1)]) AS BIGINT) AS dist
+               FROM samp s JOIN c${r - 1} c ON s.m = c.m)) WHERE rn = 1),
+         s$r AS (
+           SELECT a.m, a.cluster, t.i, CAST(SUM(s.sv[t.i]) AS BIGINT) AS sm, COUNT(*) AS cnt
+           FROM a$r a JOIN samp s USING (vec_id, m),
+                unnest(range(1, len(s.sv)+1)) AS t(i)
+           GROUP BY a.m, a.cluster, t.i),
+         c$r AS (
+           SELECT c0.m, c0.cid, COALESCE(n.cv, p.cv) AS cv
+           FROM c0 LEFT JOIN (
+             SELECT m, cluster AS cid,
+               list(CAST(round(CAST(sm AS DOUBLE)/cnt) AS BIGINT) ORDER BY i) AS cv
+             FROM s$r GROUP BY m, cluster) n ON c0.m = n.m AND c0.cid = n.cid
+           JOIN c${r - 1} p ON c0.m = p.m AND c0.cid = p.cid)"""
+    }.mkString
+    val fin = rounds - 1
+    head + train +
+      s""",
+         enc AS (
+           SELECT vec_id, m, cid AS code FROM (
+             SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                                FOR i IN range(1, len(s.sv)+1)]) AS BIGINT) AS dist
+               FROM sub s JOIN c$fin c ON s.m = c.m)) WHERE rn = 1),
+         adc AS (
+           SELECT qs.vec_id AS query_id, e.vec_id,
+             CAST(SUM(CAST(list_sum([(qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i])
+               FOR i IN range(1, len(qs.sv)+1)]) AS BIGINT)) AS BIGINT) AS adc_dist
+           FROM enc e
+           JOIN c$fin c ON c.m = e.m AND c.cid = e.code
+           JOIN sub qs ON qs.m = e.m AND qs.vec_id < $nQueries
+           WHERE e.vec_id <> qs.vec_id
+           GROUP BY qs.vec_id, e.vec_id)
+         SELECT query_id, vec_id AS neighbor_id, rnk, adc_dist FROM (
+           SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+           FROM adc) WHERE rnk <= $k"""
+  }
 
   /** qc2's oracle: the full qc1 chain, then the keep-first drop rule — b is
     * dropped iff some same-cluster a with a smaller vec_id clears the exact
@@ -798,6 +879,11 @@ object SparkEntry {
              + CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total
          FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
+    // PQ/ADC ANN: codebook training, encoding, asymmetric distances, and
+    // ranking all in exact int64 fixed-point — the whole approximate result
+    // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,
+    // sampleCap=4096, nQueries=5, k=10)
+    "qs6_ann_pq" -> pqOracleSql(4, 8, 2, 4096, 5, 10),
     "qt21_dsir_weights" ->
       """WITH w AS (
            SELECT doc_id, lang,

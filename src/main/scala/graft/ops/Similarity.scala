@@ -274,6 +274,136 @@ object Similarity {
         col("qdot"))
   }
 
+  /** ANN over PRODUCT-QUANTIZED codes with asymmetric-distance scoring —
+    * the billion-scale memory layout (Jégou et al. "Product quantization
+    * for nearest neighbor search", TPAMI 2011; FAISS's PQ/ADC): the
+    * embedding splits into `m` subspaces, each subspace gets its own
+    * `ks`-centroid codebook (Lloyd on int64 fixed-point codes, the qc1
+    * discipline), and a vector is stored as m small centroid ids —
+    * here 4x8 codes = 4 bytes/vector vs 256 B of f32 (64x), which is what
+    * lets a 10^9-vector index live in RAM. Queries stay UN-quantized:
+    * ADC distance = sum_m ||q_m - codebook_m[code_m]||^2, exact int64
+    * arithmetic end to end, so the DuckDB oracle replays codebook
+    * training, assignment, ADC, and the final ranking bit-for-bit.
+    *
+    * Scale shape: codebooks are model-sized (m*ks*subDim longs) and train
+    * on a bounded driver-side sample (the ivfCentroids pattern — the cap
+    * is REPLAYED by the oracle's WHERE vec_id < sampleCap); corpus
+    * encoding is map-only argmin against codebook literals (zero
+    * shuffles); scoring joins codes against the broadcast query side and
+    * ranks in a per-query window. Approximation quality vs exact f32
+    * cosine is measured in OpsSpec (recall@k); production re-ranks the
+    * short list with stored f32 vectors (the qs1 pass over k rows).
+    */
+  def annPq(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+      m: Int = 4, ks: Int = 8, rounds: Int = 2,
+      sampleCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.{typedlit => tlit}
+    val codes = embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val books = pqCodebooks(codes, m, ks, rounds, sampleCap)
+    val dim = books.head.head.length * m
+    val subDim = dim / m
+    // map-only encoding: per subspace, exact-integer L2 argmin against the
+    // ks codebook literals (ties -> smallest code id, the qc1 rule)
+    def slice_(c: org.apache.spark.sql.Column, sub: Int) =
+      slice(c, sub * subDim + 1, subDim)
+    val codeCols = (0 until m).map { sub =>
+      val cands = array((0 until ks).map { cid =>
+        val cv = books(sub)(cid)
+        val n2c = cv.foldLeft(0L)((a, x) => a + x * x)
+        struct(
+          (GraftFunctions.dotI64(slice_(col("qv"), sub), slice_(col("qv"), sub))
+            - lit(2L) * GraftFunctions.dotI64(slice_(col("qv"), sub), tlit(cv.toSeq))
+            + lit(n2c)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid").as(s"c$sub")
+    }
+    val encoded = codes.select(col("vec_id") +: codeCols: _*)
+    // ADC: query subvectors stay exact; per subspace the stored code picks
+    // its centroid OUT OF AN ARRAY LITERAL (element_at — O(1) plan depth,
+    // the CLAUDE.md column-tree rule) and contributes an exact int64 term
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+    val adcTerms = (0 until m).map { sub =>
+      val bookLit = tlit(books(sub).map(_.toSeq).toSeq) // ARRAY<ARRAY<BIGINT>>
+      val cv = element_at(bookLit, col(s"c$sub") + 1)
+      val n2c = element_at(tlit(books(sub).map(c =>
+        c.foldLeft(0L)((a, x) => a + x * x)).toSeq), col(s"c$sub") + 1)
+      GraftFunctions.dotI64(slice_(col("qqv"), sub), slice_(col("qqv"), sub)) -
+        lit(2L) * GraftFunctions.dotI64(slice_(col("qqv"), sub), cv) + n2c
+    }
+    val scored = encoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcTerms.reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_dist"))
+  }
+
+  /** Per-subspace PQ codebooks trained with `rounds` Lloyd iterations on a
+    * bounded deterministic sample (vec_id < sampleCap) of the int64 codes —
+    * exact integer distances, argmin ties to the smallest code id, M-step
+    * means re-round to the grid half-away-from-zero, empty cells keep their
+    * previous centroid: the qc1 semantics, restated per subspace so the
+    * oracle's unrolled CTE chain replays training bit-for-bit.
+    * Returns books(sub)(cid) = centroid vector (subDim longs).
+    */
+  private[ops] def pqCodebooks(codes: DataFrame, m: Int, ks: Int,
+      rounds: Int, sampleCap: Int): Array[Array[Array[Long]]] = {
+    val sample = codes.filter(col("vec_id") < sampleCap)
+      .orderBy(col("vec_id")).select(col("qv")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(sample.length >= ks, s"need >= $ks sample vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    def roundHalfAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    Array.tabulate(m) { sub =>
+      val slices = sample.map(v => v.slice(sub * subDim, (sub + 1) * subDim))
+      var cents = Array.tabulate(ks)(cid => slices(cid).clone()) // init: first ks by vec_id
+      val assign = new Array[Int](slices.length)
+      for (r <- 1 to rounds) {
+        var i = 0
+        while (i < slices.length) {
+          var best = 0; var bestD = Long.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0L; var j = 0
+            while (j < subDim) {
+              val diff = slices(i)(j) - cents(c)(j); d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c } // strict < : ties keep smaller cid
+            c += 1
+          }
+          assign(i) = best; i += 1
+        }
+        if (r < rounds) {
+          val sums = Array.fill(ks, subDim)(0L)
+          val counts = new Array[Int](ks)
+          i = 0
+          while (i < slices.length) {
+            val c = assign(i); counts(c) += 1
+            var j = 0
+            while (j < subDim) { sums(c)(j) += slices(i)(j); j += 1 }
+            i += 1
+          }
+          cents = Array.tabulate(ks) { c =>
+            if (counts(c) == 0) cents(c)
+            else Array.tabulate(subDim)(j => roundHalfAway(sums(c)(j).toDouble / counts(c)))
+          }
+        }
+      }
+      cents
+    }
+  }
+
   /** Symmetric int8 quantization of the embedding column — the vector
     * COMPRESSION pass that precedes index build / storage at scale (4x
     * smaller than f32; SQ8 in the FAISS taxonomy — Johnson et al.

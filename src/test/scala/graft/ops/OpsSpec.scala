@@ -741,6 +741,38 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == quant)
   }
 
+  test("qs6 PQ-ADC shortlist covers exact L2 top-10 (re-rank recall >= 0.8)") {
+    // the production PQ pattern: a wide ADC shortlist (here 100 of 500) is
+    // re-ranked with stored full-precision vectors; what matters is that
+    // the shortlist CONTAINS the true neighbors. Exact baseline: int64
+    // fixed-point L2 on the same 1e6 grid ADC quantizes against.
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1e6)).toArray)
+      .sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val shortlist = Similarity.annPq(spark, sf, k = 100).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0 until 5).map { q =>
+      val qv = vecs(q)._2
+      val exact = vecs.filter(_._1 != q.toLong)
+        .sortBy { case (id, v) => (l2(qv, v), id) }.take(10).map(_._1).toSet
+      (shortlist(q.toLong) & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean shortlist recall $mean (${recalls.mkString(",")})")
+    // exact integer ADC is deterministic: re-run of the default k is identical
+    val once = Similarity.annPq(spark, sf).collect().map(_.toSeq).toSet
+    val again = Similarity.annPq(spark, sf).collect().map(_.toSeq).toSet
+    assert(once == again && once.size == 50)
+  }
+
   test("BPE merges match an in-memory reference trainer on the dup corpus") {
     // reference: word-type BPE with the same greedy left-to-right merge and
     // (count DESC, l ASC, r ASC) tie-break

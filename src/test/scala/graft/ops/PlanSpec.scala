@@ -351,6 +351,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qs6: PQ encoding is map-only and ADC scores against broadcast queries") {
+    val plan = planOf(Similarity.annPq(spark, sf))
+    // exact integer subspace math runs through the native expression
+    assert(plan.contains("dot_i64"), plan)
+    // codebooks are literals, queries broadcast; nothing may cartesian the
+    // corpus, and the only shuffle allowed is the per-query ranking window
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") &&
+        !l.contains("ReusedExchange"))
+    assert(exchanges <= 1, s"$exchanges shuffles\n$plan")
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
