@@ -182,6 +182,8 @@ object SparkEntry {
       Similarity.annInt8(s, d)),
     "qs6_ann_pq" -> ((s: SparkSession, d: String) =>
       Similarity.annPq(s, d)),
+    "qs7_ann_ivfpq" -> ((s: SparkSession, d: String) =>
+      Similarity.annIvfPq(s, d)),
     "qt20_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(s, d)),
     "qt21_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -412,6 +414,131 @@ object SparkEntry {
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY adc_dist ASC, vec_id ASC) AS rnk
            FROM adc) WHERE rnk <= $k"""
+  }
+
+  /** One unrolled Lloyd chain over a (vec_id, m, sv) table of int64
+    * subvectors — the pqOracleSql training loop, factored so qs7 can replay
+    * TWO trainings (coarse m=1 chain, then the residual PQ chain) in one
+    * statement. Emits CTEs `<pfx>0 .. <pfx>{rounds-1}` (codebooks per round)
+    * reading the sample table `$samp`; `chainEncSql` emits the full-corpus
+    * argmin assignment against the final books. Semantics replayed exactly:
+    * init = first ks sample vectors, argmin ties -> smallest cid, half-away
+    * M-step re-rounding, empty cells COALESCE to the previous centroid.
+    */
+  private def lloydChainSql(pfx: String, samp: String, ks: Int, rounds: Int): String = {
+    val c0 =
+      s""",
+         ${pfx}0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, sv AS cv
+                FROM $samp WHERE vec_id < $ks)"""
+    val train = (1 until rounds).map { r =>
+      s""",
+         ${pfx}a$r AS (
+           SELECT vec_id, m, cid AS cluster FROM (
+             SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                                FOR i IN range(1, len(s.sv)+1)]) AS BIGINT) AS dist
+               FROM $samp s JOIN ${pfx}${r - 1} c ON s.m = c.m)) WHERE rn = 1),
+         ${pfx}s$r AS (
+           SELECT a.m, a.cluster, t.i, CAST(SUM(s.sv[t.i]) AS BIGINT) AS sm, COUNT(*) AS cnt
+           FROM ${pfx}a$r a JOIN $samp s USING (vec_id, m),
+                unnest(range(1, len(s.sv)+1)) AS t(i)
+           GROUP BY a.m, a.cluster, t.i),
+         ${pfx}$r AS (
+           SELECT ${pfx}0.m, ${pfx}0.cid, COALESCE(n.cv, p.cv) AS cv
+           FROM ${pfx}0 LEFT JOIN (
+             SELECT m, cluster AS cid,
+               list(CAST(round(CAST(sm AS DOUBLE)/cnt) AS BIGINT) ORDER BY i) AS cv
+             FROM ${pfx}s$r GROUP BY m, cluster) n
+               ON ${pfx}0.m = n.m AND ${pfx}0.cid = n.cid
+           JOIN ${pfx}${r - 1} p ON ${pfx}0.m = p.m AND ${pfx}0.cid = p.cid)"""
+    }.mkString
+    c0 + train
+  }
+
+  private def chainEncSql(name: String, sub: String, book: String): String =
+    s""",
+         $name AS (
+           SELECT vec_id, m, cid AS code FROM (
+             SELECT vec_id, m, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT s.vec_id, s.m, c.cid,
+                 CAST(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                                FOR i IN range(1, len(s.sv)+1)]) AS BIGINT) AS dist
+               FROM $sub s JOIN $book c ON s.m = c.m)) WHERE rn = 1)"""
+
+  /** qs7's oracle, generated: IVF-PQ (IVFADC) END TO END — the coarse
+    * quantizer trains as an m=1 Lloyd chain over full vectors, the corpus
+    * assigns to cells and subtracts its centroid (exact int64 residuals),
+    * the PQ chain trains on the SAMPLE's residuals, the corpus encodes
+    * against the trained books, each query keeps its nprobe nearest cells
+    * (dist, cid ascending — the array_sort order Spark uses), and ADC sums
+    * per-subspace residual distances for candidates in probed cells only.
+    * Every stage is integer math, so the whole approximate result
+    * hash-matches (Similarity.annIvfPq / ivfPqModel).
+    */
+  private def ivfpqOracleSql(kc: Int, nprobe: Int, m: Int, ks: Int,
+      rounds: Int, sampleCap: Int, nQueries: Int, topK: Int): String = {
+    val sd = "(len(q.qv)/" + m + ")" // residual subDim, derived like Spark
+    val fin = rounds - 1
+    s"""WITH q AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         csub AS (SELECT vec_id, 0 AS m, qv AS sv FROM q),
+         csamp AS (SELECT * FROM csub WHERE vec_id < $sampleCap)""" +
+      lloydChainSql("cc", "csamp", kc, rounds) +
+      chainEncSql("encc", "csub", s"cc$fin") +
+      s""",
+         res AS (
+           SELECT q.vec_id, e.code AS cell,
+             [q.qv[i] - c.cv[i] FOR i IN range(1, len(q.qv)+1)] AS rv
+           FROM q JOIN encc e USING (vec_id) JOIN cc$fin c ON c.cid = e.code),
+         rsub AS (
+           SELECT vec_id, cell, CAST(t.m AS INTEGER) AS m,
+             [rv[i] FOR i IN range(CAST(t.m*(len(rv)/$m)+1 AS BIGINT),
+                                   CAST((t.m+1)*(len(rv)/$m)+1 AS BIGINT))] AS sv
+           FROM res, unnest(range(0, $m)) AS t(m)),
+         rsamp AS (SELECT * FROM rsub WHERE vec_id < $sampleCap)""" +
+      lloydChainSql("pc", "rsamp", ks, rounds) +
+      chainEncSql("encp", "rsub", s"pc$fin") +
+      s""",
+         probe AS (
+           SELECT vec_id AS query_id, cid AS cell FROM (
+             SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             FROM (
+               SELECT s.vec_id, c.cid,
+                 CAST(list_sum([(s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i])
+                                FOR i IN range(1, len(s.sv)+1)]) AS BIGINT) AS dist
+               FROM csub s JOIN cc$fin c ON s.m = c.m
+               WHERE s.vec_id < $nQueries))
+           WHERE rn <= $nprobe),
+         qres AS (
+           SELECT p.query_id, p.cell, CAST(t.m AS INTEGER) AS m,
+             [q.qv[i] - c.cv[i] FOR i IN range(CAST(t.m*$sd+1 AS BIGINT),
+                                               CAST((t.m+1)*$sd+1 AS BIGINT))] AS sv
+           FROM probe p JOIN q ON q.vec_id = p.query_id
+                JOIN cc$fin c ON c.cid = p.cell,
+                unnest(range(0, $m)) AS t(m)),
+         adc AS (
+           SELECT qr.query_id, e.vec_id,
+             CAST(SUM(CAST(list_sum([(qr.sv[i]-c.cv[i])*(qr.sv[i]-c.cv[i])
+               FOR i IN range(1, len(qr.sv)+1)]) AS BIGINT)) AS BIGINT) AS adc_dist
+           FROM encp e
+           JOIN encc ec ON ec.vec_id = e.vec_id
+           JOIN qres qr ON qr.cell = ec.code AND qr.m = e.m
+           JOIN pc$fin c ON c.m = e.m AND c.cid = e.code
+           WHERE e.vec_id <> qr.query_id
+           GROUP BY qr.query_id, e.vec_id)
+         SELECT query_id, vec_id AS neighbor_id, rnk, adc_dist FROM (
+           SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+           FROM adc) WHERE rnk <= $topK"""
   }
 
   /** qc2's oracle: the full qc1 chain, then the keep-first drop rule — b is
@@ -884,6 +1011,11 @@ object SparkEntry {
     // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,
     // sampleCap=4096, nQueries=5, k=10)
     "qs6_ann_pq" -> pqOracleSql(4, 8, 2, 4096, 5, 10),
+    // IVF-PQ: coarse training, cells, residuals, PQ training, encoding,
+    // probes, ADC, and ranking all exact int64 — the whole two-level
+    // approximate result hash-matches (defaults of Similarity.annIvfPq:
+    // kc=8, nprobe=4, m=4, ks=8, rounds=2, sampleCap=4096, 5 queries, k=10)
+    "qs7_ann_ivfpq" -> ivfpqOracleSql(8, 4, 4, 8, 2, 4096, 5, 10),
     "qt21_dsir_weights" ->
       """WITH w AS (
            SELECT doc_id, lang,

@@ -346,6 +346,106 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** IVF-PQ ANN (IVFADC — Jégou et al. TPAMI 2011 §IV; the FAISS
+    * `IVFx,PQy` index that carries every published billion-scale benchmark):
+    * a coarse quantizer routes each vector to one of `kc` inverted lists,
+    * PQ codebooks encode the RESIDUAL vector minus its coarse centroid
+    * (residuals concentrate near 0, so the same code budget quantizes much
+    * finer than qs6's direct PQ), and a query probes only its `nprobe`
+    * nearest cells — the two-level pruning that makes 10^9-vector search
+    * interactive: candidate volume drops to ~nprobe/kc of the corpus AND
+    * each candidate costs a 4-byte ADC lookup instead of a 256-byte f32 dot.
+    *
+    * Exactness discipline: everything runs in int64 fixed-point (the
+    * qc1/qs6 rules — strict-< argmin ties to the smallest id, half-away
+    * M-step re-rounding, empty cells keep their previous centroid), so the
+    * DuckDB oracle replays coarse training, cell assignment, residuals, PQ
+    * training, encoding, probe selection, ADC, and the final ranking
+    * bit-for-bit.
+    *
+    * Scale shape: both models are fixed-size literals (kc*dim + m*ks*subDim
+    * longs) trained on one bounded driver-side sample; corpus-side cell
+    * assignment + residual + PQ encode are ONE map-only projection (zero
+    * shuffles — at rest this is the write-once partitioning of the corpus
+    * into inverted lists); probe-cell selection is map-only on the tiny
+    * query side (array_sort over kc literal distances — no window, so the
+    * probe side broadcasts without an Exchange); candidates come from a
+    * broadcast hash join ON THE CELL KEY (never a cartesian), and the only
+    * shuffle in the whole plan is the final per-query ranking window.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nQueries: Int = 5,
+      topK: Int = 10, kc: Int = 8, nprobe: Int = 4, m: Int = 4, ks: Int = 8,
+      rounds: Int = 2, sampleCap: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.functions.{typedlit => tlit}
+    val codes = embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val (coarse, books) = ivfPqModel(codes, kc, m, ks, rounds, sampleCap)
+    val dim = coarse.head.length
+    val subDim = dim / m
+    val coarseLit = tlit(coarse.map(_.toSeq).toSeq)
+    def slice_(c: org.apache.spark.sql.Column, sub: Int) =
+      slice(c, sub * subDim + 1, subDim)
+    // exact int64 L2 distances to the kc coarse centroids, as (dist, cid)
+    // structs — array_min = nearest cell (ties -> smallest cid), array_sort
+    // head = the probe list; both pure column math, no window
+    def cellCands(v: org.apache.spark.sql.Column) =
+      array((0 until kc).map { cid =>
+        val cv = coarse(cid)
+        val n2c = cv.foldLeft(0L)((a, x) => a + x * x)
+        struct(
+          (GraftFunctions.dotI64(v, v)
+            - lit(2L) * GraftFunctions.dotI64(v, tlit(cv.toSeq))
+            + lit(n2c)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+    // corpus: cell + residual + per-subspace PQ codes, one map-only pass
+    val withRes = codes
+      .withColumn("cell", array_min(cellCands(col("qv"))).getField("cid"))
+      .withColumn("rv", zip_with(col("qv"),
+        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+    val codeCols = (0 until m).map { sub =>
+      val cands = array((0 until ks).map { cid =>
+        val cv = books(sub)(cid)
+        val n2c = cv.foldLeft(0L)((a, x) => a + x * x)
+        struct(
+          (GraftFunctions.dotI64(slice_(col("rv"), sub), slice_(col("rv"), sub))
+            - lit(2L) * GraftFunctions.dotI64(slice_(col("rv"), sub), tlit(cv.toSeq))
+            + lit(n2c)).as("dist"),
+          lit(cid).as("cid"))
+      }: _*)
+      array_min(cands).getField("cid").as(s"c$sub")
+    }
+    val encoded = withRes.select(col("vec_id") +: col("cell") +: codeCols: _*)
+    // query side: nprobe nearest cells via array_sort (map-only), then the
+    // per-probed-cell query residual — (nQueries*nprobe) rows, broadcast
+    val probes = codes.filter(col("vec_id") < nQueries)
+      .withColumn("cell", explode(transform(
+        slice(array_sort(cellCands(col("qv"))), 1, nprobe),
+        s => s.getField("cid"))))
+      .withColumn("qrv", zip_with(col("qv"),
+        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+      .select(col("vec_id").as("query_id"), col("cell"), col("qrv"))
+    val adcTerms = (0 until m).map { sub =>
+      val bookLit = tlit(books(sub).map(_.toSeq).toSeq) // ARRAY<ARRAY<BIGINT>>
+      val cv = element_at(bookLit, col(s"c$sub") + 1)
+      val n2c = element_at(tlit(books(sub).map(c =>
+        c.foldLeft(0L)((a, x) => a + x * x)).toSeq), col(s"c$sub") + 1)
+      GraftFunctions.dotI64(slice_(col("qrv"), sub), slice_(col("qrv"), sub)) -
+        lit(2L) * GraftFunctions.dotI64(slice_(col("qrv"), sub), cv) + n2c
+    }
+    val scored = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcTerms.reduce(_ + _))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("adc_dist"))
+  }
+
   /** Per-subspace PQ codebooks trained with `rounds` Lloyd iterations on a
     * bounded deterministic sample (vec_id < sampleCap) of the int64 codes —
     * exact integer distances, argmin ties to the smallest code id, M-step
@@ -355,10 +455,18 @@ object Similarity {
     * Returns books(sub)(cid) = centroid vector (subDim longs).
     */
   private[ops] def pqCodebooks(codes: DataFrame, m: Int, ks: Int,
-      rounds: Int, sampleCap: Int): Array[Array[Array[Long]]] = {
-    val sample = codes.filter(col("vec_id") < sampleCap)
+      rounds: Int, sampleCap: Int): Array[Array[Array[Long]]] =
+    lloydSubspaces(collectSample(codes, sampleCap), m, ks, rounds)
+
+  private def collectSample(codes: DataFrame, sampleCap: Int): Array[Array[Long]] =
+    codes.filter(col("vec_id") < sampleCap)
       .orderBy(col("vec_id")).select(col("qv")).collect()
       .map(_.getSeq[Long](0).toArray)
+
+  /** The shared Lloyd core over int64 vectors split into `m` subspaces
+    * (m = 1 trains one full-vector codebook — the IVF coarse quantizer). */
+  private[ops] def lloydSubspaces(sample: Array[Array[Long]], m: Int, ks: Int,
+      rounds: Int): Array[Array[Array[Long]]] = {
     require(sample.length >= ks, s"need >= $ks sample vectors, got ${sample.length}")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
@@ -402,6 +510,32 @@ object Similarity {
       }
       cents
     }
+  }
+
+  /** IVF-PQ model: the coarse quantizer (kc full-dim centroids) plus
+    * per-subspace PQ codebooks trained on the RESIDUALS of the same bounded
+    * sample — residual = vector minus its nearest trained coarse centroid
+    * (argmin ties to the smallest cell id, matching the distributed encode).
+    * Both stages reuse the one Lloyd core so the oracle's two unrolled CTE
+    * chains replay training bit-for-bit.
+    */
+  private[ops] def ivfPqModel(codes: DataFrame, kc: Int, m: Int, ks: Int,
+      rounds: Int, sampleCap: Int): (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val sample = collectSample(codes, sampleCap)
+    val coarse = lloydSubspaces(sample, 1, kc, rounds)(0)
+    val dim = sample.head.length
+    val resids = sample.map { v =>
+      var best = 0; var bestD = Long.MaxValue
+      var c = 0
+      while (c < kc) {
+        var d = 0L; var j = 0
+        while (j < dim) { val t = v(j) - coarse(c)(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      Array.tabulate(dim)(j => v(j) - coarse(best)(j))
+    }
+    (coarse, lloydSubspaces(resids, m, ks, rounds))
   }
 
   /** Symmetric int8 quantization of the embedding column — the vector

@@ -773,6 +773,59 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == again && once.size == 50)
   }
 
+  test("qs7 IVF-PQ: probed-cell honesty, full-probe recall, determinism") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * 1e6)).toArray)
+      .sortBy(_._1)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var d = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    // independent replay of cell assignment + probe selection from the model
+    val codes = spark.read.parquet(s"$sf/embeddings.parquet").select(
+      org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.transform(
+        org.apache.spark.sql.functions.col("embedding"),
+        v => org.apache.spark.sql.functions.round(v.cast("double") *
+          org.apache.spark.sql.functions.lit(1e6)).cast("long")).as("qv"))
+    val (coarse, _) = Similarity.ivfPqModel(codes, kc = 8, m = 4, ks = 8,
+      rounds = 2, sampleCap = 4096)
+    def nearestCells(v: Array[Long], n: Int): Seq[Int] =
+      coarse.indices.map(c => (l2(v, coarse(c)), c)).sorted.take(n).map(_._2)
+    val cellOf = vecs.map { case (id, v) => id -> nearestCells(v, 1).head }.toMap
+    // nprobe=4 honesty: every returned neighbor sits in a probed cell
+    val res = Similarity.annIvfPq(spark, sf).collect()
+    assert(res.length == 50)
+    res.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      val probed = nearestCells(vecs(q.toInt)._2, 4).toSet
+      rows.foreach { r =>
+        assert(probed.contains(cellOf(r.getLong(1))),
+          s"query $q neighbor ${r.getLong(1)} outside probed cells $probed")
+      }
+    }
+    // full probe (nprobe=kc): the two-level pruning is off, so the ADC
+    // shortlist quality bar is the qs6 one — residual PQ must be at least
+    // as sharp as direct PQ on the same code budget
+    val shortlist = Similarity.annIvfPq(spark, sf, topK = 100, nprobe = 8)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = (0 until 5).map { q =>
+      val qv = vecs(q)._2
+      val exact = vecs.filter(_._1 != q.toLong)
+        .sortBy { case (id, v) => (l2(qv, v), id) }.take(10).map(_._1).toSet
+      (shortlist(q.toLong) & exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8, s"mean shortlist recall $mean (${recalls.mkString(",")})")
+    // exact integer pipeline is deterministic
+    val again = Similarity.annIvfPq(spark, sf).collect()
+    assert(res.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+  }
+
   test("BPE merges match an in-memory reference trainer on the dup corpus") {
     // reference: word-type BPE with the same greedy left-to-right merge and
     // (count DESC, l ASC, r ASC) tie-break

@@ -366,6 +366,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges <= 1, s"$exchanges shuffles\n$plan")
   }
 
+  test("qs7: IVF-PQ candidates come from a broadcast cell join, one shuffle") {
+    val plan = planOf(Similarity.annIvfPq(spark, sf))
+    assert(plan.contains("dot_i64"), plan)
+    // probe side broadcasts (cell-key hash join — never a cartesian);
+    // corpus-side cell assignment + residual + encode are map-only, so the
+    // only shuffle is the per-query ranking window
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") &&
+        !l.contains("ReusedExchange"))
+    assert(exchanges <= 1, s"$exchanges shuffles\n$plan")
+  }
+
   test("LSH ANN candidate dedup exchanges ids only (no embedding payloads)") {
     val plan = planOf(Similarity.annLsh(spark, sf, 2, 3))
     // the distinct's aggregate must group on exactly (query_id, vec_id)
