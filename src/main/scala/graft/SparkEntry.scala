@@ -110,6 +110,8 @@ object SparkEntry {
       TextAnalysis.c4LineClean(s, d)),
     "qt27_hll_distinct" -> ((s: SparkSession, d: String) =>
       TextAnalysis.hllDistinct(s, d)),
+    "qt29_gopher_repetition" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.gopherRepetition(s, d)),
     // ---- URL-level curation ----
     "qu1_domain_cap" -> ((s: SparkSession, d: String) =>
       UrlCuration.domainCap(s, d)),
@@ -539,6 +541,111 @@ object SparkEntry {
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY adc_dist ASC, vec_id ASC) AS rnk
            FROM adc) WHERE rnk <= $topK"""
+  }
+
+  /** qt29's oracle, generated: the Gopher repetition battery replayed in
+    * DuckDB list math — the qt26 md5 line segmentation (% 5 lines, % 15
+    * paragraphs from the same hash), beyond-first duplicate occurrence and
+    * code-point-char stats per segment, top-{2,3,4}-gram numerators
+    * (count * (len(gram) - (n-1)), ties to the byte-order-smallest gram),
+    * and dup-{5..10}-gram position-union coverage (DISTINCT covered word
+    * positions joined back to word lengths). Fractions divide and round
+    * exactly like the Spark column layer; the pass flag compares the
+    * rounded values (TextAnalysis.gopherRepetition).
+    */
+  private def gopherRepOracleSql(topNs: Seq[Int], dupNs: Seq[Int],
+      thresholds: Seq[(String, Double)]): String = {
+    val gramCtes = (topNs ++ dupNs).map { n =>
+      s""",
+         g$n AS (
+           SELECT doc_id, i, array_to_string(w[i:i+${n - 1}], ' ') AS g
+           FROM hsh, unnest(range(1, GREATEST(nw-$n+1, 0)+1)) AS t(i))"""
+    }.mkString
+    val topCtes = topNs.map { n =>
+      s""",
+         top$n AS (
+           SELECT doc_id, CAST(c * (len(g) - ${n - 1}) AS BIGINT) AS num FROM (
+             SELECT doc_id, g, COUNT(*) AS c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                 ORDER BY COUNT(*) DESC, g ASC) AS rn
+             FROM g$n GROUP BY doc_id, g) WHERE rn = 1)"""
+    }.mkString
+    val dupCtes = dupNs.map { n =>
+      s""",
+         dup$n AS (SELECT doc_id, g FROM g$n
+                   GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+         cov$n AS (
+           SELECT q.doc_id, CAST(SUM(len(b.w[CAST(q.p AS BIGINT)])) AS BIGINT) AS cov
+           FROM (SELECT DISTINCT a.doc_id, p
+                 FROM g$n a JOIN dup$n USING (doc_id, g),
+                      unnest(range(a.i, a.i + $n)) AS t(p)) q
+           JOIN hsh b USING (doc_id)
+           GROUP BY q.doc_id)"""
+    }.mkString
+    def frac(num: String, den: String) =
+      s"CASE WHEN COALESCE($den, 0) = 0 THEN 0.0 " +
+        s"ELSE round(CAST(COALESCE($num, 0) AS DOUBLE) / $den, 6) END"
+    val fracCols = Seq(
+      frac("ls.dup_occ", "ls.n_seg") + " AS dup_line_frac",
+      frac("ls.dup_chars", "ls.chars") + " AS dup_line_char_frac",
+      frac("ps.dup_occ", "ps.n_seg") + " AS dup_para_frac",
+      frac("ps.dup_chars", "ps.chars") + " AS dup_para_char_frac") ++
+      topNs.map(n => frac(s"top$n.num", "wc.wchars") + s" AS top${n}_char_frac") ++
+      dupNs.map(n => frac(s"cov$n.cov", "wc.wchars") + s" AS dup${n}_char_frac")
+    val passExpr = thresholds
+      .map { case (c, t) => s"$c <= $t" }.mkString(" AND ")
+    val segStat =
+      """SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_seg,
+             CAST(SUM(cnt * l) AS BIGINT) AS chars,
+             CAST(SUM(cnt - 1) AS BIGINT) AS dup_occ,
+             CAST(SUM((cnt - 1) * l) AS BIGINT) AS dup_chars
+           FROM (SELECT doc_id, x, COUNT(*) AS cnt, len(x) AS l
+                 FROM SRC, unnest(segs) AS t(x) GROUP BY doc_id, x)
+           GROUP BY doc_id"""
+    val md5i =
+      "(CAST('0x' || substr(md5(doc_id || ':' || i), 1, 15) AS BIGINT))"
+    def segCte(name: String, brkCol: String) =
+      s""",
+         $name AS (
+           SELECT doc_id,
+             list_filter(
+               [array_to_string(
+                  w[(list_prepend(0, [b + 1 FOR b IN $brkCol])[k] + 1)
+                    :(list_append($brkCol, nw - 1)[k] + 1)], ' ')
+                FOR k IN range(1, len($brkCol) + 2)],
+               x -> x <> '') AS segs
+           FROM hsh)"""
+    s"""WITH base AS (
+           SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+         hsh AS (
+           SELECT doc_id, w, len(w) AS nw,
+             [i FOR i IN range(0, len(w)) IF $md5i % 5 = 0] AS brk5,
+             [i FOR i IN range(0, len(w)) IF $md5i % 15 = 0] AS brk15
+           FROM base),
+         wc AS (
+           SELECT doc_id, nw,
+             CAST(COALESCE(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT)
+               AS wchars
+           FROM hsh)""" +
+      segCte("lseg", "brk5") + segCte("pseg", "brk15") +
+      s""",
+         ls AS (${segStat.replace("SRC", "lseg")}),
+         ps AS (${segStat.replace("SRC", "pseg")})""" +
+      gramCtes + topCtes + dupCtes +
+      s"""
+         SELECT doc_id, n_words, ${fracCols.map(c =>
+        c.split(" AS ").last).mkString(", ")},
+           CAST($passExpr AS INTEGER) AS passes_repetition
+         FROM (
+           SELECT wc.doc_id, wc.nw AS n_words, ${fracCols.mkString(",\n             ")}
+           FROM wc
+           LEFT JOIN ls ON wc.doc_id = ls.doc_id
+           LEFT JOIN ps ON wc.doc_id = ps.doc_id
+           ${topNs.map(n => s"LEFT JOIN top$n ON wc.doc_id = top$n.doc_id")
+          .mkString("\n           ")}
+           ${dupNs.map(n => s"LEFT JOIN cov$n ON wc.doc_id = cov$n.doc_id")
+          .mkString("\n           ")})"""
   }
 
   /** qc2's oracle: the full qc1 chain, then the keep-first drop rule — b is
@@ -1150,6 +1257,16 @@ object SparkEntry {
            CAST(len(lk) >= 3 AS INTEGER) AS kept,
            COALESCE(array_to_string(lk, ' '), '') AS clean_text
          FROM kept""",
+    // Gopher repetition battery: md5 segmentation, dup segment stats,
+    // top/dup n-gram char fractions, and the A1 pass flag, all replayed
+    "qt29_gopher_repetition" -> gopherRepOracleSql(Seq(2, 3, 4), 5 to 10,
+      Seq("dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+        "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
+        "top2_char_frac" -> 0.20, "top3_char_frac" -> 0.18,
+        "top4_char_frac" -> 0.16, "dup5_char_frac" -> 0.15,
+        "dup6_char_frac" -> 0.14, "dup7_char_frac" -> 0.13,
+        "dup8_char_frac" -> 0.12, "dup9_char_frac" -> 0.11,
+        "dup10_char_frac" -> 0.10)),
     // HLL registers replayed exactly: same bigram + 60-bit md5-half hash
     // stream as qt12, bucket = h % 64, rank = 55 - bitlength(h // 64)
     // (bitlength via bin() string math — integer-exact, no log2 rounding

@@ -312,6 +312,150 @@ object GraftImpl {
       m.toLong, distinct.size.toLong, top, topCount.toLong, (m - 1).toLong)
   }
 
+  /** One-pass Gopher repetition battery (Rae et al. 2021 §A1.1 — the
+    * MassiveText repetition filter; qt29's map-only core). Returns the 19
+    * INTEGER numerators/denominators of the 13 fractions so every float
+    * division happens once, at the column layer, identically on both
+    * engines:
+    *
+    *   - words = split(lower(text), ' ') keeping empties (the qt26 word
+    *     spine, so line identities match the composed SQL form);
+    *   - lines/paragraphs = the qt26 deterministic segmentation (the corpus
+    *     has no newline structure): word i ends a line iff
+    *     md5_60(doc_id:i) % 5 == 0, a paragraph iff % 15 == 0 (every
+    *     paragraph break is a line break — one hash per word serves both);
+    *     empty-string segments are dropped;
+    *   - duplicate line/paragraph stats count occurrences BEYOND the first
+    *     of each distinct segment (occurrences and their code-point chars);
+    *   - top-{2,3,4}-gram numerators = top_count * word-chars(top gram)
+    *     (joined-gram code points minus the n-1 separators), tie-broken by
+    *     UTF-8 byte order like repetitionProfile;
+    *   - dup-{5..10}-gram coverage = code-point chars of words at positions
+    *     covered by AT LEAST one occurrence of any n-gram appearing >= 2
+    *     times (the position-union Gopher/datatrove semantics — overlapping
+    *     duplicated grams never double-count a word).
+    *
+    * All lengths are Unicode code points (= DuckDB len()).
+    */
+  def gopherRepetition(docId: UTF8String, text: UTF8String):
+      org.apache.spark.sql.catalyst.InternalRow = {
+    val lowered = text.toLowerCase.toString
+    // split on single spaces, KEEPING empties (DuckDB string_split parity)
+    val words = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    val len = lowered.length
+    while (i <= len) {
+      if (i == len || lowered.charAt(i) == ' ') {
+        words.add(lowered.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val nWords = words.size()
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    var wordChars = 0L
+    i = 0
+    while (i < nWords) { wordChars += cp(words.get(i)); i += 1 }
+    // one 60-bit hash per word index drives both segmentations
+    val md = md5Local.get()
+    val idPrefix = docId.toString + ":"
+    val brk5 = new Array[Boolean](nWords)
+    val brk15 = new Array[Boolean](nWords)
+    i = 0
+    while (i < nWords) {
+      md.reset()
+      val h = md5Halves(md.digest((idPrefix + i).getBytes("UTF-8")))._1
+      brk5(i) = h % 5 == 0
+      brk15(i) = h % 15 == 0
+      i += 1
+    }
+    def segStats(brk: Array[Boolean]): (Long, Long, Long, Long) = {
+      val counts = new java.util.HashMap[String, Int]()
+      val sb = new java.lang.StringBuilder
+      var first = true
+      var j = 0
+      while (j < nWords) {
+        if (!first) sb.append(' ')
+        sb.append(words.get(j))
+        first = false
+        if (brk(j) || j == nWords - 1) {
+          val seg = sb.toString
+          if (seg.nonEmpty) counts.merge(seg, 1, Integer.sum)
+          sb.setLength(0)
+          first = true
+        }
+        j += 1
+      }
+      var n = 0L; var chars = 0L; var dupOcc = 0L; var dupChars = 0L
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.toLong
+        val l = cp(e.getKey)
+        n += c; chars += c * l
+        dupOcc += c - 1; dupChars += (c - 1) * l
+      }
+      (n, chars, dupOcc, dupChars)
+    }
+    val (nLines, lineChars, dupLineOcc, dupLineChars) = segStats(brk5)
+    val (nParas, paraChars, dupParaOcc, dupParaChars) = segStats(brk15)
+    def gram(p: Int, n: Int): String = {
+      val sb = new java.lang.StringBuilder
+      var q = p
+      while (q < p + n) {
+        if (q > p) sb.append(' ')
+        sb.append(words.get(q))
+        q += 1
+      }
+      sb.toString
+    }
+    // top-{2,3,4}: top_count * word-chars of the byte-order-smallest
+    // max-count gram
+    val topNum = Array(2, 3, 4).map { n =>
+      val counts = new java.util.HashMap[String, Int]()
+      var p = 0
+      while (p + n <= nWords) { counts.merge(gram(p, n), 1, Integer.sum); p += 1 }
+      var topCount = 0
+      var top: UTF8String = null
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue > topCount) {
+          topCount = e.getValue; top = UTF8String.fromString(e.getKey)
+        } else if (e.getValue == topCount && topCount > 0) {
+          val u = UTF8String.fromString(e.getKey)
+          if (u.compareTo(top) < 0) top = u
+        }
+      }
+      if (top == null) 0L else topCount.toLong * (cp(top.toString) - (n - 1))
+    }
+    // dup-{5..10}: union of word positions covered by duplicated n-grams
+    val covered = new Array[Boolean](nWords)
+    val dupCov = (5 to 10).map { n =>
+      val counts = new java.util.HashMap[String, Int]()
+      var p = 0
+      while (p + n <= nWords) { counts.merge(gram(p, n), 1, Integer.sum); p += 1 }
+      java.util.Arrays.fill(covered, false)
+      p = 0
+      while (p + n <= nWords) {
+        if (counts.get(gram(p, n)) >= 2) {
+          var q = p
+          while (q < p + n) { covered(q) = true; q += 1 }
+        }
+        p += 1
+      }
+      var chars = 0L
+      var j = 0
+      while (j < nWords) { if (covered(j)) chars += cp(words.get(j)); j += 1 }
+      chars
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      (Seq(nWords.toLong, wordChars, nLines, lineChars, dupLineOcc,
+        dupLineChars, nParas, paraChars, dupParaOcc, dupParaChars) ++
+        topNum ++ dupCov).map(_.asInstanceOf[Any]): _*)
+  }
+
   /** One greedy left-to-right BPE merge pass: replace non-overlapping
     * adjacent (l, r) symbol pairs with l||r. Matches the sequential fold
     * semantics exactly (a token produced by a merge in this pass never
@@ -845,6 +989,29 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
 }
 
 /** dot_i64(a, b): exact integer dot product of two ARRAY<BIGINT> codes. */
+/** gopher_repetition(doc_id, text): the 19 integer numerators/denominators
+  * of the Gopher §A1.1 repetition battery in one pass (qt29's core) — the
+  * fractions divide once at the column layer. Never null for non-null input.
+  */
+case class GopherRepetition(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType((
+    Seq("n_words", "word_chars", "n_lines", "line_chars", "dup_line_occ",
+      "dup_line_chars", "n_paras", "para_chars", "dup_para_occ",
+      "dup_para_chars", "top2_num", "top3_num", "top4_num") ++
+      (5 to 10).map(n => s"dup${n}_cov"))
+    .map(f => StructField(f, LongType, nullable = false)))
+  override protected def nullSafeEval(d: Any, t: Any): Any =
+    GraftImpl.gopherRepetition(d.asInstanceOf[UTF8String],
+      t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (d, t) => s"graft.functions.GraftImpl.gopherRepetition($d, $t)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GopherRepetition =
+    copy(left = l, right = r)
+  override def prettyName: String = "gopher_repetition"
+}
+
 case class DotI64(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
@@ -972,6 +1139,8 @@ object GraftFunctions {
       exprs => RepetitionProfile(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_i64",
       exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("gopher_repetition",
+      exprs => GopherRepetition(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("bpe_merge",
       exprs => BpeMerge(exprs(0), exprs(1), exprs(2)), "built-in")
   }
@@ -1041,6 +1210,10 @@ object GraftFunctions {
 
   def dotI64(a: Column, b: Column): Column = {
     ensureRegistered(); call_function("dot_i64", a, b)
+  }
+
+  def gopherRepetition(docId: Column, text: Column): Column = {
+    ensureRegistered(); call_function("gopher_repetition", docId, text)
   }
 
   def bpeMerge(syms: Column, l: Column, r: Column): Column = {

@@ -972,6 +972,66 @@ object TextAnalysis {
     * corpus-bounded; a corpus-wide line-frequency gate is qd12's shape, not
     * this one. Scan reads exactly (doc_id, text).
     */
+  /** qt29: the Gopher REPETITION battery (Rae et al. 2021 §A1.1 — the
+    * MassiveText repetition filter that FineWeb/Dolma/RefinedWeb all run),
+    * distinct from qt20's quality heuristics and qt10's within-doc profile:
+    * thirteen fractions per document —
+    *
+    *   - duplicate line / paragraph fraction (occurrences beyond the first
+    *     of each distinct segment, over segment count),
+    *   - duplicate line / paragraph CHARACTER fraction (their code-point
+    *     chars, over all segment chars),
+    *   - top-{2,3,4}-gram character fraction (chars of the most frequent
+    *     n-gram times its count, over total word chars; ties to the
+    *     byte-order-smallest gram),
+    *   - dup-{5..10}-gram character fraction (chars of words covered by at
+    *     least one occurrence of any n-gram appearing >= 2 times — the
+    *     position-union semantics, so overlaps never double-count),
+    *
+    * and the pass flag at the published A1 thresholds (0.30/0.30/0.20/0.20
+    * lines/paras; 0.20/0.18/0.16 top-2/3/4; 0.15..0.10 dup-5..10),
+    * compared on the ROUNDED fractions (the qt20 rounded-before-compare
+    * discipline). Lines/paragraphs come from qt26's deterministic md5
+    * segmentation (% 5 / % 15 — the corpus has no newline structure).
+    *
+    * Scale shape: ONE map-only pass, zero exchanges — the native
+    * gopher_repetition expression returns the 19 integer numerators/
+    * denominators in a single traversal (O(words · n) with one HashMap per
+    * n-gram size, never the O(L^2) array-math form), and every division
+    * happens once per doc at the column layer. Scan reads (doc_id, text).
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    def frac(num: Column, den: Column) =
+      when(den === 0L, lit(0.0d))
+        .otherwise(round(num.cast("double") / den, 6))
+    val p = col("p")
+    val fracs = Seq(
+      frac(p("dup_line_occ"), p("n_lines")).as("dup_line_frac"),
+      frac(p("dup_line_chars"), p("line_chars")).as("dup_line_char_frac"),
+      frac(p("dup_para_occ"), p("n_paras")).as("dup_para_frac"),
+      frac(p("dup_para_chars"), p("para_chars")).as("dup_para_char_frac"),
+      frac(p("top2_num"), p("word_chars")).as("top2_char_frac"),
+      frac(p("top3_num"), p("word_chars")).as("top3_char_frac"),
+      frac(p("top4_num"), p("word_chars")).as("top4_char_frac")) ++
+      (5 to 10).map(n =>
+        frac(p(s"dup${n}_cov"), p("word_chars")).as(s"dup${n}_char_frac"))
+    val thresholds = Seq(
+      "dup_line_frac" -> 0.30, "dup_line_char_frac" -> 0.20,
+      "dup_para_frac" -> 0.30, "dup_para_char_frac" -> 0.20,
+      "top2_char_frac" -> 0.20, "top3_char_frac" -> 0.18,
+      "top4_char_frac" -> 0.16, "dup5_char_frac" -> 0.15,
+      "dup6_char_frac" -> 0.14, "dup7_char_frac" -> 0.13,
+      "dup8_char_frac" -> 0.12, "dup9_char_frac" -> 0.11,
+      "dup10_char_frac" -> 0.10)
+    docs(spark, dir)
+      .select(col("doc_id"), graft.functions.GraftFunctions.gopherRepetition(
+        col("doc_id").cast("string"), col("text")).as("p"))
+      .select(col("doc_id") +: p("n_words").as("n_words") +: fracs: _*)
+      .withColumn("passes_repetition",
+        thresholds.map { case (c, t) => col(c) <= t }
+          .reduce(_ && _).cast("int"))
+  }
+
   def c4LineClean(spark: SparkSession, dir: String, meanLen: Int = 5,
       minWords: Int = 4, block: String = "dup", minLines: Int = 3): DataFrame = {
     val words = split(col("text"), " ")

@@ -4,8 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CmsSketch, CosineSimilarity, DotI64,
-  GraftFunctions, HllMerge, HllSketch, JaccardSorted, KmvSketch, MinHashAffine,
-  MinHashSig, RepetitionProfile, SimHash64, SrpSigs, TopKRankAgg, WordShingles}
+  GopherRepetition, GraftFunctions, HllMerge, HllSketch, JaccardSorted,
+  KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile, SimHash64, SrpSigs,
+  TopKRankAgg, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -55,6 +56,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("repetition_profile", classOf[RepetitionProfile],
       exprs => RepetitionProfile(exprs.head))
     inject("dot_i64", classOf[DotI64], exprs => DotI64(exprs(0), exprs(1)))
+    inject("gopher_repetition", classOf[GopherRepetition],
+      exprs => GopherRepetition(exprs(0), exprs(1)))
     inject("bpe_merge", classOf[BpeMerge],
       exprs => BpeMerge(exprs(0), exprs(1), exprs(2)))
   }

@@ -826,6 +826,100 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
   }
 
+  test("qt29 Gopher repetition battery matches an independent reference") {
+    // independent replay: hex-string md5 parsing (not md5Halves bit math),
+    // Vector/groupBy counting (not the expression's HashMap pass)
+    val sf = "/root/testdata/sf0.001"
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    def md560(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15), 16)
+    def byteLt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    def frac(num: Long, den: Long): Double =
+      if (den == 0L) 0.0 else round6(num.toDouble / den)
+    val thresholds = Seq(0.30, 0.20, 0.30, 0.20, 0.20, 0.18, 0.16,
+      0.15, 0.14, 0.13, 0.12, 0.11, 0.10)
+    def reference(docId: Long, text: String): (Long, Seq[Double], Int) = {
+      val words = text.toLowerCase.split(" ", -1).toVector
+      val wchars = words.map(cp).sum
+      def segStats(mod: Int): (Long, Long, Long, Long) = {
+        val segs = Vector.newBuilder[String]
+        val cur = new StringBuilder
+        var first = true
+        for (i <- words.indices) {
+          if (!first) cur.append(' ')
+          cur.append(words(i)); first = false
+          if (md560(s"$docId:$i") % mod == 0 || i == words.length - 1) {
+            if (cur.nonEmpty) segs += cur.toString
+            cur.clear(); first = true
+          }
+        }
+        val ss = segs.result()
+        val counts = ss.groupBy(identity).view.mapValues(_.size.toLong)
+        (ss.size.toLong, ss.map(cp).sum,
+          counts.values.map(_ - 1).sum,
+          counts.map { case (s, c) => (c - 1) * cp(s) }.sum)
+      }
+      def grams(n: Int): Vector[String] =
+        (0 to words.length - n).map(i => words.slice(i, i + n).mkString(" ")).toVector
+      def topNum(n: Int): Long = {
+        val gs = grams(n)
+        if (gs.isEmpty) 0L
+        else {
+          val counts = gs.groupBy(identity).view.mapValues(_.size).toMap
+          val maxC = counts.values.max
+          val top = counts.collect { case (g, c) if c == maxC => g }
+            .reduceLeft((a, b) => if (byteLt(a, b)) a else b)
+          maxC.toLong * (cp(top) - (n - 1))
+        }
+      }
+      def dupCov(n: Int): Long = {
+        val gs = grams(n)
+        val counts = gs.groupBy(identity).view.mapValues(_.size).toMap
+        val cov = Array.fill(words.length)(false)
+        for (i <- gs.indices if counts(gs(i)) >= 2; j <- i until i + n)
+          cov(j) = true
+        words.indices.collect { case j if cov(j) => cp(words(j)) }.sum
+      }
+      val (nl, lc, dlo, dlc) = segStats(5)
+      val (np, pc, dpo, dpc) = segStats(15)
+      val fracs = Seq(frac(dlo, nl), frac(dlc, lc), frac(dpo, np), frac(dpc, pc)) ++
+        Seq(2, 3, 4).map(n => frac(topNum(n), wchars)) ++
+        (5 to 10).map(n => frac(dupCov(n), wchars))
+      val passes = if (fracs.zip(thresholds).forall { case (f, t) => f <= t }) 1 else 0
+      (words.length.toLong, fracs, passes)
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextAnalysis.gopherRepetition(spark, sf).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (nw, fracs, passes) = reference(id, docs(id))
+      assert(r.getLong(1) == nw, s"doc $id n_words")
+      fracs.zipWithIndex.foreach { case (f, i) =>
+        assert(r.getDouble(2 + i) == f, s"doc $id frac $i: got ${r.getDouble(2 + i)} want $f")
+      }
+      assert(r.getInt(15) == passes, s"doc $id passes")
+    }
+    // the battery discriminates on this corpus: both outcomes occur
+    val flags = got.map(_.getInt(15)).toSet
+    assert(flags == Set(0, 1), s"degenerate pass flags: $flags")
+  }
+
   test("BPE merges match an in-memory reference trainer on the dup corpus") {
     // reference: word-type BPE with the same greedy left-to-right merge and
     // (count DESC, l ASC, r ASC) tie-break

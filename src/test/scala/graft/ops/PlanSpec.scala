@@ -341,6 +341,14 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("FileScan parquet"), plan)
   }
 
+  test("qt29 Gopher repetition is map-only: zero exchanges, native expression") {
+    val plan = planOf(TextAnalysis.gopherRepetition(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("gopher_repetition"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    assert(plan.contains("FileScan parquet"), plan)
+  }
+
   test("qs5: int8 ANN runs the native integer dot against a broadcast query side") {
     val plan = planOf(Similarity.annInt8(spark, sf))
     assert(plan.contains("dot_i64"), plan)

@@ -85,6 +85,13 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(rep.getLong(0) == 4L && rep.getLong(1) == 2L &&
         rep.getString(2) == "a b" && rep.getLong(3) == 2L && rep.getLong(4) == 3L,
         rep.toString)
+      // gopher_repetition: segmentation-independent fields of 'x y x y z' —
+      // 5 words of 5 chars; top bigram 'x y' twice (num = 2 * 2 word chars);
+      // no 5-gram repeats
+      val gop = spark.sql("SELECT gopher_repetition('7', 'x y x y z') AS g")
+        .head.getStruct(0)
+      assert(gop.getLong(0) == 5L && gop.getLong(1) == 5L &&
+        gop.getLong(10) == 4L && gop.getLong(13) == 0L, gop.toString)
     } finally spark.stop()
   }
 }
