@@ -172,6 +172,8 @@ object SparkEntry {
       TextAnalysis.lmScore(s, d)),
     "qt17_quantile_hist" -> ((s: SparkSession, d: String) =>
       TextAnalysis.quantileHist(s, d)),
+    "qt30_kn_lm_score" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.knLmScore(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ccnetBuckets(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
@@ -2016,6 +2018,44 @@ object SparkEntry {
     "qt16_lm_score" -> (lmScoreCte +
       """
          SELECT doc_id, n_bigrams, avg_logp FROM lmsc"""),
+    // interpolated Kneser-Ney bigram LM: every quantity from one bigram
+    // count table, the probability in the identical pinned f64 tree
+    // (doubles forced via 0.75e0 / CASTs), logs order-pinned like qt16
+    "qt30_kn_lm_score" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         bi AS (
+           SELECT doc_id, unnest(
+             [words[i] || ' ' || words[i+1]
+              FOR i IN range(1, GREATEST(len(words)-1, 0)+1)]) AS bg
+           FROM w),
+         inst AS (
+           SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+           FROM bi),
+         cb AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY bg),
+         cbs AS (
+           SELECT bg, cb, string_split(bg, ' ')[1] AS w1,
+             string_split(bg, ' ')[2] AS w2
+           FROM cb),
+         ls AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu, COUNT(*) AS n1l
+                FROM cbs GROUP BY w1),
+         rs AS (SELECT w2, COUNT(*) AS n1r FROM cbs GROUP BY w2),
+         nt AS (SELECT COUNT(*) AS nt FROM cb),
+         lp AS (
+           SELECT inst.doc_id,
+             ROUND(ln((CAST(cb.cb AS DOUBLE) - 0.75e0) / ls.cu
+               + (0.75e0 * ls.n1l / ls.cu)
+                 * (CAST(rs.n1r AS DOUBLE) / nt.nt)), 9) AS logp
+           FROM inst JOIN cb USING (bg)
+             JOIN ls ON ls.w1 = inst.w1
+             JOIN rs ON rs.w2 = inst.w2 CROSS JOIN nt)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS kn_logp
+         FROM lp GROUP BY doc_id""",
     // per-language head/middle/tail thresholds as the minimal descending-
     // cumulative crossings of ceil(n/3)/ceil(2n/3) over the (lang, score)
     // value histogram — ties closed into the better bucket

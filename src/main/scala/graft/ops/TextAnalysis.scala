@@ -393,6 +393,64 @@ object TextAnalysis {
           (acc, x) => acc + x) / count(lit(1)), 6).as("avg_logp"))
   }
 
+  /** qt30: interpolated Kneser-Ney bigram LM scoring — the smoothing family
+    * the production perplexity filter actually uses (CCNet trains KenLM,
+    * whose default is interpolated modified KN — Wenzek et al. 2019 §3;
+    * Chen & Goodman 1998 §4.1.6; Heafield 2011). qt16's add-one model
+    * over-penalizes rare-but-valid continuations; KN discounts observed
+    * bigrams by a fixed D and redistributes the held-out mass by CONTINUATION
+    * counts (how many distinct contexts a word follows), the property that
+    * makes "san francisco" cheap but "the francisco" expensive:
+    *
+    *   P(w2|w1) = (c(w1 w2) - D)/c(w1) + (D * N1+(w1 *)/c(w1)) * Pcont(w2)
+    *   Pcont(w2) = N1+(* w2) / N1+(* *),   D = 0.75 (exact in binary)
+    *
+    * with c(w1) = the context count (sum of bigram counts with left w1), so
+    * every quantity derives from ONE bigram count table and observed
+    * instances always have positive numerators (c >= 1 > D).
+    *
+    * Scale shape: the bigram table and its two marginal aggregations are
+    * vocabulary-sized — plain AQE-gated joins (qt9/qt16's rationale); the
+    * only broadcast is the 1-row N1+(* *) scalar. Float discipline: the
+    * probability is f64 arithmetic over exact integer counts and the
+    * exactly-representable 0.75 in a PINNED expression-tree shape (both
+    * engines evaluate the identical left-associated tree), the per-instance
+    * logs round to 9 digits and fold in sorted order (qt16's order-pinned
+    * aggregation), so the oracle reproduces the whole score bit-for-bit.
+    */
+  def knLmScore(spark: SparkSession, dir: String): DataFrame = {
+    val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+    val bigrams = when(size(col("w")) >= 2,
+      transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val inst = base.select(col("doc_id"), explode(bigrams).as("bg"))
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    val cbs = cb
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    val ls = cbs.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cu"), count(lit(1)).as("n1l"))
+    val rs = cbs.groupBy(col("w2")).agg(count(lit(1)).as("n1r"))
+    val nt = cb.agg(count(lit(1)).as("nt"))
+    // the pinned f64 tree: X + Y*Z with X=(cb-D)/cu, Y=D*n1l/cu, Z=n1r/nt
+    val p = (col("cb").cast("double") - lit(0.75d)) / col("cu") +
+      (lit(0.75d) * col("n1l") / col("cu")) *
+        (col("n1r").cast("double") / col("nt"))
+    inst.join(cb, Seq("bg"))
+      .join(ls, Seq("w1"))
+      .join(rs, Seq("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("logp", round(log(p), 9))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(array_sort(collect_list(col("logp"))), lit(0.0d),
+          (acc, x) => acc + x) / count(lit(1)), 6).as("kn_logp"))
+  }
+
   /** qt28: CCNet head/middle/tail perplexity buckets (Wenzek et al. 2019
     * §4.3) — the split every CCNet-derived corpus ships: per LANGUAGE,
     * documents are cut into thirds by LM score ([[lmScore]]'s avg_logp;

@@ -920,6 +920,60 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags == Set(0, 1), s"degenerate pass flags: $flags")
   }
 
+  test("qt30 Kneser-Ney LM matches an independent reference and normalizes") {
+    val sf = "/root/testdata/sf0.001"
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def words(t: String): Vector[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toVector
+    val allBigrams = texts.flatMap { case (_, t) =>
+      val w = words(t); if (w.length < 2) Nil else w.sliding(2).map(_.mkString(" "))
+    }
+    val cb = allBigrams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cu = cb.toSeq.groupBy(_._1.split(" ")(0)).view
+      .mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap // (context count, N1+(w1 *))
+    val n1r = cb.keys.groupBy(_.split(" ")(1)).view.mapValues(_.size.toLong).toMap
+    val nt = cb.size.toLong
+    val d = 0.75
+    def pkn(w1: String, w2: String): Double = {
+      val (c1, l1) = cu(w1)
+      val disc = math.max(cb.getOrElse(s"$w1 $w2", 0L).toDouble - d, 0.0) / c1
+      disc + (d * l1 / c1) * (n1r.getOrElse(w2, 0L).toDouble / nt)
+    }
+    // interpolated KN normalizes: sum over the FULL vocab of P(.|w1) = 1
+    // (the held-out discount mass exactly funds the continuation model)
+    val vocab = n1r.keys.toVector
+    cu.keys.take(5).foreach { w1 =>
+      val s = vocab.map(w2 => pkn(w1, w2)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"context '$w1' sums to $s")
+    }
+    // per-doc scores: logs rounded to 9, sorted, folded in order, / n, round 6
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = texts.flatMap { case (id, t) =>
+      val w = words(t)
+      if (w.length < 2) None
+      else {
+        val logs = w.sliding(2).map(p => round9(math.log(pkn(p(0), p(1)))))
+          .toArray.sorted
+        Some(id -> (w.length - 1L, round6(logs.foldLeft(0.0)(_ + _) / logs.length)))
+      }
+    }.toMap
+    val got = TextAnalysis.knLmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"doc $id: got ${got(id)} want $v")
+    }
+    // KN must diverge from qt16's add-one scores (it is a different model)
+    val add1 = TextAnalysis.lmScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(want.exists { case (id, (_, s)) => s != add1(id) })
+  }
+
   test("BPE merges match an in-memory reference trainer on the dup corpus") {
     // reference: word-type BPE with the same greedy left-to-right merge and
     // (count DESC, l ASC, r ASC) tie-break
