@@ -187,6 +187,8 @@ object CleanJob {
       lineGated: Long = 0L,
       lineLinesDropped: Long = 0L,
       nDelivered: Long = 0L,
+      repetitionGated: Long = 0L,
+      nReleased: Long = 0L,
       stageSecs: Map[String, Double] = Map.empty)
 
   /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
@@ -407,6 +409,35 @@ object CleanJob {
       } finally prof.unpersist()
     }
 
+    // stage 7: Gopher repetition gate (qt29's operator, Rae et al. 2021
+    // §A1.1) — the MassiveText repetition battery over the delivered table:
+    // docs failing ANY of the thirteen published thresholds (dup lines/
+    // paragraphs, top-{2,3,4}-gram and dup-{5..10}-gram character
+    // fractions) are dropped. One map-only native-expression pass plus a
+    // semi join; runs LAST because its md5 line segmentation must see the
+    // line-cleaned rebuild (production pipelines run it among the quality
+    // filters pre-dedup; here the dedup stages are verified against planted
+    // populations the gate must not perturb).
+    val nDeliveredCnt = lineStats("delivered")
+    val repStats = stage("repetition_gate", nDeliveredCnt) {
+      val prof = TextAnalysis.gopherRepetition(spark, s"$outDir/delivered")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val gated = prof.filter(col("passes_repetition") === 0).count()
+        spark.read.parquet(s"$outDir/delivered/documents.parquet")
+          .join(prof.filter(col("passes_repetition") === 1).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .write.mode("overwrite")
+          .parquet(s"$outDir/released/documents.parquet")
+        val nOut = spark.read.parquet(s"$outDir/released/documents.parquet")
+          .count()
+        require(nOut == nDeliveredCnt - gated,
+          s"repetition stage drops exactly the gated docs: $nOut != " +
+            s"$nDeliveredCnt - $gated")
+        Map("gated" -> gated, "released" -> nOut)
+      } finally prof.unpersist()
+    }
+
     val stats = CleanStats(
       nInput = nInput,
       urlRemoved = nInput - urlKept,
@@ -421,6 +452,8 @@ object CleanJob {
       lineGated = lineStats("gated"),
       lineLinesDropped = lineStats("lines_dropped"),
       nDelivered = lineStats("delivered"),
+      repetitionGated = repStats("gated"),
+      nReleased = repStats("released"),
       stageSecs = stageSecs.toMap)
 
     require(stats.nFinal ==
@@ -429,6 +462,8 @@ object CleanJob {
       s"lineage does not conserve: $stats")
     require(stats.nDelivered == stats.nFinal - stats.lineGated,
       s"line-stage lineage does not conserve: $stats")
+    require(stats.nReleased == stats.nDelivered - stats.repetitionGated,
+      s"repetition-stage lineage does not conserve: $stats")
     stats
   }
 }
@@ -489,6 +524,8 @@ object CleanJobRunner {
       f""""line_gated":${stats.lineGated},""" +
       f""""line_lines_dropped":${stats.lineLinesDropped},""" +
       f""""n_delivered":${stats.nDelivered},""" +
+      f""""repetition_gated":${stats.repetitionGated},""" +
+      f""""n_released":${stats.nReleased},""" +
       f""""stage_secs":{$stages},""" +
       f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
     spark.stop()

@@ -153,6 +153,19 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       // blocklist token never survives (any line containing it is dropped)
       assert(!b.contains("graft"), s"doc ${r.getLong(0)} kept a graft line")
     }
+
+    // stage 7: the Gopher repetition gate releases exactly the delivered
+    // docs that pass all thirteen thresholds (qt29's operator, cross-checked
+    // here by rerunning it over the delivered table)
+    val released = spark.read.parquet(s"$out/released/documents.parquet")
+    assert(released.count() == stats.nReleased)
+    assert(stats.nReleased == stats.nDelivered - stats.repetitionGated)
+    val passIds = graft.ops.TextAnalysis.gopherRepetition(spark, s"$out/delivered")
+      .filter(col("passes_repetition") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val releasedIds = released.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(releasedIds == passIds,
+      s"released set != repetition-pass set (${releasedIds.size} vs ${passIds.size})")
   }
 
   test("kill-and-resume: completed stages are skipped, lineage identical") {
