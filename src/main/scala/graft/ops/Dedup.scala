@@ -933,27 +933,18 @@ object Dedup {
     val base = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .withColumn("n_tokens", size(col("words")).cast("long"))
+    // one O(n) native pass (graft.functions.WinnowFps): positional k-gram
+    // md5-60 hashes + rightmost-min-per-window selection via a monotonic
+    // deque. The composed column form this replaces LOOKED map-only but
+    // CollapseProject inlined the full hash-array transform into every
+    // window term — O(n^2 * win * k) md5 calls per doc, measured 579 s at
+    // sf0.1 vs sub-second now; selection semantics unchanged (OpsSpec pins
+    // them against an independent reference, the oracle replays them).
     base.where(col("n_tokens") >= k + win - 1)
-      .withColumn("h", transform(
-        sequence(lit(0), (col("n_tokens") - k).cast("int")),
-        i => conv(substring(md5(
-          array_join(slice(col("words"), i + 1, lit(k)), " ")),
-          1, 15), 16, 10).cast("long")))
-      // window j (0-based, size(h)-win+1 windows) selects the rightmost
-      // position attaining the window min; consecutive windows usually
-      // re-select the same position, so distinct the selection
-      .withColumn("sel", array_distinct(transform(
-        sequence(lit(0), (size(col("h")) - win).cast("int")),
-        j => j + aggregate(
-          sequence(lit(0), lit(win - 1)),
-          lit(0),
-          (acc, i) => when(
-            element_at(col("h"), (j + i + 1).cast("int")) ===
-              array_min(slice(col("h"), j + 1, lit(win))), i)
-            .otherwise(acc)))))
-      .select(col("doc_id"), col("h"), explode(col("sel")).as("p"))
-      .select(col("doc_id"), col("p").cast("long").as("pos"),
-        element_at(col("h"), (col("p") + 1).cast("int")).as("fp"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.winnowFps(col("words"), k, win))
+          .as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
   }
 
   /** qd16: winnowing-fingerprint CONTAINMENT pairs — the MOSS scoring step

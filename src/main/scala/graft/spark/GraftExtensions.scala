@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CmsSketch, CosineSimilarity, DotI64,
   GopherRepetition, GraftFunctions, HllMerge, HllSketch, JaccardSorted,
   KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile, SimHash64, SrpSigs,
-  TopKRankAgg, WordShingles}
+  TopKRankAgg, WinnowFps, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -58,6 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("dot_i64", classOf[DotI64], exprs => DotI64(exprs(0), exprs(1)))
     inject("gopher_repetition", classOf[GopherRepetition],
       exprs => GopherRepetition(exprs(0), exprs(1)))
+    inject("winnow_fps", classOf[WinnowFps],
+      exprs => WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
     inject("bpe_merge", classOf[BpeMerge],
       exprs => BpeMerge(exprs(0), exprs(1), exprs(2)))
   }

@@ -92,6 +92,14 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getStruct(0)
       assert(gop.getLong(0) == 5L && gop.getLong(1) == 5L &&
         gop.getLong(10) == 4L && gop.getLong(13) == 0L, gop.toString)
+      // winnow_fps: 8 words, k=3, win=4 -> 6 grams, 3 windows, 1..3
+      // distinct ascending positions in [0, 5]
+      val wf = spark.sql(
+        "SELECT winnow_fps(array('a','b','a','a','b','a','b','a'), 3, 4) AS w")
+        .head.getSeq[org.apache.spark.sql.Row](0)
+      val poss = wf.map(_.getLong(0))
+      assert(poss.nonEmpty && poss.length <= 3 && poss == poss.sorted &&
+        poss.forall(p => p >= 0 && p <= 5), wf.toString)
     } finally spark.stop()
   }
 }
