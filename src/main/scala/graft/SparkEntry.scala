@@ -126,6 +126,8 @@ object SparkEntry {
       LinkGraph.hostComponents(s, d)),
     "qg3_host_hyperball" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostHyperball(s, d)),
+    "qg4_host_harmonic" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostHarmonic(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -856,6 +858,69 @@ object SparkEntry {
         LEFT JOIN b$k ON b$k.node = h.ch AND b$k.bucket = bk.bucket"""
   }
 
+  /** qg4's oracle, generated: the qg3 register iteration (same b_i chain),
+    * then per-round HLL estimates and the harmonic sum — the 2^-register
+    * sum carried as the exact int64 sum of 2^(55-reg) over the DENSE
+    * 64-bucket grid, the m=64 alpha constant interpolated as the identical
+    * f64 literal both engines parse, the <= 2.5m linear-counting rule,
+    * 9-digit per-round rounding, and the ascending-radius left-associated
+    * harmonic fold (LinkGraph.hostHarmonic).
+    */
+  private def harmonicOracleSql(k: Int): String = {
+    val cNum = 0.709 * 64 * 64 * math.pow(2.0, 55)
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS (
+            SELECT node, bucket, MAX(reg) AS reg FROM (
+              SELECT node, bucket, reg FROM b${i - 1}
+              UNION ALL
+              SELECT e.dst, p.bucket, p.reg
+              FROM edges e JOIN b${i - 1} p ON p.node = e.src)
+            GROUP BY node, bucket)"""
+    }.mkString(",\n        ")
+    val ests = (0 to k).map { i =>
+      s"""est$i AS (
+            SELECT node,
+              ROUND(CASE WHEN ($cNum / s2) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v) ELSE ($cNum / s2) END, 9) AS e
+            FROM (
+              SELECT h.ch AS node,
+                CAST(SUM(CASE WHEN COALESCE(b.reg, 0) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+                CAST(SUM(CAST(1 AS BIGINT) << (55 - COALESCE(b.reg, 0)))
+                  AS BIGINT) AS s2
+              FROM hosts h
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) bk
+              LEFT JOIN b$i b ON b.node = h.ch AND b.bucket = bk.bucket
+              GROUP BY h.ch))"""
+    }.mkString(",\n        ")
+    val harm = (1 to k).map(i => s"(est$i.e - est${i - 1}.e) / $i.0")
+      .mkString(" + ")
+    val joins = (1 to k).map(i => s"JOIN est$i ON est$i.node = est0.node")
+      .mkString("\n          ")
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 64 AS ch FROM documents),
+        e0 AS (
+          SELECT ch AS a,
+            CASE WHEN ch IN (8, 19, 44, 63) THEN ch ELSE ch + 1 END AS b
+          FROM hosts),
+        edges AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        b0 AS (
+          SELECT ch AS node, h % 64 AS bucket,
+            CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS reg
+          FROM (SELECT ch,
+              CAST('0x' || substr(md5(CAST(ch AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM hosts)),
+        $rounds,
+        $ests
+        SELECT est0.node AS host_id,
+          ROUND(est$k.e, 6) AS reach_est,
+          ROUND($harm, 6) AS harmonic
+        FROM est0
+          $joins"""
+  }
+
   /** Shared bigram-LM score CTE (qt16/qt28): add-one-smoothed bigram model,
     * per-instance logs rounded to 9 digits and summed in sorted order (the
     * order-pinned f64 fold both engines replay); ends in the per-doc table
@@ -1061,6 +1126,10 @@ object SparkEntry {
          FROM w JOIN kk USING (canon_url)"""),
     "qg1_host_pagerank" -> pagerankOracleSql(5),
     "qg3_host_hyperball" -> hyperballOracleSql(4),
+    // harmonic centrality: the qg3 register chain + per-round HLL estimates
+    // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
+    // the ascending-radius harmonic fold — hash-matched end to end
+    "qg4_host_harmonic" -> harmonicOracleSql(4),
     // reachability recomputed with a recursive CTE (min reachable label) —
     // independent of the pointer-jumping CC implementation (qd6 discipline)
     "qg2_host_components" ->

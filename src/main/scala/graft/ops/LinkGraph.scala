@@ -170,6 +170,78 @@ object LinkGraph {
     }
   }
 
+  /** qg4: harmonic centrality from HyperBall (Boldi & Vigna 2013 §6 — the
+    * centrality behind Common Crawl's published host ranks): per host,
+    * H(v) = sum_{r>=1} (N(v,r) - N(v,r-1)) / r with N(v,r) the HLL estimate
+    * of |ball(v,r)| — [[hostHyperball]]'s iteration with the standard
+    * estimator applied to every round's registers. One pass of the same
+    * register-wise-max dataflow computes ALL radii at once; the estimate is
+    * a pure function of the (already oracle-replayed) integer registers:
+    * the 2^-register sum is carried as the EXACT int64 sum of
+    * 2^(55-register) (<= 64 * 2^55 < 2^63 — no float-order ambiguity), the
+    * m=64 alpha constant and the <= 2.5m linear-counting rule (m*ln(m/V)
+    * when zero registers V > 0) evaluate in a pinned f64 tree, per-round
+    * estimates round to 9 digits, and the harmonic sum folds radii in
+    * ascending order — so the DuckDB oracle hash-matches the whole
+    * centrality, not an epsilon of it.
+    */
+  def hostHarmonic(spark: SparkSession, dir: String, rounds: Int = 4,
+      m: Int = 64): DataFrame = {
+    require(m == 64, "estimate constants are pinned for m = 64")
+    import graft.functions.GraftFunctions
+    val cNum = 0.709 * m * m * math.pow(2.0, 55) // alpha_64 * m^2 * 2^55
+    def estOf(ball: DataFrame, r: Int): DataFrame =
+      ball.select(col("node"),
+        size(filter(col("sk"), x => x === 0)).cast("long").as("v"),
+        expr("aggregate(sk, CAST(0 AS BIGINT), " +
+          "(acc, r) -> acc + shiftleft(CAST(1 AS BIGINT), 55 - r))").as("s2"))
+        .withColumn("raw", lit(cNum) / col("s2"))
+        .select(col("node"),
+          round(when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .otherwise(col("raw")), 9).as(s"e$r"))
+        .localCheckpoint(true) // 64 rows; lets the source ball release
+    val e0 = docs(spark, dir)
+      .select((col("doc_id") % 64).as("ch"))
+      .select(col("ch").as("a"),
+        when(col("ch").isin(8L, 19L, 44L, 63L), col("ch"))
+          .otherwise(col("ch") + 1).as("b"))
+      .distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist()
+    try {
+      edges.count()
+      var ball = edges.select(col("src").as("node")).distinct()
+        .groupBy(col("node"))
+        .agg(GraftFunctions.hllSketch(col("node").cast("string"), m).as("sk"))
+        .localCheckpoint(true)
+      var ests = Vector(estOf(ball, 0))
+      for (r <- 1 to rounds) {
+        val contrib = ball.union(
+          edges.join(ball.withColumnRenamed("node", "src"), "src")
+            .select(col("dst").as("node"), col("sk")))
+        val next = contrib.groupBy(col("node"))
+          .agg(GraftFunctions.hllMerge(col("sk"), m).as("sk"))
+          .localCheckpoint(true)
+        ests = ests :+ estOf(next, r)
+        ball.unpersist()
+        ball = next
+      }
+      ball.unpersist()
+      val joined = ests.reduce(_.join(_, Seq("node")))
+      // ascending-radius left-associated fold, the order the oracle replays
+      val harmonic = (1 to rounds)
+        .map(r => (col(s"e$r") - col(s"e${r - 1}")) / lit(r.toDouble))
+        .reduce(_ + _)
+      joined.select(col("node").as("host_id"),
+        round(col(s"e$rounds"), 6).as("reach_est"),
+        round(harmonic, 6).as("harmonic"))
+    } finally {
+      edges.unpersist(); ()
+    }
+  }
+
   def hostComponents(spark: SparkSession, dir: String,
       maxRounds: Int = 16): DataFrame = {
     val edges = docs(spark, dir)

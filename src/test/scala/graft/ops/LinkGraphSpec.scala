@@ -144,4 +144,58 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ObjectHashAggregate"), plan)
   }
+
+  test("qg4 harmonic centrality matches an exact-ball estimate replay") {
+    val rounds = 4
+    val m = 64
+    val hosts = (0L until 64L).toVector
+    val e0 = hosts.map(h => (h, if (Set(8L, 19L, 44L, 63L)(h)) h else h + 1))
+    val adj = (e0 ++ e0.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def ballMembers(v: Long, r: Int): Set[Long] = {
+      var cur = Set(v)
+      for (_ <- 1 to r) cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Set.empty[Long]))
+      cur
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def registers(members: Set[Long]): Array[Int] = {
+      val regs = new Array[Int](m)
+      members.foreach { v =>
+        md.reset()
+        val h = graft.functions.GraftImpl.md5Halves(
+          md.digest(v.toString.getBytes("UTF-8")))._1
+        val bucket = (h & (m - 1)).toInt
+        val w = h >>> 6
+        val rank =
+          if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(bucket)) regs(bucket) = rank
+      }
+      regs
+    }
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val cNum = 0.709 * m * m * math.pow(2.0, 55)
+    def estimate(regs: Array[Int]): Double = {
+      val v = regs.count(_ == 0).toLong
+      val s2 = regs.map(r => 1L << (55 - r)).sum
+      val raw = cNum / s2
+      round9(if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw)
+    }
+    val got = LinkGraph.hostHarmonic(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got.keySet == hosts.toSet)
+    hosts.foreach { h =>
+      val ests = (0 to rounds).map(r => estimate(registers(ballMembers(h, r))))
+      val harmonic = round6((1 to rounds)
+        .map(r => (ests(r) - ests(r - 1)) / r.toDouble).reduceLeft(_ + _))
+      assert(got(h) == ((round6(ests(rounds)), harmonic)),
+        s"host $h: got ${got(h)} want (${round6(ests(rounds))}, $harmonic)")
+    }
+    // centrality sanity on the planted chains: a 25-chain interior node
+    // reaches more hosts per radius than its chain endpoint
+    assert(got(32L)._2 > got(20L)._2,
+      s"interior 32 (${got(32L)._2}) should outrank endpoint 20 (${got(20L)._2})")
+  }
 }
