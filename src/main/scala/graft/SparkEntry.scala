@@ -128,6 +128,8 @@ object SparkEntry {
       LinkGraph.hostHyperball(s, d)),
     "qg4_host_harmonic" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostHarmonic(s, d)),
+    "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
+      Relational.q20ZorderLayout(s, d)),
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
@@ -858,6 +860,39 @@ object SparkEntry {
         LEFT JOIN b$k ON b$k.node = h.ch AND b$k.bucket = bk.bucket"""
   }
 
+  /** q20's oracle, generated: the Morton interleave as 32 explicit
+    * shift/mask/shift terms over the same 16-bit dimension codes, the
+    * radix file split, and the per-file envelopes (Relational.
+    * q20ZorderLayout) — integer math end to end.
+    */
+  private def zorderOracleSql(fileBits: Int): String = {
+    val terms = (0 until 16).flatMap(k => Seq(
+      s"(((xc >> $k) & 1) << ${2 * k})",
+      s"(((yc >> $k) & 1) << ${2 * k + 1})")).mkString(" + ")
+    s"""WITH d AS (
+           SELECT user_id AS u,
+             CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h
+           FROM events),
+         env AS (
+           SELECT MIN(u) AS min_u, MAX(u) AS max_u,
+             MIN(h) AS min_h, MAX(h) AS max_h
+           FROM d),
+         c AS (
+           SELECT u, h,
+             CASE WHEN max_u = min_u THEN CAST(0 AS BIGINT)
+               ELSE (u - min_u) * 65535 // (max_u - min_u) END AS xc,
+             CASE WHEN max_h = min_h THEN CAST(0 AS BIGINT)
+               ELSE (h - min_h) * 65535 // (max_h - min_h) END AS yc
+           FROM d CROSS JOIN env),
+         z AS (SELECT u, h, $terms AS zval FROM c)
+         SELECT zval >> ${32 - fileBits} AS file,
+           COUNT(*) AS n_rows,
+           MIN(u) AS min_user, MAX(u) AS max_user,
+           MIN(h) AS min_hour, MAX(h) AS max_hour,
+           MIN(zval) AS min_z, MAX(zval) AS max_z
+         FROM z GROUP BY 1"""
+  }
+
   /** qg4's oracle, generated: the qg3 register iteration (same b_i chain),
     * then per-round HLL estimates and the harmonic sum — the 2^-register
     * sum carried as the exact int64 sum of 2^(55-reg) over the DENSE
@@ -1130,6 +1165,9 @@ object SparkEntry {
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end
     "qg4_host_harmonic" -> harmonicOracleSql(4),
+    // Morton/z-order layout: the 32-term bit interleave, radix file split,
+    // and per-file min/max envelopes — all integer math, replayed exactly
+    "q20_zorder_layout" -> zorderOracleSql(5),
     // reachability recomputed with a recursive CTE (min reachable label) —
     // independent of the pointer-jumping CC implementation (qd6 discipline)
     "qg2_host_components" ->

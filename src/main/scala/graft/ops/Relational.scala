@@ -266,6 +266,58 @@ object Relational {
         max(abs(col("sec_a") - col("sec_b"))).as("max_gap_s"))
   }
 
+  /** q20: Z-ORDER data layout (Morton-curve clustering — what Delta/Iceberg
+    * `OPTIMIZE ZORDER BY (user_id, ts)` runs before writing): interleave
+    * the bits of two 16-bit dimension codes (user_id; hour bucket of ts)
+    * into a 32-bit Morton value and radix-partition on its top 5 bits into
+    * 32 files. Emits the per-file min/max envelope of BOTH dimensions —
+    * the parquet row-group statistics a scan prunes on. The point at
+    * 100 TB: a time-ordered (natural) layout gives every file the FULL
+    * user range, so a user-selective scan reads everything; the Morton
+    * layout bounds every file in both dimensions at once, so min/max
+    * pruning works for either predicate (OpsSpec measures the pruning
+    * differential on concrete query boxes).
+    *
+    * Scale shape: code computation and interleave are 32 fixed integer
+    * bit terms (map-only, codegen'd); the only exchange is the 32-group
+    * stats aggregate with map-side partials. Everything is integer math,
+    * so the oracle replays the interleave term-for-term.
+    */
+  def q20ZorderLayout(spark: SparkSession, dir: String,
+      fileBits: Int = 5): DataFrame = {
+    // dimension values, then 16-bit codes scaled to the table's min/max
+    // envelope (what a real OPTIMIZE ZORDER does via table stats — raw
+    // values leave the high interleave bits constant and the radix split
+    // degenerate). The envelope is ONE row — broadcast-legit by the
+    // fixed-size rule.
+    val dims = t(spark, dir, "events")
+      .select(col("user_id").as("u"),
+        expr("unix_timestamp(ts) div 3600").as("h"))
+    val env = dims.agg(
+      min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+      min(col("h")).as("min_h"), max(col("h")).as("max_h"))
+    val zval = (0 until 16).flatMap { k =>
+      Seq(
+        shiftleft(shiftright(col("xc"), k).bitwiseAND(lit(1L)), 2 * k),
+        shiftleft(shiftright(col("yc"), k).bitwiseAND(lit(1L)), 2 * k + 1))
+    }.reduce(_ + _)
+    dims.crossJoin(broadcast(env))
+      .withColumn("xc", expr(
+        "CASE WHEN max_u = min_u THEN CAST(0 AS BIGINT) " +
+          "ELSE (u - min_u) * 65535 DIV (max_u - min_u) END"))
+      .withColumn("yc", expr(
+        "CASE WHEN max_h = min_h THEN CAST(0 AS BIGINT) " +
+          "ELSE (h - min_h) * 65535 DIV (max_h - min_h) END"))
+      .withColumn("zval", zval)
+      .withColumn("file", shiftright(col("zval"), 32 - fileBits))
+      .groupBy(col("file"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("u")).as("min_user"), max(col("u")).as("max_user"),
+        min(col("h")).as("min_hour"), max(col("h")).as("max_hour"),
+        min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+  }
+
   /** Sessionization via gap detection: a new session starts after a >30min
     * silence per user; pure window functions (lag + running sum), no UDF.
     */

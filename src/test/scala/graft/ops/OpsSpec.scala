@@ -920,6 +920,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flags == Set(0, 1), s"degenerate pass flags: $flags")
   }
 
+  test("q20 z-order layout: Morton replay; prunes user scans a time layout cannot") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "unix_timestamp(ts) div 3600 AS h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (minU, maxU) = (rows.map(_._1).min, rows.map(_._1).max)
+    val (minH, maxH) = (rows.map(_._2).min, rows.map(_._2).max)
+    def codeOf(v: Long, lo: Long, hi: Long): Long =
+      if (hi == lo) 0L else (v - lo) * 65535L / (hi - lo)
+    def morton(x: Long, y: Long): Long = (0 until 16).map(k =>
+      (((x >> k) & 1L) << (2 * k)) | (((y >> k) & 1L) << (2 * k + 1))).sum
+    val assigned = rows.map { case (u, h) =>
+      val z = morton(codeOf(u, minU, maxU), codeOf(h, minH, maxH))
+      (u, h, z, z >> 27)
+    }
+    val want = assigned.groupBy(_._4).view.mapValues(g =>
+      (g.length.toLong, g.map(_._1).min, g.map(_._1).max,
+        g.map(_._2).min, g.map(_._2).max, g.map(_._3).min, g.map(_._3).max))
+      .toMap
+    val got = Relational.q20ZorderLayout(spark, sf).collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(got == want)
+    // the data-skipping claim, measured: per-file (user, hour) envelopes
+    // under the z-layout vs the natural time-ordered layout of the same
+    // file count. A single-user scan must touch strictly fewer z-files —
+    // every time-slice file spans (nearly) the whole user range
+    val timeFiles = rows.sortBy(_._2)
+      .grouped(math.max(1, rows.length / got.size)).toVector
+      .map(g => (g.map(_._1).min, g.map(_._1).max))
+    val zFiles = got.values.map(v => (v._2, v._3)).toVector
+    def survivors(files: Vector[(Long, Long)], u: Long): Int =
+      files.count { case (a, b) => a <= u && u <= b }
+    val users = rows.map(_._1).distinct.sorted
+    val probes = Seq(users(users.length / 4), users(users.length / 2),
+      users(3 * users.length / 4))
+    probes.foreach { u =>
+      val (z, tm) = (survivors(zFiles, u), survivors(timeFiles, u))
+      assert(z < tm, s"user $u: z-layout touches $z files, time layout $tm")
+    }
+  }
+
   test("qt30 Kneser-Ney LM matches an independent reference and normalizes") {
     val sf = "/root/testdata/sf0.001"
     val texts = spark.read.parquet(s"$sf/documents.parquet")
