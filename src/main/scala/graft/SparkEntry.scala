@@ -192,6 +192,8 @@ object SparkEntry {
       Similarity.annPq(s, d)),
     "qs7_ann_ivfpq" -> ((s: SparkSession, d: String) =>
       Similarity.annIvfPq(s, d)),
+    "qs8_ann_rerank" -> ((s: SparkSession, d: String) =>
+      Similarity.annRerank(s, d)),
     "qt20_gopher_rules" -> ((s: SparkSession, d: String) =>
       TextAnalysis.gopherRules(s, d)),
     "qt21_dsir_weights" -> ((s: SparkSession, d: String) =>
@@ -489,7 +491,13 @@ object SparkEntry {
     * hash-matches (Similarity.annIvfPq / ivfPqModel).
     */
   private def ivfpqOracleSql(kc: Int, nprobe: Int, m: Int, ks: Int,
-      rounds: Int, sampleCap: Int, nQueries: Int, topK: Int): String = {
+      rounds: Int, sampleCap: Int, nQueries: Int, topK: Int): String =
+    ivfpqCteSql(kc, nprobe, m, ks, rounds, sampleCap, nQueries, topK, "ivfq") +
+      "\n         SELECT query_id, neighbor_id, rnk, adc_dist FROM ivfq"
+
+  private def ivfpqCteSql(kc: Int, nprobe: Int, m: Int, ks: Int,
+      rounds: Int, sampleCap: Int, nQueries: Int, topK: Int,
+      out: String): String = {
     val sd = "(len(q.qv)/" + m + ")" // residual subDim, derived like Spark
     val fin = rounds - 1
     s"""WITH q AS (
@@ -541,12 +549,13 @@ object SparkEntry {
            JOIN qres qr ON qr.cell = ec.code AND qr.m = e.m
            JOIN pc$fin c ON c.m = e.m AND c.cid = e.code
            WHERE e.vec_id <> qr.query_id
-           GROUP BY qr.query_id, e.vec_id)
-         SELECT query_id, vec_id AS neighbor_id, rnk, adc_dist FROM (
-           SELECT query_id, vec_id, adc_dist,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-               ORDER BY adc_dist ASC, vec_id ASC) AS rnk
-           FROM adc) WHERE rnk <= $topK"""
+           GROUP BY qr.query_id, e.vec_id),
+         $out AS (
+           SELECT query_id, vec_id AS neighbor_id, rnk, adc_dist FROM (
+             SELECT query_id, vec_id, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+             FROM adc) WHERE rnk <= $topK)"""
   }
 
   /** qt29's oracle, generated: the Gopher repetition battery replayed in
@@ -1232,6 +1241,27 @@ object SparkEntry {
     // approximate result hash-matches (defaults of Similarity.annIvfPq:
     // kc=8, nprobe=4, m=4, ks=8, rounds=2, sampleCap=4096, 5 queries, k=10)
     "qs7_ann_ivfpq" -> ivfpqOracleSql(8, 4, 4, 8, 2, 4096, 5, 10),
+    // the two-stage production query: the full IVF-PQ chain at shortlist
+    // width 100, then exact-cosine re-rank (list_cosine_similarity ==
+    // cosine_ff, the qs1-proven equivalence) — training to final ranking
+    // replayed end to end
+    "qs8_ann_rerank" ->
+      (ivfpqCteSql(8, 4, 4, 8, 2, 4096, 5, 100, "shortl") +
+        """,
+         qvv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+         sc AS (
+           SELECT s.query_id, s.neighbor_id,
+             list_cosine_similarity(CAST(qvv.embedding AS DOUBLE[]),
+               CAST(nv.embedding AS DOUBLE[])) AS cos
+           FROM shortl s
+           JOIN qvv ON qvv.vec_id = s.query_id
+           JOIN embeddings nv ON nv.vec_id = s.neighbor_id)
+         SELECT query_id, neighbor_id, rnk, cosine FROM (
+           SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cos DESC, neighbor_id ASC) AS rnk,
+             ROUND(cos, 6) AS cosine
+           FROM sc) WHERE rnk <= 10"""),
     "qt21_dsir_weights" ->
       """WITH w AS (
            SELECT doc_id, lang,

@@ -446,6 +446,42 @@ object Similarity {
         col("adc_dist"))
   }
 
+  /** ANN with exact RE-RANK — the full production retrieval path (every
+    * FAISS deployment runs exactly this two-stage shape, Jégou et al. 2011
+    * §VII): the IVF-PQ index ([[annIvfPq]]) produces a wide approximate
+    * shortlist cheaply (4-byte ADC per candidate inside probed cells),
+    * then the short candidate set re-scores against STORED full-precision
+    * vectors and re-ranks by exact cosine. The approximate stage buys the
+    * candidate-volume reduction; the exact stage buys back the ranking
+    * quality — recall is bounded only by shortlist coverage.
+    *
+    * Scale shape: the shortlist is (nQueries * shortlist) rows; its join
+    * back to stored vectors is a point-lookup join on vec_id (at rest: the
+    * index table bucketed by vec_id), the query side broadcasts, and the
+    * final window ranks shortlist-sized groups. Everything downstream of
+    * the IVF-PQ stage is exact, so the oracle replays the WHOLE two-stage
+    * query — index training included — bit-for-bit.
+    */
+  def annRerank(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, shortlist: Int = 100): DataFrame = {
+    val cand = annIvfPq(spark, dir, nQueries, topK = shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val emb = embeddings(spark, dir)
+    val qv = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", GraftFunctions.cosineFF(col("qvec"), col("nvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+        round(col("cos"), 6).as("cosine"))
+  }
+
   /** Per-subspace PQ codebooks trained with `rounds` Lloyd iterations on a
     * bounded deterministic sample (vec_id < sampleCap) of the int64 codes —
     * exact integer distances, argmin ties to the smallest code id, M-step

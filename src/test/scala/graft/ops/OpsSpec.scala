@@ -962,6 +962,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qs8 re-rank recovers exactly the true neighbors its shortlist covers") {
+    val sf = "/root/testdata/sf0.001"
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val brute = sets(Similarity.annBruteForce(spark, sf))
+    val raw = sets(Similarity.annIvfPq(spark, sf))
+    val short100 = sets(Similarity.annIvfPq(spark, sf, topK = 100))
+    val rr = sets(Similarity.annRerank(spark, sf))
+    (0L until 5L).foreach { q =>
+      // output is always a subset of the approximate shortlist
+      assert(rr(q).subsetOf(short100(q)), s"query $q left its shortlist")
+      // the exact stage is lossless within the shortlist: every true
+      // top-10 neighbor the shortlist covers is recovered
+      assert((rr(q) & brute(q)) == (short100(q) & brute(q)),
+        s"query $q: rerank ${(rr(q) & brute(q)).size} vs shortlist " +
+          s"coverage ${(short100(q) & brute(q)).size}")
+    }
+    // and the second stage adds value over raw ADC ranking on average
+    def recall(m: Map[Long, Set[Long]]): Double =
+      (0L until 5L).map(q => (m(q) & brute(q)).size / 10.0).sum / 5
+    assert(recall(rr) >= recall(raw),
+      s"rerank recall ${recall(rr)} < raw ADC recall ${recall(raw)}")
+  }
+
   test("qt30 Kneser-Ney LM matches an independent reference and normalizes") {
     val sf = "/root/testdata/sf0.001"
     val texts = spark.read.parquet(s"$sf/documents.parquet")
