@@ -78,6 +78,9 @@ object SparkEntry {
     "qd1_exact_dedup" -> (Dedup.exactDedupStats _),
     "qd2_minhash_sigs" -> ((s: SparkSession, d: String) => Dedup.minhashPortable(s, d)),
     "qd3_simhash" -> (Dedup.simhashDocs _),
+    "qd17_simhash_pairs" -> ((s: SparkSession, d: String) =>
+      Dedup.simhashPairs(s, d).select(col("doc_a"), col("doc_b"),
+        col("hamming").cast("long").as("hamming"))),
     "qd4_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccardPairs(s, d)),
     "qd5_embed_dup" -> ((s: SparkSession, d: String) =>
       Similarity.embeddingDupPairsLsh(s, d, 0.5)),
@@ -128,6 +131,8 @@ object SparkEntry {
       LinkGraph.hostHyperball(s, d)),
     "qg4_host_harmonic" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostHarmonic(s, d)),
+    "qg5_host_triangles" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostTriangles(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
       Relational.q20ZorderLayout(s, d)),
     // ---- similarity search ----
@@ -178,6 +183,8 @@ object SparkEntry {
       TextAnalysis.quantileHist(s, d)),
     "qt30_kn_lm_score" -> ((s: SparkSession, d: String) =>
       TextAnalysis.knLmScore(s, d)),
+    "qt31_char_entropy" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.charEntropyProfile(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ccnetBuckets(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
@@ -996,6 +1003,37 @@ object SparkEntry {
              list_sort(list(logp))), (a, b) -> a + b) / COUNT(*), 6) AS avg_logp
          FROM lp GROUP BY doc_id)"""
 
+  /** Shared SimHash CTE (qd3/qd17): FNV-1a 64-bit per whitespace token in
+    * HUGEINT, majority-vote fingerprint bits; ends in the signed view
+    * `sg(doc_id, simhash BIGINT, prefix16)`.
+    */
+  private val simhashCte: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(text, '[ \n\t\r]+'), x -> x <> '') AS toks
+         FROM documents),
+       h AS (
+         SELECT doc_id,
+           [list_reduce(
+              [CAST(14695981039346656037 AS HUGEINT)] ||
+              [CAST(CAST('0x' || hx[i:i+1] AS INT) AS HUGEINT)
+               FOR i IN range(1, len(hx)+1, 2)],
+              (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)
+            FOR hx IN [hex(encode(t)) FOR t IN toks]] AS hashes
+         FROM toks),
+       s AS (
+         SELECT doc_id,
+           list_sum([CASE WHEN len(list_filter(hashes, v -> (v >> j) & 1 = 1)) * 2 > len(hashes)
+             THEN (CAST(1 AS HUGEINT) << j) ELSE CAST(0 AS HUGEINT) END
+             FOR j IN range(0, 64)]) AS u
+         FROM h),
+       sg AS (
+         SELECT doc_id,
+           CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
+                THEN u - CAST(18446744073709551615 AS HUGEINT) - 1 ELSE u END AS BIGINT) AS simhash,
+           CAST(u >> 48 AS BIGINT) AS prefix16
+         FROM s)"""
+
   /** Shared winnowing-selection CTE (qd15/qd16): positional 3-gram md5-half
     * hashes, each 4-window picks its rightmost-min position, distinct.
     */
@@ -1169,6 +1207,43 @@ object SparkEntry {
            CAST(w.doc_id <> kk.kk % 1048576 AS INTEGER) AS is_stale
          FROM w JOIN kk USING (canon_url)"""),
     "qg1_host_pagerank" -> pagerankOracleSql(5),
+    // triangles: the planted edge set, the deg*100+id orientation, the
+    // wedge join and its closure — all integer math, replayed verbatim;
+    // the coefficient is one pinned division rounded to 6
+    "qg5_host_triangles" ->
+      """WITH hosts AS (SELECT DISTINCT doc_id % 64 AS h FROM documents),
+         raw AS (
+           SELECT h AS a, (h + 1) % 64 AS b FROM hosts
+           UNION ALL SELECT h, (h + 2) % 64 FROM hosts
+           UNION ALL SELECT h, (h + 4) % 64 FROM hosts WHERE h % 8 = 0),
+         und AS (
+           SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM raw),
+         deg AS (
+           SELECT n, COUNT(*) AS d FROM (
+             SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+           GROUP BY n),
+         ord AS (
+           SELECT CASE WHEN da.d * 100 + e.a < db.d * 100 + e.b
+                       THEN e.a ELSE e.b END AS u,
+             CASE WHEN da.d * 100 + e.a < db.d * 100 + e.b
+                  THEN e.b ELSE e.a END AS v,
+             GREATEST(da.d * 100 + e.a, db.d * 100 + e.b) AS kv
+           FROM und e
+             JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+         tri AS (
+           SELECT e1.u AS h0, e1.v AS h1, e2.v AS h2
+           FROM ord e1 JOIN ord e2 ON e1.u = e2.u AND e1.kv < e2.kv
+             JOIN ord e3 ON e3.u = e1.v AND e3.v = e2.v),
+         cnt AS (
+           SELECT n, COUNT(*) AS c FROM (
+             SELECT unnest([h0, h1, h2]) AS n FROM tri)
+           GROUP BY n)
+         SELECT deg.n AS host_id, CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(cnt.c, 0) AS BIGINT) AS triangles,
+           ROUND(CASE WHEN deg.d >= 2
+             THEN 2.0 * COALESCE(cnt.c, 0) / (deg.d * (deg.d - 1))
+             ELSE 0.0 END, 6) AS clustering_coeff
+         FROM deg LEFT JOIN cnt ON cnt.n = deg.n""",
     "qg3_host_hyperball" -> hyperballOracleSql(4),
     // harmonic centrality: the qg3 register chain + per-round HLL estimates
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
@@ -1740,31 +1815,19 @@ object SparkEntry {
          FROM sh""",
     // FNV-1a + bit-vote SimHash replayed exactly in HUGEINT arithmetic
     // (the byte fold is a list_reduce seeded with the FNV offset basis)
-    "qd3_simhash" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(text, '[ \n\t\r]+'), x -> x <> '') AS toks
-           FROM documents),
-         h AS (
-           SELECT doc_id,
-             [list_reduce(
-                [CAST(14695981039346656037 AS HUGEINT)] ||
-                [CAST(CAST('0x' || hx[i:i+1] AS INT) AS HUGEINT)
-                 FOR i IN range(1, len(hx)+1, 2)],
-                (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616)
-              FOR hx IN [hex(encode(t)) FOR t IN toks]] AS hashes
-           FROM toks),
-         s AS (
-           SELECT doc_id,
-             list_sum([CASE WHEN len(list_filter(hashes, v -> (v >> j) & 1 = 1)) * 2 > len(hashes)
-               THEN (CAST(1 AS HUGEINT) << j) ELSE CAST(0 AS HUGEINT) END
-               FOR j IN range(0, 64)]) AS u
-           FROM h)
-         SELECT doc_id,
-           CAST(CASE WHEN u >= CAST(9223372036854775808 AS HUGEINT)
-                THEN u - CAST(18446744073709551615 AS HUGEINT) - 1 ELSE u END AS BIGINT) AS simhash,
-           CAST(u >> 48 AS BIGINT) AS prefix16
-         FROM s""",
+    "qd3_simhash" -> (simhashCte +
+      """
+         SELECT doc_id, simhash, prefix16 FROM sg"""),
+    // simhash near-dup pairs: the oracle is BRUTE FORCE over the replayed
+    // fingerprints (all pairs, bit_count(xor) <= 8) — fully independent of
+    // the Manku two-block blocking, so hash equality IS the losslessness
+    // proof for the blocking scheme at this threshold
+    "qd17_simhash_pairs" -> (simhashCte +
+      """
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"""),
     "qd4_ngram_jaccard" ->
       """WITH w AS (
            SELECT doc_id, lang,
@@ -2150,6 +2213,35 @@ object SparkEntry {
              ' ' ORDER BY pos), '') AS pruned_text
          FROM pw JOIN d USING (word) CROSS JOIN n
          GROUP BY doc_id""",
+    // char entropy: code-point frequency table, per-term -(c/n)*ln(c/n)
+    // rounded to 9, sorted in-order f64 fold (the qt16 discipline), final
+    // fractions rounded to 6 — hash-matches the native one-pass expression
+    "qt31_char_entropy" ->
+      """WITH c AS (
+           SELECT doc_id,
+             [substr(text, i, 1) FOR i IN range(1, length(text) + 1)] AS cs
+           FROM documents),
+         f AS (
+           SELECT doc_id, ch, COUNT(*) AS c
+           FROM (SELECT doc_id, unnest(cs) AS ch FROM c) GROUP BY 1, 2),
+         n AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd, MAX(c) AS mx
+           FROM f GROUP BY 1),
+         t AS (
+           SELECT f.doc_id,
+             ROUND(-(CAST(f.c AS DOUBLE) / n.n)
+               * ln(CAST(f.c AS DOUBLE) / n.n), 9) AS term
+           FROM f JOIN n USING (doc_id)),
+         e AS (
+           SELECT doc_id,
+             ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(term))), (a, b) -> a + b), 6) AS ent
+           FROM t GROUP BY doc_id)
+         SELECT n.doc_id, n.n AS n_chars, n.nd AS n_distinct,
+           ROUND(CAST(n.mx AS DOUBLE) / n.n, 6) AS max_char_frac,
+           e.ent AS entropy_nats
+         FROM n JOIN e USING (doc_id)""",
     // bigram-LM score: integer counts -> exact rational -> ln rounded to 9
     // digits -> SORTED in-order f64 fold — order-pinned float aggregation
     "qt16_lm_score" -> (lmScoreCte +

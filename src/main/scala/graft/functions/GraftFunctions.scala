@@ -565,6 +565,56 @@ object GraftImpl {
     }
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  /** Spark-round parity: what `round(col, scale)` does for DoubleType
+    * (scala BigDecimal over Double.toString, HALF_UP) — used inside impls
+    * whose intermediate rounding must match the column-layer/DuckDB ROUND.
+    */
+  private def roundTo(v: Double, scale: Int): Double =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One-pass character-entropy profile (qt31's core): code-point frequency
+    * table, then the Shannon entropy in NATS as an ORDER-PINNED f64 fold —
+    * each term -(c/n)*ln(c/n) rounded to 9 digits (the qt16 discipline that
+    * collapses Java-vs-DuckDB `ln` ulp differences), terms sorted ascending,
+    * summed left-to-right from 0.0 — exactly what the DuckDB oracle's
+    * `list_reduce(list_prepend(0.0, list_sort(list(term))), +)` replays.
+    * Returns (n_chars, n_distinct, max_count, entropy_raw); the fractions
+    * (max_char_frac, final 6-digit round) divide once at the column layer
+    * (the gopherRepetition discipline). n_chars counts Unicode code points
+    * (= DuckDB len()); the corpus is ASCII but the impl doesn't assume it.
+    */
+  def charEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val counts = new java.util.HashMap[Integer, Int]()
+    var i = 0
+    var n = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      counts.merge(cp, 1, Integer.sum)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    if (n == 0L)
+      return org.apache.spark.sql.catalyst.InternalRow(0L, 0L, 0L, 0.0)
+    val nd = counts.size()
+    val terms = new Array[Double](nd)
+    var maxCount = 0L
+    val it = counts.values().iterator()
+    var t = 0
+    while (it.hasNext) {
+      val c = it.next().toLong
+      if (c > maxCount) maxCount = c
+      val p = c.toDouble / n.toDouble
+      terms(t) = roundTo(-p * math.log(p), 9)
+      t += 1
+    }
+    java.util.Arrays.sort(terms)
+    var ent = 0.0
+    var j = 0
+    while (j < nd) { ent += terms(j); j += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(n, nd.toLong, maxCount, ent)
+  }
 }
 
 /** cms_sketch(item, depth, width): Count-Min Sketch aggregate (Cormode &
@@ -1044,6 +1094,27 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_profile"
 }
 
+/** char_entropy(text): code-point frequency profile + order-pinned Shannon
+  * entropy in nats (see GraftImpl.charEntropy). Map-only, zero exchanges —
+  * the composed form (split to chars -> explode -> two hash aggregates)
+  * would shuffle corpus-chars rows; this is one pass per document. Never
+  * null for non-null input.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false),
+    StructField("entropy_raw", DoubleType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.charEntropy(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.charEntropy($c)")
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+  override def prettyName: String = "char_entropy"
+}
+
 /** dot_i64(a, b): exact integer dot product of two ARRAY<BIGINT> codes. */
 /** gopher_repetition(doc_id, text): the 19 integer numerators/denominators
   * of the Gopher §A1.1 repetition battery in one pass (qt29's core) — the
@@ -1211,6 +1282,8 @@ object GraftFunctions {
         .toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("repetition_profile",
       exprs => RepetitionProfile(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("char_entropy",
+      exprs => CharEntropy(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_i64",
       exprs => DotI64(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("gopher_repetition",
@@ -1290,6 +1363,10 @@ object GraftFunctions {
 
   def gopherRepetition(docId: Column, text: Column): Column = {
     ensureRegistered(); call_function("gopher_repetition", docId, text)
+  }
+
+  def charEntropy(text: Column): Column = {
+    ensureRegistered(); call_function("char_entropy", text)
   }
 
   def winnowFps(words: Column, k: Int, win: Int): Column = {

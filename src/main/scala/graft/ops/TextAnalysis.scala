@@ -1122,4 +1122,33 @@ object TextAnalysis {
         (size(col("lk")) >= minLines).cast("int").as("kept"),
         array_join(col("lk"), " ").as("clean_text"))
   }
+
+  /** qt31: character-entropy quality profile — the compressibility-proxy
+    * signal family (low char entropy or a dominant single character marks
+    * binary junk, pad runs, and template spam; Dolma and Gopher gate on
+    * zlib-ratio cousins of exactly this). Per doc: code-point count,
+    * distinct code points, the dominant character's frequency share, and
+    * Shannon entropy in nats.
+    *
+    * Scale shape: ONE map-only pass, zero exchanges — the native
+    * char_entropy expression builds the frequency table and the
+    * order-pinned entropy fold in a single traversal; the composed form
+    * would explode corpus-chars rows through two hash aggregates. The two
+    * fractions divide once at the column layer (round 6); the entropy
+    * terms round to 9 digits pre-fold inside the expression (the qt16
+    * f64-parity discipline), so the DuckDB oracle hash-matches the doubles
+    * exactly.
+    */
+  def charEntropyProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    docs(spark, dir)
+      .select(col("doc_id"), GraftFunctions.charEntropy(col("text")).as("e"))
+      .select(
+        col("doc_id"),
+        col("e.n_chars").as("n_chars"),
+        col("e.n_distinct").as("n_distinct"),
+        round(col("e.max_count").cast("double") / col("e.n_chars"), 6)
+          .as("max_char_frac"),
+        round(col("e.entropy_raw"), 6).as("entropy_nats"))
+  }
 }

@@ -3,8 +3,8 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeMerge, CmsSketch, CosineSimilarity, DotI64,
-  GopherRepetition, GraftFunctions, HllMerge, HllSketch, JaccardSorted,
+import graft.functions.{BpeMerge, CharEntropy, CmsSketch, CosineSimilarity,
+  DotI64, GopherRepetition, GraftFunctions, HllMerge, HllSketch, JaccardSorted,
   KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile, SimHash64, SrpSigs,
   TopKRankAgg, WinnowFps, WordShingles}
 
@@ -55,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         .toAggregateExpression())
     inject("repetition_profile", classOf[RepetitionProfile],
       exprs => RepetitionProfile(exprs.head))
+    inject("char_entropy", classOf[CharEntropy],
+      exprs => CharEntropy(exprs.head))
     inject("dot_i64", classOf[DotI64], exprs => DotI64(exprs(0), exprs(1)))
     inject("gopher_repetition", classOf[GopherRepetition],
       exprs => GopherRepetition(exprs(0), exprs(1)))

@@ -198,4 +198,42 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(32L)._2 > got(20L)._2,
       s"interior 32 (${got(32L)._2}) should outrank endpoint 20 (${got(20L)._2})")
   }
+
+  test("qg5 triangle counts match a brute-force adjacency enumeration") {
+    // independent reference: enumerate every neighbor pair per host over
+    // the same planted edge set — no orientation, no joins
+    val hosts = (0L until 64L).toVector
+    val raw = hosts.flatMap { h =>
+      Seq((h, (h + 1) % 64), (h, (h + 2) % 64)) ++
+        (if (h % 8 == 0) Seq((h, (h + 4) % 64)) else Nil)
+    }
+    val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (und ++ und.map(_.swap))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val edgeSet = und.toSet
+    def triOf(h: Long): Long = {
+      val ns = adj(h).toVector.sorted
+      ns.combinations(2).count { case Vector(x, y) =>
+        edgeSet.contains((math.min(x, y), math.max(x, y)))
+      }.toLong
+    }
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val got = LinkGraph.hostTriangles(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == hosts.toSet)
+    hosts.foreach { h =>
+      val d = adj(h).size.toLong
+      val t = triOf(h)
+      val cc = if (d >= 2) round6(2.0 * t / (d * (d - 1))) else 0.0
+      assert(got(h) == ((d, t, cc)), s"host $h: got ${got(h)} want ($d, $t, $cc)")
+    }
+    // every triangle is counted at exactly three hosts: global sum = 3T
+    val total = hosts.map(triOf).sum
+    assert(total % 3 == 0 && total == got.values.map(_._2).sum,
+      s"triangle mass mismatch: $total")
+    // the planted closure structure: 64 consecutive triples + 8 {h,h+2,h+4}
+    assert(total == 3 * 72, s"expected 72 distinct triangles, got ${total / 3}")
+  }
 }

@@ -92,6 +92,13 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getStruct(0)
       assert(gop.getLong(0) == 5L && gop.getLong(1) == 5L &&
         gop.getLong(10) == 4L && gop.getLong(13) == 0L, gop.toString)
+      // char_entropy('aab ba'): 6 code points, 3 distinct (a x3, b x2,
+      // space x1), terms -(c/6)ln(c/6) rounded to 9 then summed ascending:
+      // 0.298626578 + 0.346573590 + 0.366204096 = 1.011404264
+      val ce = spark.sql("SELECT char_entropy('aab ba') AS e").head.getStruct(0)
+      assert(ce.getLong(0) == 6L && ce.getLong(1) == 3L && ce.getLong(2) == 3L,
+        ce.toString)
+      assert(math.abs(ce.getDouble(3) - 1.011404264) < 1e-9, ce.toString)
       // winnow_fps: 8 words, k=3, win=4 -> 6 grams, 3 windows, 1..3
       // distinct ascending positions in [0, 5]
       val wf = spark.sql(
