@@ -138,6 +138,7 @@ object SparkEntry {
     // ---- similarity search ----
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
+    "qs9_mips" -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
     // honestly approximate: IVF coarse quantization cannot guarantee exact
     // top-k on the synthetic corpus (near-uniform random vectors, the worst
     // case for coarse quantization) without probing every cell, so qs3 stays
@@ -2550,6 +2551,19 @@ object SparkEntry {
       """SELECT doc_id,
          md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS md5_fp
          FROM documents""",
+    // MIPS: brute-force inner-product ranking; dot_ff's left-to-right f64
+    // fold == list_inner_product on the CAST DOUBLE[] arrays
+    "qs9_mips" ->
+      """SELECT query_id, neighbor_id, rnk, inner_product FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+               ORDER BY list_inner_product(CAST(q.embedding AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id ASC) AS rnk,
+             ROUND(list_inner_product(CAST(q.embedding AS DOUBLE[]),
+               CAST(e.embedding AS DOUBLE[])), 6) AS inner_product
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rnk <= 10""",
     "qs2_ann_lsh" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

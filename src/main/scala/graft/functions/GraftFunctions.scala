@@ -566,6 +566,22 @@ object GraftImpl {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Plain f64 inner product of two ARRAY<FLOAT> vectors, left-to-right —
+    * the same accumulation order DuckDB's list_inner_product applies to the
+    * CAST DOUBLE[] arrays, so MIPS scores hash-match exactly (the
+    * cosineFF↔list_cosine_similarity equivalence, minus the norms).
+    */
+  def dotFF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
   /** Spark-round parity: what `round(col, scale)` does for DoubleType
     * (scala BigDecimal over Double.toString, HALF_UP) — used inside impls
     * whose intermediate rounding must match the column-layer/DuckDB ROUND.
@@ -1094,6 +1110,20 @@ case class RepetitionProfile(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_profile"
 }
 
+/** dot_ff(a, b): f64 inner product of two ARRAY<FLOAT> vectors (MIPS
+  * scoring; left-to-right accumulation == DuckDB list_inner_product).
+  */
+case class DotFF(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftImpl.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GraftImpl.dotFF($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotFF =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_ff"
+}
+
 /** char_entropy(text): code-point frequency profile + order-pinned Shannon
   * entropy in nats (see GraftImpl.charEntropy). Map-only, zero exchanges —
   * the composed form (split to chars -> explode -> two hash aggregates)
@@ -1286,6 +1316,8 @@ object GraftFunctions {
       exprs => CharEntropy(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_i64",
       exprs => DotI64(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_ff",
+      exprs => DotFF(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("gopher_repetition",
       exprs => GopherRepetition(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("winnow_fps",
@@ -1359,6 +1391,10 @@ object GraftFunctions {
 
   def dotI64(a: Column, b: Column): Column = {
     ensureRegistered(); call_function("dot_i64", a, b)
+  }
+
+  def dotFF(a: Column, b: Column): Column = {
+    ensureRegistered(); call_function("dot_ff", a, b)
   }
 
   def gopherRepetition(docId: Column, text: Column): Column = {

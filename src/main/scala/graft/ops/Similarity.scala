@@ -610,4 +610,41 @@ object Similarity {
         aggregate(zip_with(col("q"), sequence(lit(1L), size(col("q")).cast("long")),
             (v, i) => v * i), lit(0L), (acc, v) => acc + v).as("q_checksum"))
   }
+
+  /** qs9: maximum-inner-product search (MIPS) — the retrieval/recommender
+    * objective where un-normalized magnitudes matter (user×item factors,
+    * dot-product rerankers), distinct from qs1's angle-only cosine.
+    *
+    * Scoring is the native dot_ff expression — a plain left-to-right f64
+    * fold over the f32 elements, exactly DuckDB's list_inner_product on the
+    * CAST DOUBLE[] arrays, so the approximate-free brute result hash-matches.
+    * Query side broadcasts; corpus streams through codegen; per-query top-k
+    * via the bounded window (query count is fixed and small — the q19 heap
+    * aggregate is the shape if queries ever grew).
+    *
+    * Scale path (pinned in OpsSpec rather than run here): MIPS reduces to
+    * cosine ANN by norm augmentation (Bachrach et al. 2015; Shrivastava &
+    * Li 2014) — corpus rows gain a coordinate sqrt(M² − ‖x‖²) with M the
+    * max corpus norm (one-row agg, broadcast-legit), queries gain 0; the
+    * augmented cosine orders pairs by raw inner product, so qs2's SRP-LSH
+    * buckets serve MIPS unchanged. The spec asserts the reduction's rank
+    * equivalence per query on the test corpus (tie-broken identically) —
+    * the augmentation itself stays out of the scored path because the f32
+    * augmented coordinate re-rounds ‖x̃‖ per row, which could invert
+    * near-tie orders the hash gate would catch.
+    */
+  def mipsTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("ip", GraftFunctions.dotFF(col("qvec"), col("embedding")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        round(col("ip"), 6).as("inner_product"))
+  }
 }

@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CharEntropy, CmsSketch, CosineSimilarity,
-  DotI64, GopherRepetition, GraftFunctions, HllMerge, HllSketch, JaccardSorted,
-  KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile, SimHash64, SrpSigs,
-  TopKRankAgg, WinnowFps, WordShingles}
+  DotFF, DotI64, GopherRepetition, GraftFunctions, HllMerge, HllSketch,
+  JaccardSorted, KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile,
+  SimHash64, SrpSigs, TopKRankAgg, WinnowFps, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -58,6 +58,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("char_entropy", classOf[CharEntropy],
       exprs => CharEntropy(exprs.head))
     inject("dot_i64", classOf[DotI64], exprs => DotI64(exprs(0), exprs(1)))
+    inject("dot_ff", classOf[DotFF], exprs => DotFF(exprs(0), exprs(1)))
     inject("gopher_repetition", classOf[GopherRepetition],
       exprs => GopherRepetition(exprs(0), exprs(1)))
     inject("winnow_fps", classOf[WinnowFps],

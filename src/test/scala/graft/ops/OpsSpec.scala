@@ -525,6 +525,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall { case (q, n, _) => q < 5 && n != q })
   }
 
+  test("MIPS: norm-augmentation reduction ranks identically to raw inner product") {
+    // qs9's scale path: augment corpus vectors with sqrt(M^2 - |x|^2) and
+    // queries with 0 — cosine over the augmented space must order pairs by
+    // raw inner product (Bachrach et al. 2015), so qs2's SRP buckets can
+    // serve MIPS. Replay the reduction here in exact f64 and compare the
+    // per-query ranked neighbor lists against the op's dot_ff ranking.
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }
+    val bigM = norms.values.max
+    vecs.keys.foreach { id =>
+      assert(bigM * bigM - norms(id) * norms(id) >= -1e-9,
+        s"augmented coordinate of $id would be imaginary")
+    }
+    def augCos(q: Array[Float], x: Array[Float]): Double = {
+      // q~ = [q, 0], x~ = [x, sqrt(M^2-|x|^2)]: the extra coordinate leaves
+      // the inner product unchanged and pins |x~| = M, so
+      // cos(q~, x~) = ip / (|q| * M)
+      val ip = q.zip(x).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      val qn = math.sqrt(q.map(a => a.toDouble * a.toDouble).sum)
+      ip / (qn * bigM)
+    }
+    val got = Similarity.mipsTopK(spark, sf, nQueries = 5, k = 10).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    (0L until 5L).foreach { q =>
+      val want = vecs.keys.filter(_ != q).toVector
+        .map(id => (augCos(vecs(q), vecs(id)), id))
+        .sortBy { case (c, id) => (-c, id) }.take(10).map(_._2)
+      want.zipWithIndex.foreach { case (id, i) =>
+        assert(got((q, i + 1)) == id,
+          s"query $q rank ${i + 1}: reduction says $id, op says ${got((q, i + 1))}")
+      }
+    }
+  }
+
   test("IVF ANN: exact brute-force parity at nprobe=k; recall >= 0.9 at the " +
       "suite's nprobe=12") {
     val sf = "/root/testdata/sf0.001"

@@ -92,6 +92,11 @@ class ExtensionsSpec extends AnyFunSuite {
         .head.getStruct(0)
       assert(gop.getLong(0) == 5L && gop.getLong(1) == 5L &&
         gop.getLong(10) == 4L && gop.getLong(13) == 0L, gop.toString)
+      // dot_ff: plain f64 inner product over float arrays
+      val dff = spark.sql(
+        "SELECT dot_ff(array(cast(1.5 as float), cast(2.5 as float)), " +
+          "array(cast(2.0 as float), cast(3.0 as float))) AS d").head.getDouble(0)
+      assert(dff == 10.5, dff.toString)
       // char_entropy('aab ba'): 6 code points, 3 distinct (a x3, b x2,
       // space x1), terms -(c/6)ln(c/6) rounded to 9 then summed ascending:
       // 0.298626578 + 0.346573590 + 0.366204096 = 1.011404264
