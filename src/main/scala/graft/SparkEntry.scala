@@ -217,6 +217,8 @@ object SparkEntry {
       Clustering.semDedup(s, d)),
     "qc3_prototype_prune" -> ((s: SparkSession, d: String) =>
       Clustering.prototypePrune(s, d)),
+    "qc4_kmeans_parallel" -> ((s: SparkSession, d: String) =>
+      Clustering.kmeansParallel(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -354,6 +356,62 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, rounds: Int): String =
     kmeansOracleBlocks(k, rounds) +
       s"\n         SELECT vec_id, cluster, dist AS dist_sq FROM a$rounds"
+
+  /** qc4's oracle, generated: the FULL k-means|| seeding chain — r unrolled
+    * oversampling rounds (min-distance argmin vs the growing candidate set,
+    * HUGEINT φ sum, the md5-lane selection predicate replayed exactly),
+    * candidate weighting, the top-k-by-weight reduction, and the final
+    * assignment. Every draw is the portable 60-bit md5 lane; every compare
+    * is integer (HUGEINT == the Spark side's DECIMAL(38,0)).
+    */
+  private def kmeansParOracleSql(k: Int, l: Int, r: Int): String = {
+    val two60 = "1152921504606846976"
+    def argmin(name: String, cset: String): String =
+      s""",
+         $name AS (
+           SELECT vec_id, cand, dist FROM (
+             SELECT vec_id, cand, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+             FROM (
+               SELECT q.vec_id, c.cand,
+                 CAST(list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
+                                FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS dist
+               FROM q, $cset c)) WHERE rn = 1)"""
+    val head =
+      s"""WITH q AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         c0 AS (SELECT CAST(vec_id AS BIGINT) AS cand, qv AS cv FROM q WHERE vec_id = 0)"""
+    val roundsSql = (1 to r).map { t =>
+      argmin(s"d${t - 1}", s"c${t - 1}") +
+        s""",
+         p${t - 1} AS (SELECT CAST(SUM(dist) AS HUGEINT) AS phi FROM d${t - 1}),
+         s$t AS (
+           SELECT d.vec_id FROM d${t - 1} d CROSS JOIN p${t - 1} p
+           WHERE CAST(CAST('0x' || substr(md5(CAST(d.vec_id AS VARCHAR) || ':$t'),
+                 1, 15) AS BIGINT) AS HUGEINT) * p.phi
+             < $l * CAST(d.dist AS HUGEINT) * CAST($two60 AS HUGEINT)),
+         c$t AS (
+           SELECT cand, cv FROM c${t - 1}
+           UNION ALL
+           SELECT CAST(q.vec_id AS BIGINT), q.qv FROM q JOIN s$t USING (vec_id))"""
+    }.mkString
+    val tail =
+      argmin("dw", s"c$r") +
+        s""",
+         w AS (SELECT cand, COUNT(*) AS w FROM dw GROUP BY cand),
+         tk AS (
+           SELECT cand FROM (
+             SELECT c.cand,
+               ROW_NUMBER() OVER (ORDER BY COALESCE(w.w, 0) DESC, c.cand ASC) AS rn
+             FROM c$r c LEFT JOIN w USING (cand)) WHERE rn <= $k),
+         cf AS (SELECT c.cand, c.cv FROM c$r c JOIN tk USING (cand))""" +
+        argmin("af", "cf") +
+        """
+         SELECT vec_id, cand AS cluster, dist AS dist_sq FROM af"""
+    head + roundsSql + tail
+  }
 
   /** qs6's oracle, generated: product-quantization END TO END — per-subspace
     * codebook training (the qc1 Lloyd chain, with the subspace id as one
@@ -1307,6 +1365,7 @@ object SparkEntry {
              + CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total
          FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
+    "qc4_kmeans_parallel" -> kmeansParOracleSql(8, 16, 3),
     // PQ/ADC ANN: codebook training, encoding, asymmetric distances, and
     // ranking all in exact int64 fixed-point — the whole approximate result
     // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,

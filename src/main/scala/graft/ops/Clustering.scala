@@ -114,6 +114,99 @@ object Clustering {
         col("best.dist").as("dist_sq"), col("qv"), col("n2"))
   }
 
+  /** qc4: k-means|| seeding (Bahmani, Moseley, Vattani, Kumar & Vassilvitskii
+    * 2012, arXiv:1203.6402) — the initialization that makes distributed
+    * k-means production-grade: k-means++ needs k SEQUENTIAL corpus passes
+    * (one per center), k-means|| needs only `r` rounds regardless of k,
+    * oversampling ~l candidates per round and reducing the model-sized
+    * candidate set to k at the end. qc1's first-k-by-id init is the toy this
+    * replaces on a real corpus.
+    *
+    * Determinism (the qu/qt22 planted-randomness discipline): the paper's
+    * independent coin flip "select x with probability min(1, l*d²(x,C)/φ)"
+    * becomes the exact integer predicate
+    * `md5_60(vec_id:round) * φ < l * d²(x,C) * 2^60` — the portable 60-bit
+    * md5 lane as the uniform draw, evaluated in DECIMAL(38,0) (DuckDB
+    * replays in HUGEINT; bounds: d² ≤ dim*(2*1e6)² ≈ 2.6e14, so
+    * l*d²*2^60 ≤ ~5e33 and md5*φ stays under 1e38 up to 1e5-row corpora —
+    * the suite's scales; φ itself is summed in DECIMAL).
+    *
+    * Scale shape: each round is ONE map-only pass (min distance against the
+    * model-sized candidate literals via native dot_i64 — the qc1 E-step
+    * shape) plus a 1-row φ aggregate; selected candidates are collected
+    * driver-side and BOUNDED (expected l per round; a require() throws at
+    * 8l — the qd6 guard discipline). The weight step is one more map-only
+    * argmin + a candidate-sized aggregate, and the final k centers are the
+    * top-k candidates by attracted-point weight (ties to the smaller id) —
+    * the standard cheap reduction when a full weighted k-means++ re-run is
+    * not needed. Nothing data-sized ever reaches the driver.
+    *
+    * Output: every vector assigned to the k seeded centers —
+    * (vec_id, cluster = center's source vec_id, dist_sq).
+    */
+  def kmeansParallel(spark: SparkSession, dir: String, k: Int = 8,
+      l: Int = 16, r: Int = 3): DataFrame = {
+    require(k >= 1 && l >= 1 && r >= 1, s"need k/l/r >= 1, got $k/$l/$r")
+    val dec = (x: Column) => x.cast(DecimalType(38, 0))
+    val c = codes(spark, dir)
+    c.persist()
+    try {
+      val first = c.filter(col("vec_id") === 0L).select("qv").collect()
+      require(first.length == 1, "embeddings table needs vec_id 0 as the seed")
+      var cands: Vector[(Long, Array[Long])] =
+        Vector(0L -> first(0).getSeq[Long](0).toArray)
+      for (t <- 1 to r) {
+        val d = assignToCands(c, cands)
+        val phi = d.agg(sum(dec(col("dist"))).as("phi")).collect()(0).getDecimal(0)
+        val md5h = conv(substring(md5(concat(col("vec_id").cast("string"),
+          lit(":"), lit(t.toString))), 1, 15), 16, 10).cast("long")
+        val sel = d
+          .filter(dec(md5h) * dec(lit(phi)) <
+            dec(lit(l.toLong)) * dec(col("dist")) * dec(lit(1152921504606846976L)))
+          .select(col("vec_id"), col("qv")).collect()
+        require(sel.length <= 8 * l,
+          s"k-means|| round $t selected ${sel.length} > ${8 * l} candidates — " +
+            "oversampling out of bounds for this corpus/l")
+        cands = cands ++ sel.map(row =>
+          row.getLong(0) -> row.getSeq[Long](1).toArray)
+      }
+      require(cands.length >= k,
+        s"k-means|| produced ${cands.length} candidates < k=$k — raise l or r")
+      // weight = points attracted per candidate (candidate-sized aggregate)
+      val weights = assignToCands(c, cands)
+        .groupBy(col("cand")).agg(count(lit(1)).as("w")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val finalCents = cands
+        .map { case (id, cv) => (id, cv, weights.getOrElse(id, 0L)) }
+        .sortBy { case (id, _, w) => (-w, id) }
+        .take(k)
+        .map { case (id, cv, _) => (id, cv) }
+      assignToCands(c, finalCents)
+        .select(col("vec_id"), col("cand").as("cluster"),
+          col("dist").as("dist_sq"))
+    } finally c.unpersist()
+  }
+
+  /** Map-only argmin against candidate (source vec_id, code) literals —
+    * the assignToCentroids shape with the candidate's ORIGIN id carried
+    * (ties resolve to the smaller source id on both engines).
+    */
+  private def assignToCands(c: DataFrame,
+      cands: Seq[(Long, Array[Long])]): DataFrame = {
+    val n2 = GraftFunctions.dotI64(col("qv"), col("qv"))
+    val candidates = array(cands.map { case (cid, cv) =>
+      val n2c = cv.foldLeft(0L)((acc, x) => acc + x * x)
+      struct(
+        (col("n2") - lit(2L) * GraftFunctions.dotI64(col("qv"), typedlit(cv.toSeq))
+          + lit(n2c)).as("dist"),
+        lit(cid).as("cand"))
+    }.toIndexedSeq: _*)
+    c.withColumn("n2", n2)
+      .withColumn("best", array_min(candidates))
+      .select(col("vec_id"), col("best.cand").as("cand"),
+        col("best.dist").as("dist"), col("qv"))
+  }
+
   /** qc1: final-round k-means assignment — (vec_id, cluster, dist_sq). */
   def kmeansAssign(spark: SparkSession, dir: String,
       k: Int = 8, rounds: Int = 4): DataFrame =

@@ -78,6 +78,31 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("qc4: k-means|| seeds k self-assigned centers and beats the naive init") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Clustering.kmeansParallel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.size == 500)
+    val centers = out.collect { case (id, (cl, _)) if id == cl => id }.toSet
+    // every chosen center attracts at least itself at distance zero, and
+    // every cluster label IS one of the k chosen centers
+    assert(centers.size == 8, s"expected 8 self-assigned centers, got $centers")
+    assert(out.values.map(_._1).toSet == centers)
+    centers.foreach(c => assert(out(c) == ((c, 0L)), s"center $c: ${out(c)}"))
+    assert(out.values.forall(_._2 >= 0L))
+    // deterministic: the md5-lane draws replace the paper's coin flips
+    val again = Clustering.kmeansParallel(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+    // seeding quality: the d^2-weighted oversampling spreads centers, so
+    // total within-cluster cost must beat assigning to the first k vectors
+    // by id (qc1's init, before any Lloyd round)
+    val naive = Clustering.kmeansAssign(spark, sf, k = 8, rounds = 1)
+      .agg(org.apache.spark.sql.functions.sum("dist_sq")).collect()(0).getLong(0)
+    val seeded = out.values.map(_._2).sum
+    assert(seeded < naive, s"k-means|| cost $seeded !< naive-init cost $naive")
+  }
+
   test("qc2: SemDeDup drops the planted near-dup, keeps the earlier one") {
     val out = Clustering.semDedup(spark, dir, k = 3, rounds = 3, tau2E4 = 9025L)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
