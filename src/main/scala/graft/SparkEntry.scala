@@ -186,6 +186,8 @@ object SparkEntry {
       TextAnalysis.knLmScore(s, d)),
     "qt31_char_entropy" -> ((s: SparkSession, d: String) =>
       TextAnalysis.charEntropyProfile(s, d)),
+    "qt32_shard_manifest" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.shardManifest(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ccnetBuckets(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
@@ -2302,6 +2304,25 @@ object SparkEntry {
            ROUND(CAST(n.mx AS DOUBLE) / n.n, 6) AS max_char_frac,
            e.ent AS entropy_nats
          FROM n JOIN e USING (doc_id)""",
+    // shard manifest: md5-lane shard assignment + per-shard counts and an
+    // order-independent mod-2^61-1 fingerprint sum (HUGEINT == DECIMAL)
+    "qt32_shard_manifest" ->
+      """WITH d AS (
+           SELECT
+             CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+               1, 15) AS BIGINT) % 16 AS shard_id,
+             len(string_split_regex(trim(text), '\s+')) AS toks,
+             length(text) AS chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+               || CAST(length(text) AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2305843009213693951 AS fp
+           FROM documents)
+         SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS token_sum,
+           CAST(SUM(chars) AS BIGINT) AS char_sum,
+           CAST(SUM(CAST(fp AS HUGEINT)) % 2305843009213693951 AS BIGINT)
+             AS content_fp
+         FROM d GROUP BY shard_id""",
     // bigram-LM score: integer counts -> exact rational -> ln rounded to 9
     // digits -> SORTED in-order f64 fold — order-pinned float aggregation
     "qt16_lm_score" -> (lmScoreCte +

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis suite over the `documents` table: language ID, quality
   * scoring, token counting, fingerprinting. Everything is built from
@@ -1150,5 +1151,42 @@ object TextAnalysis {
         round(col("e.max_count").cast("double") / col("e.n_chars"), 6)
           .as("max_char_frac"),
         round(col("e.entropy_raw"), 6).as("entropy_nats"))
+  }
+
+  /** qt32: training-shard manifest — the release step every published
+    * dataset ships: documents are assigned to S shards by a deterministic
+    * hash (so the training-order shuffle is reproducible and any shard can
+    * be re-materialized independently), and the manifest row per shard
+    * carries the counts a consumer validates against: docs, whitespace
+    * tokens, characters, and an ORDER-INDEPENDENT content fingerprint
+    * (per-doc md5_60(doc_id:n_chars) folded by modular sum in 2^61-1, so
+    * Spark's map-side partial aggregation and DuckDB's sequential sum agree
+    * exactly — the qd2 affine-lane modulus).
+    *
+    * Scale shape: one map-only projection + one S-group hash aggregate with
+    * map-side partials; the manifest is model-sized (S rows) regardless of
+    * corpus size. Shard skew is hash-uniform by construction — the reason
+    * releases shard by hash rather than by source order.
+    */
+  def shardManifest(spark: SparkSession, dir: String, shards: Int = 16): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val mers = lit(2305843009213693951L) // 2^61 - 1
+    val h = (s: Column) =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    val dec = (c: Column) => c.cast(DecimalType(38, 0))
+    docs(spark, dir)
+      .select(
+        (h(concat(lit("shard:"), col("doc_id").cast("string"))) % shards)
+          .as("shard_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        (h(concat(col("doc_id").cast("string"), lit(":"),
+          length(col("text")).cast("string"))) % mers).as("fp"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("token_sum"),
+        sum(col("chars")).as("char_sum"),
+        (sum(dec(col("fp"))) % dec(mers)).cast("long").as("content_fp"))
   }
 }

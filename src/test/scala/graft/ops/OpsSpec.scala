@@ -525,6 +525,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lsh.forall { case (q, n, _) => q < 5 && n != q })
   }
 
+  test("qt32: shard manifest conserves corpus totals across shards") {
+    import org.apache.spark.sql.functions.{col, length, size, split, sum, trim}
+    val sf = "/root/testdata/sf0.001"
+    val m = TextAnalysis.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // every shard receives documents (hash-uniform assignment, 500 >> 16)
+    assert(m.map(_._1).toSet == (0L until 16L).toSet)
+    assert(m.map(_._2).sum == 500L)
+    // token/char totals conserve against a direct single-pass corpus scan
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("t"),
+        length(col("text")).cast("long").as("c"))
+      .agg(sum("t"), sum("c")).collect()(0)
+    assert(m.map(_._3).sum == direct.getLong(0))
+    assert(m.map(_._4).sum == direct.getLong(1))
+    // deterministic re-materialization — the property a release consumer
+    // relies on to validate any single shard independently
+    val again = TextAnalysis.shardManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(again.sortBy(_._1).toSeq == m.sortBy(_._1).toSeq)
+  }
+
   test("MIPS: norm-augmentation reduction ranks identically to raw inner product") {
     // qs9's scale path: augment corpus vectors with sqrt(M^2 - |x|^2) and
     // queries with 0 — cosine over the augmented space must order pairs by
