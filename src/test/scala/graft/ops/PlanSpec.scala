@@ -423,4 +423,61 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Window"), plan)
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
+
+  test("qt31 char entropy is map-only: zero exchanges, native expression") {
+    val plan = planOf(TextAnalysis.charEntropyProfile(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("char_entropy"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    // pruned scan: only (doc_id, text) may be read
+    val f = formatted(TextAnalysis.charEntropyProfile(spark, sf))
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("qt32 shard manifest: one shuffle with map-side partial aggregation") {
+    val plan = planOf(TextAnalysis.shardManifest(spark, sf))
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Broadcast") &&
+        !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"$exchanges shuffles\n$plan")
+    // partial_count before the exchange — a mega-shard combines map-side
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("qs9 MIPS: native dot against a broadcast query side, no cartesian") {
+    val plan = planOf(Similarity.mipsTopK(spark, sf))
+    assert(plan.contains("dot_ff"), plan)
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qg5 triangles: oriented wedge joins, no cartesian, no window in counts") {
+    val plan = planOf(LinkGraph.hostTriangles(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qd17 simhash pairs: bucket-key self-join, native simhash, no cartesian") {
+    val plan = planOf(Dedup.simhashPairs(spark, sf))
+    assert(plan.contains("simhash64"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // candidates join on the packed block key — an equi-join, never BNLJ
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qc4 k-means||: final assignment is a map-only E-step over literals") {
+    val plan = planOf(Clustering.kmeansParallel(spark, sf))
+    // the returned DataFrame (final argmin) must not join or shuffle: the
+    // candidate set is literals, exactly the qc1 E-step shape
+    assert(plan.contains("dot_i64"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
 }
