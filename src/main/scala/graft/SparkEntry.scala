@@ -188,6 +188,10 @@ object SparkEntry {
       TextAnalysis.charEntropyProfile(s, d)),
     "qt32_shard_manifest" -> ((s: SparkSession, d: String) =>
       TextAnalysis.shardManifest(s, d)),
+    "qt33_chunk_windows" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.chunkWindows(s, d)),
+    "qt34_weighted_sample" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.weightedSample(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
       TextAnalysis.ccnetBuckets(s, d)),
     "qt18_pack_bins" -> ((s: SparkSession, d: String) =>
@@ -2323,6 +2327,41 @@ object SparkEntry {
            CAST(SUM(CAST(fp AS HUGEINT)) % 2305843009213693951 AS BIGINT)
              AS content_fp
          FROM d GROUP BY shard_id""",
+    // sliding-window chunking: starts 0,48,96,... < n_tokens; chunk text
+    // fingerprinted by the portable 60-bit md5 lane (list slice == Spark
+    // slice, both clamp at the tail)
+    "qt33_chunk_windows" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+           FROM documents),
+         s AS (
+           SELECT doc_id, words, len(words) AS n,
+             unnest(range(0, len(words), 48)) AS start
+           FROM w)
+         SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n - start) AS BIGINT) AS n_toks,
+           CAST('0x' || substr(md5(
+             array_to_string(words[start + 1 : start + 64], ' ')),
+             1, 15) AS BIGINT) AS chunk_fp
+         FROM s""",
+    // Efraimidis-Spirakis A-ES: u from the md5 lane, key = ln(u)/w with the
+    // qt16 round-to-9 discipline on both sides of the division; global
+    // top-50 by key with doc_id tie-break
+    "qt34_weighted_sample" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(1 + n_chars % 64 AS BIGINT) AS weight,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wsamp'),
+               1, 15) AS BIGINT) AS h
+           FROM documents)
+         SELECT doc_id, weight,
+           ROUND(ROUND(ln((CAST(h AS DOUBLE) + 1.0)
+             / 1152921504606846976.0), 9) / weight, 9) AS es_key
+         FROM d
+         ORDER BY es_key DESC, doc_id ASC
+         LIMIT 50""",
     // bigram-LM score: integer counts -> exact rational -> ln rounded to 9
     // digits -> SORTED in-order f64 fold — order-pinned float aggregation
     "qt16_lm_score" -> (lmScoreCte +

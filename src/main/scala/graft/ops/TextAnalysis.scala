@@ -1189,4 +1189,72 @@ object TextAnalysis {
         sum(col("chars")).as("char_sum"),
         (sum(dec(col("fp"))) % dec(mers)).cast("long").as("content_fp"))
   }
+
+  /** qt33: sliding-window token chunking — the context-window sharding step
+    * every RAG index and fixed-length pretraining pipeline runs: each
+    * document's whitespace tokens become overlapping chunks of `win` tokens
+    * at stride `stride` (overlap win-stride), and each chunk row carries its
+    * position plus a 60-bit md5 content fingerprint (the portable lane both
+    * engines compute identically), so chunk-level dedup/contamination can
+    * join on fp without re-materializing text.
+    *
+    * Chunk starts are 0, stride, 2*stride, ... < n_tokens, so every token is
+    * covered and the final (possibly short) tail chunk is emitted — the
+    * convention LangChain/LlamaIndex splitters and GPT-style packing share.
+    *
+    * Scale shape: ONE map-only pass with a bounded explode (ceil(n/stride)
+    * rows per doc, ~n/stride fanout) — zero exchanges; the parquet scan
+    * prunes to (doc_id, text). Downstream chunk-dedup is qd1's hash collapse
+    * on chunk_fp.
+    */
+  def chunkWindows(spark: SparkSession, dir: String, win: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(win >= 1 && stride >= 1 && stride <= win,
+      s"need 1 <= stride <= win, got win=$win stride=$stride")
+    val h = (s: Column) =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+      .select(col("doc_id"), col("words"),
+        posexplode(sequence(lit(0), size(col("words")) - 1, lit(stride)))
+          .as(Seq("ci", "start")))
+      .select(
+        col("doc_id"),
+        col("ci").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(win), size(col("words")) - col("start")).cast("long")
+          .as("n_toks"),
+        h(array_join(slice(col("words"), col("start") + 1, lit(win)), " "))
+          .as("chunk_fp"))
+  }
+
+  /** qt34: weighted sampling without replacement (Efraimidis–Spirakis
+    * "Weighted random sampling with a reservoir", IPL 2006 — the A-ES
+    * scheme): each row draws u ~ U(0,1) from the portable md5 lane and keys
+    * on ln(u)/w; the global top-k by key IS an exact weighted
+    * without-replacement sample (P(first pick = i) = w_i / sum w). The
+    * weight here is a deterministic per-doc integer (1 + n_chars mod 64)
+    * standing in for any quality/domain weight a curation pass produces.
+    *
+    * Float parity: ln(u) rounds to 9 digits before the division and the key
+    * rounds again after (the qt16 discipline); ties at the rounded key break
+    * by doc_id in both engines.
+    *
+    * Scale shape: orderBy(key).limit(k) compiles to TakeOrderedAndProject —
+    * per-partition top-k heaps + a driver merge of P*k rows, NO global sort,
+    * NO window — the same bounded shape as q19. The scan prunes to
+    * (doc_id, text-length) columns.
+    */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val h = conv(substring(md5(
+      concat(col("doc_id").cast("string"), lit(":wsamp"))), 1, 15), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0d)) / lit(1152921504606846976.0d) // 2^60
+    val w = (lit(1) + col("n_chars") % 64).cast("long")
+    docs(spark, dir)
+      .select(col("doc_id"), w.as("weight"),
+        round(round(log(u), 9) / w, 9).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

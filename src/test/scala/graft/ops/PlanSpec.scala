@@ -471,6 +471,29 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qt33 chunk windows: map-only explode, zero exchanges, pruned scan") {
+    val plan = planOf(TextAnalysis.chunkWindows(spark, sf))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    val f = formatted(TextAnalysis.chunkWindows(spark, sf))
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("qt34 weighted sample: bounded top-k heap, no global sort, no window") {
+    val plan = planOf(TextAnalysis.weightedSample(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+    // the scan must not read the text payload — the key needs only
+    // (doc_id, n_chars)
+    val f = formatted(TextAnalysis.weightedSample(spark, sf))
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
   test("qc4 k-means||: final assignment is a map-only E-step over literals") {
     val plan = planOf(Clustering.kmeansParallel(spark, sf))
     // the returned DataFrame (final argmin) must not join or shuffle: the
