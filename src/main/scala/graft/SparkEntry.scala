@@ -105,6 +105,8 @@ object SparkEntry {
       Dedup.winnowFingerprints(s, d)),
     "qd16_winnow_containment" -> ((s: SparkSession, d: String) =>
       Dedup.winnowContainment(s, d)),
+    "qd18_chunk_dup_share" -> ((s: SparkSession, d: String) =>
+      Dedup.chunkDupShare(s, d)),
     "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
@@ -133,6 +135,8 @@ object SparkEntry {
       LinkGraph.hostHarmonic(s, d)),
     "qg5_host_triangles" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostTriangles(s, d)),
+    "qg6_host_communities" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostCommunities(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
       Relational.q20ZorderLayout(s, d)),
     // ---- similarity search ----
@@ -1120,6 +1124,64 @@ object SparkEntry {
              FOR j IN range(0, len(h) - 4 + 1)]) AS sel
          FROM g)"""
 
+  /** Shared chunking CTE (qt33/qd18): whitespace tokens, window starts
+    * 0,48,96,... < n_tokens, CTE `ch`(doc_id, chunk_id, start_tok, n_toks,
+    * chunk_fp) with the portable 60-bit md5 chunk fingerprint (DuckDB's
+    * 1-based inclusive list slice == Spark's slice; both clamp at the tail).
+    */
+  private val chunkCte: String =
+    """WITH w AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+         FROM documents),
+       s AS (
+         SELECT doc_id, words, len(words) AS n,
+           unnest(range(0, len(words), 48)) AS start
+         FROM w),
+       ch AS (
+         SELECT doc_id,
+           CAST(start // 48 AS BIGINT) AS chunk_id,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(LEAST(64, n - start) AS BIGINT) AS n_toks,
+           CAST('0x' || substr(md5(
+             array_to_string(words[start + 1 : start + 64], ' ')),
+             1, 15) AS BIGINT) AS chunk_fp
+         FROM s)"""
+
+  /** DuckDB replay of [[graft.ops.LinkGraph.hostCommunities]]: the planted
+    * 4-block graph (directed rings + chord + self-loops + downward bridges)
+    * and k UNROLLED synchronous label-propagation rounds, each the same
+    * integer vote-key max (count * 2^20 + (2^20-1-label)) the Spark hash
+    * aggregate computes — frequency first, smallest label on ties.
+    */
+  private def lpaOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""l$i AS (
+            SELECT dst AS node,
+              CAST(1048575 - (MAX(c * 1048576 + 1048575 - label) % 1048576)
+                AS BIGINT) AS label
+            FROM (
+              SELECT e.dst, p.label, CAST(COUNT(*) AS BIGINT) AS c
+              FROM e JOIN l${i - 1} p ON p.node = e.src
+              GROUP BY e.dst, p.label)
+            GROUP BY dst)"""
+    }.mkString(",\n")
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 64 AS h FROM documents),
+        e0 AS (
+          SELECT h AS src, h - h % 16 + (h % 16 + 1) % 16 AS dst FROM hosts
+          UNION SELECT h, h - h % 16 + (h % 16 + 15) % 16 FROM hosts
+          UNION SELECT h, h - h % 16 + (h % 16 + 5) % 16 FROM hosts
+          UNION SELECT h, h FROM hosts
+          UNION SELECT h, h - 1 FROM hosts WHERE h % 16 = 0 AND h > 0),
+        e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT h FROM hosts)),
+        l0 AS (SELECT h AS node, CAST(h AS BIGINT) AS label FROM hosts),
+        $rounds,
+        sz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+               FROM l$k GROUP BY label)
+        SELECT l$k.node AS host_id, l$k.label AS community_id,
+          sz.community_size
+        FROM l$k JOIN sz ON sz.label = l$k.label"""
+  }
+
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
     "qd13_dup_ngrams" ->
@@ -1310,6 +1372,9 @@ object SparkEntry {
              ELSE 0.0 END, 6) AS clustering_coeff
          FROM deg LEFT JOIN cnt ON cnt.n = deg.n""",
     "qg3_host_hyperball" -> hyperballOracleSql(4),
+    // label propagation: k unrolled synchronous rounds of the pinned
+    // frequency-then-min vote; block convergence is the spec's claim
+    "qg6_host_communities" -> lpaOracleSql(8),
     // harmonic centrality: the qg3 register chain + per-round HLL estimates
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end
@@ -2330,22 +2395,26 @@ object SparkEntry {
     // sliding-window chunking: starts 0,48,96,... < n_tokens; chunk text
     // fingerprinted by the portable 60-bit md5 lane (list slice == Spark
     // slice, both clamp at the tail)
-    "qt33_chunk_windows" ->
-      """WITH w AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-           FROM documents),
-         s AS (
-           SELECT doc_id, words, len(words) AS n,
-             unnest(range(0, len(words), 48)) AS start
-           FROM w)
-         SELECT doc_id,
-           CAST(start // 48 AS BIGINT) AS chunk_id,
-           CAST(start AS BIGINT) AS start_tok,
-           CAST(LEAST(64, n - start) AS BIGINT) AS n_toks,
-           CAST('0x' || substr(md5(
-             array_to_string(words[start + 1 : start + 64], ' ')),
-             1, 15) AS BIGINT) AS chunk_fp
-         FROM s""",
+    "qt33_chunk_windows" -> (chunkCte + """
+         SELECT doc_id, chunk_id, start_tok, n_toks, chunk_fp FROM ch"""),
+    // duplicate-chunk share: a fingerprint is duplicated iff it occurs in
+    // >= 2 DISTINCT docs; per-doc share over the same chunk set
+    "qd18_chunk_dup_share" -> (chunkCte + """,
+         c AS (SELECT doc_id, chunk_fp FROM ch),
+         dup AS (
+           SELECT chunk_fp FROM c GROUP BY chunk_fp
+           HAVING COUNT(DISTINCT doc_id) >= 2),
+         nd AS (
+           SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+           FROM c JOIN dup USING (chunk_fp) GROUP BY c.doc_id),
+         tot AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+           FROM c GROUP BY doc_id)
+         SELECT tot.doc_id, tot.n_chunks,
+           CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+           ROUND(COALESCE(nd.n_dup, 0) / CAST(tot.n_chunks AS DOUBLE), 6)
+             AS dup_share
+         FROM tot LEFT JOIN nd USING (doc_id)"""),
     // Efraimidis-Spirakis A-ES: u from the md5 lane, key = ln(u)/w with the
     // qt16 round-to-9 discipline on both sides of the division; global
     // top-50 by key with doc_id tie-break

@@ -989,4 +989,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"),
         col("n_a"), col("n_b"), round(col("c"), 6).as("containment"))
   }
+
+  /** qd18: per-document DUPLICATE-CHUNK SHARE — the corpus-audit number
+    * every released dataset reports (what fraction of a document's
+    * fixed-window chunks appear verbatim in some OTHER document), computed
+    * over [[TextAnalysis.chunkWindows]]'s qt33 fingerprints. Where qd13
+    * profiles duplicated n-grams and qd14 rewrites exact-substring spans,
+    * this is the cheap document-level TRIAGE signal: share 1.0 ⇒ full
+    * duplicate, high share ⇒ template/boilerplate carrier, 0 ⇒ unique —
+    * the histogram auditors plot before choosing dedup thresholds.
+    *
+    * Cross-doc only: a fingerprint counts as duplicated iff it occurs in
+    * ≥ 2 DISTINCT documents, so within-doc repetition (qt10's signal)
+    * does not inflate the share.
+    *
+    * Scale shape: chunks reduce to (chunk_fp, doc_id) longs immediately —
+    * text never shuffles. One fp-keyed aggregate finds duplicated
+    * fingerprints, one left-semi join flags carrier chunks (both sides of
+    * the fp exchange reusable), then two doc-keyed counts; every aggregate
+    * combines map-side. No windows, no cartesians, nothing all-pairs.
+    */
+  def chunkDupShare(spark: SparkSession, dir: String, win: Int = 64,
+      stride: Int = 48): DataFrame = {
+    val ch = TextAnalysis.chunkWindows(spark, dir, win, stride)
+      .select(col("doc_id"), col("chunk_fp"))
+    val dupFp = ch.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("chunk_fp"))
+    val dupPerDoc = ch.join(dupFp, Seq("chunk_fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    ch.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") /
+          col("n_chunks"), 6).as("dup_share"))
+  }
 }

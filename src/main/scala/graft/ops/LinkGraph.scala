@@ -323,4 +323,81 @@ object LinkGraph {
       .select(col("host_id"), col("component_id"), col("component_size"),
         (col("host_id") === col("component_id")).as("is_root"))
   }
+
+  /** qg6: community detection via deterministic synchronous LABEL
+    * PROPAGATION (Raghavan et al. 2007) over a planted host graph with real
+    * community structure — the mirror-farm / site-network grouping signal
+    * crawl curation removes per COMMUNITY (denser than the per-component
+    * grouping qg2 gives when bridges exist). Unlike classic LPA's random
+    * tie-breaks, every step here is pinned so the DuckDB oracle can replay
+    * it: each round every node adopts the most frequent label among its
+    * IN-neighbors (self-loop included, so isolated nodes and local minima
+    * keep their label), ties broken toward the SMALLEST label — both facts
+    * encoded in one order-preserving int64 vote key
+    * `count * 2^20 + (2^20 - 1 - label)` whose MAX is taken in a plain hash
+    * aggregate (the qu3 keeper-key discipline; no Window, no struct
+    * aggregate).
+    *
+    * The planted graph: 4 blocks of 16 hosts (host = doc_id % 64), each
+    * block a directed ring (both directions) plus a +5 chord — dense enough
+    * that the block minimum floods in O(log block) rounds — and one
+    * DOWNWARD bridge per boundary (block b's head votes on block b-1's
+    * tail). Bridges carry only higher labels into lower blocks, where they
+    * lose both the frequency and the tie-break vote, so after `k` rounds
+    * every block converges to its own minimum — communities, not the single
+    * global component qg2's min-label flood would produce (the spec pins
+    * exactly that distinction).
+    *
+    * Scale shape (the qg1 iterative-dataflow invariant): the per-round vote
+    * is one join of the label table against the edge list ON src (exchange
+    * reuse across rounds) + two hash aggregates with map-side partials — a
+    * 10^8-in-degree host combines its votes before the shuffle; per-round
+    * localCheckpoint(true) with predecessor release keeps lineage O(1).
+    *
+    * Output: (host_id, community_id = converged label, community_size).
+    */
+  def hostCommunities(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val hosts = docs(spark, dir)
+      .select((col("doc_id") % 64).as("h")).distinct()
+    def intra(off: Int) = hosts.select(col("h").as("src"),
+      (col("h") - col("h") % 16 + (col("h") % 16 + off) % 16).as("dst"))
+    val edges = intra(1)
+      .union(intra(15))
+      .union(intra(5))
+      .union(hosts.select(col("h").as("src"), col("h").as("dst"))) // self-loop
+      .union(hosts.filter(col("h") % 16 === 0 && col("h") > 0)
+        .select(col("h").as("src"), (col("h") - 1).as("dst")))
+      .distinct()
+      // the graph is over OBSERVED hosts: drop edges into hosts the corpus
+      // never produced (the qg1 non-source-contribution discipline), so a
+      // partial corpus can't mint phantom vote targets
+      .join(hosts.withColumnRenamed("h", "dst"), Seq("dst"), "left_semi")
+      .persist()
+    try {
+      edges.count() // materialize the reused edge list once
+      var labels = hosts.select(col("h").as("node"), col("h").cast("long").as("label"))
+        .localCheckpoint(true)
+      for (_ <- 1 to k) {
+        val next = edges
+          .join(labels.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"), col("label"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("dst"))
+          .agg(max(col("c") * lit(1048576L) + (lit(1048575L) - col("label")))
+            .as("vk"))
+          .select(col("dst").as("node"),
+            (lit(1048575L) - (col("vk") % lit(1048576L))).as("label"))
+          .localCheckpoint(true)
+        labels.unpersist()
+        labels = next
+      }
+      val sizes = labels.groupBy(col("label"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("label"))
+        .select(col("node").as("host_id"), col("label").as("community_id"),
+          col("community_size"))
+    } finally {
+      edges.unpersist(); ()
+    }
+  }
 }

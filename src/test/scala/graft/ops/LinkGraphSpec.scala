@@ -236,4 +236,41 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the planted closure structure: 64 consecutive triples + 8 {h,h+2,h+4}
     assert(total == 3 * 72, s"expected 72 distinct triangles, got ${total / 3}")
   }
+
+  test("qg6: label propagation recovers the planted blocks CC would merge") {
+    val sf = "/root/testdata/sf0.001" // all 64 hosts present
+    val rows = LinkGraph.hostCommunities(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 64)
+    // every host lands in its planted block (community = block minimum)
+    rows.foreach { case (h, c, sz) =>
+      assert(c == h - h % 16, s"host $h got community $c")
+      assert(sz == 16L, s"community $c size $sz")
+    }
+    // the contrast claim: the same graph taken UNDIRECTED is one connected
+    // component (the bridges link all four blocks), so qg2-style CC would
+    // merge what LPA correctly separates
+    val ss = spark; import ss.implicits._
+    val hosts = (0L until 64L)
+    val directed = hosts.flatMap { h =>
+      val b = h - h % 16
+      Seq((h, b + (h % 16 + 1) % 16), (h, b + (h % 16 + 15) % 16),
+        (h, b + (h % 16 + 5) % 16)) ++
+        (if (h % 16 == 0 && h > 0) Seq((h, h - 1)) else Nil)
+    }
+    val und = (directed ++ directed.map(_.swap)).distinct
+      .toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(und, maxRounds = 16).collect()
+    assert(cc.map(_.getLong(1)).distinct.length == 1,
+      "undirected graph should be ONE component")
+  }
+
+  test("qg6: a partial corpus yields no phantom vote targets") {
+    // this spec's own dir only observes hosts 0..49: every edge into an
+    // unobserved host must be dropped, not minted as a new node
+    val rows = LinkGraph.hostCommunities(spark, dir).collect()
+      .map(r => r.getLong(0))
+    assert(rows.length == 50, s"expected 50 observed hosts, got ${rows.length}")
+    assert(rows.forall(h => h >= 0 && h < 50), rows.sorted.mkString(","))
+  }
 }

@@ -49,6 +49,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
   }
 
+  test("qd18: duplicate-chunk share is cross-doc, exact on planted windows") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-chunk").toString
+    val x = (1 to 16).map(i => s"x$i").mkString(" ")   // 16 words = 4 chunks
+    val y = (1 to 20).map(i => s"y$i").mkString(" ")   // unique continuation
+    val rows = Seq(
+      (0L, x, "en", "s", x.length.toLong),                    // full dup of 1
+      (1L, x, "en", "s", x.length.toLong),
+      (2L, s"$x $y", "en", "s", 10L),                         // carries X
+      (3L, (1 to 8).map(i => s"d$i").mkString(" "), "en", "s", 10L), // unique
+      // internal repetition only: same window twice WITHIN one doc
+      (4L, "r1 r2 r3 r4 r1 r2 r3 r4 s1 s2 s3 s4", "en", "s", 10L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.chunkDupShare(spark, dir, win = 4, stride = 4).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((4L, 4L, 1.0)))        // every chunk appears in doc 1+2
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((9L, 4L, 0.444444)))   // X's 4 of 9 chunks duplicated
+    assert(out(3L) == ((2L, 0L, 0.0)))
+    // within-doc repetition must NOT count as duplication (cross-doc only)
+    assert(out(4L) == ((3L, 0L, 0.0)))
+  }
+
   test("exact dedup finds case/whitespace-normalized duplicates") {
     val stats = Dedup.exactDedupStats(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -494,6 +494,21 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!readSchema.contains("text"), readSchema)
   }
 
+  test("qd18 chunk-dup share: fp-keyed aggregates only — no window, no cartesian") {
+    val plan = planOf(Dedup.chunkDupShare(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qg6 communities: vote rounds leave no cartesian and no window") {
+    val plan = planOf(LinkGraph.hostCommunities(spark, sf, k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qc4 k-means||: final assignment is a map-only E-step over literals") {
     val plan = planOf(Clustering.kmeansParallel(spark, sf))
     // the returned DataFrame (final argmin) must not join or shuffle: the
