@@ -107,6 +107,8 @@ object SparkEntry {
       Dedup.winnowContainment(s, d)),
     "qd18_chunk_dup_share" -> ((s: SparkSession, d: String) =>
       Dedup.chunkDupShare(s, d)),
+    "qd19_cluster_split" -> ((s: SparkSession, d: String) =>
+      Dedup.clusterAwareSplit(s, d)),
     "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
@@ -1147,6 +1149,46 @@ object SparkEntry {
              1, 15) AS BIGINT) AS chunk_fp
          FROM s)"""
 
+  /** Shared qd10/qd19 CTE chain: shingles → portable MinHash signatures →
+    * the 4x2 band predicate + exact-Jaccard verify → recursive-CTE
+    * connected components, ending in CTE `comp`(doc_id, cluster_id) over
+    * the pair-participating documents.
+    */
+  private val lshCompCte: String =
+    """WITH RECURSIVE w AS (
+         SELECT doc_id,
+           string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+         FROM documents),
+       sh AS (
+         SELECT doc_id, list_distinct(list_filter(
+           [list_aggregate(words[i:i+1], 'string_agg', ' ')
+            FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+         FROM w),
+       sigs AS (
+         SELECT doc_id, sh,
+           [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+              + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+             FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+         FROM sh WHERE len(sh) > 0),
+       pairs AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+           (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+           (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+           (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+           (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
+         WHERE len(list_intersect(a.sh, b.sh))
+           / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(doc_id, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
+       comp AS (
+         SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id)"""
+
   /** DuckDB replay of [[graft.ops.LinkGraph.hostCommunities]]: the planted
     * 4-block graph (directed rings + chord + self-loops + downward bridges)
     * and k UNROLLED synchronous label-propagation rounds, each the same
@@ -2149,40 +2191,7 @@ object SparkEntry {
     // the scale-path dedup composition under one oracle: qd7's band-predicate
     // pairs (md5-affine lanes, 4x2 bands, exact-Jaccard verify) -> qd6's
     // recursive reachability -> qd8's quality-rank survivorship
-    "qd10_lsh_dedup_closure" ->
-      """WITH RECURSIVE w AS (
-           SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(list_filter(
-             [list_aggregate(words[i:i+1], 'string_agg', ' ')
-              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
-           FROM w),
-         sigs AS (
-           SELECT doc_id, sh,
-             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
-                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
-               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
-           FROM sh WHERE len(sh) > 0),
-         pairs AS (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
-             (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
-             (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
-             (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
-             (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8]))
-           WHERE len(list_intersect(a.sh, b.sh))
-             / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.2),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION ALL SELECT doc_b, doc_a FROM pairs),
-         reach(doc_id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.doc_id),
-         comp AS (
-           SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id),
+    "qd10_lsh_dedup_closure" -> (lshCompCte + """,
          sizes AS (
            SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id),
          q AS (
@@ -2195,7 +2204,25 @@ object SparkEntry {
            q.quality_score,
            ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
              ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
-         FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)""",
+         FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)"""),
+    // leakage-free split: the qd10 component chain, then the split hash on
+    // the cluster representative (singletons represent themselves)
+    "qd19_cluster_split" -> (lshCompCte + """,
+         spine AS (SELECT doc_id FROM documents),
+         rep AS (
+           SELECT spine.doc_id,
+             COALESCE(comp.cluster_id, spine.doc_id) AS cluster_rep
+           FROM spine LEFT JOIN comp USING (doc_id)),
+         b AS (
+           SELECT doc_id, cluster_rep,
+             CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR) || ':split'),
+               1, 15) AS BIGINT) % 100 AS bucket
+           FROM rep)
+         SELECT doc_id, cluster_rep, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b"""),
     // AllPairs/PPJoin exact similarity join: df-ordered prefixes, length +
     // positional filters, the 4096 token cap, and the exact-Jaccard verify —
     // all replayed. DOUBLE casts matter: DuckDB parses 0.8 as DECIMAL, whose

@@ -990,6 +990,44 @@ object Dedup {
         col("n_a"), col("n_b"), round(col("c"), 6).as("containment"))
   }
 
+  /** qd19: LEAKAGE-FREE train/val/test split — the assignment step every
+    * published dataset needs and naive url-hash splits get wrong: if two
+    * near-duplicate documents land in different splits, the eval set leaks
+    * into training (Lee et al. 2022 §6 measure exactly this). The split
+    * key is therefore the md5 lane of the document's near-dup CLUSTER
+    * representative (the min-doc connected-component label over the qd7
+    * banded-LSH pair graph; singletons represent themselves), so an entire
+    * cluster moves as one unit: train/val/test quotas 80/10/10 by
+    * `bucket = md5_60(rep || ':split') % 100`.
+    *
+    * Scale shape: the pair graph + pointer-jumping CC are the qd10 scale
+    * path unchanged; the only additions are one doc_id-keyed left join of
+    * the (pair-participating) label table onto the corpus spine and a
+    * map-only hash — no windows, no new all-pairs work. The whole chain,
+    * LSH band predicate through component labels through the split hash,
+    * is replayed by the DuckDB oracle.
+    */
+  def clusterAwareSplit(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.2,
+      maxRounds: Int = 16): DataFrame = {
+    val edges = minhashLshPairsPortable(spark, dir, shingleSize, bands,
+        rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges, maxRounds)
+    val spine = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+    spine.join(labels.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+      .withColumn("bucket",
+        conv(substring(md5(concat(col("cluster_rep").cast("string"),
+          lit(":split"))), 1, 15), 16, 10).cast("long") % 100)
+      .select(col("doc_id"), col("cluster_rep"), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
   /** qd18: per-document DUPLICATE-CHUNK SHARE — the corpus-audit number
     * every released dataset reports (what fraction of a document's
     * fixed-window chunks appear verbatim in some OTHER document), computed

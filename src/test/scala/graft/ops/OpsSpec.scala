@@ -74,6 +74,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(4L) == ((3L, 0L, 0.0)))
   }
 
+  test("qd19: near-dup clusters never straddle the train/val/test split") {
+    val sf = "/root/testdata/sf0.001"
+    val split = Dedup.clusterAwareSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(split.size == 500)
+    split.values.foreach { case (_, bucket, s) =>
+      assert(bucket >= 0 && bucket < 100)
+      val expected =
+        if (bucket < 80) "train" else if (bucket < 90) "val" else "test"
+      assert(s == expected, s"bucket $bucket mapped to $s")
+    }
+    assert(split.values.map(_._3).toSet.size >= 2, "degenerate split")
+    // the leakage claim: every LSH near-dup pair lands in ONE split
+    val pairs = Dedup.minhashLshPairsPortable(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) got different reps")
+      assert(split(a)._3 == split(b)._3, s"LEAK: pair ($a,$b) straddles splits")
+    }
+  }
+
   test("exact dedup finds case/whitespace-normalized duplicates") {
     val stats = Dedup.exactDedupStats(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

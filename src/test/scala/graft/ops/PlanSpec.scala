@@ -502,6 +502,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qd19 cluster split: no cartesian, no window beyond the qd10 chain") {
+    val plan = planOf(Dedup.clusterAwareSplit(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qg6 communities: vote rounds leave no cartesian and no window") {
     val plan = planOf(LinkGraph.hostCommunities(spark, sf, k = 2))
     assert(!plan.contains("CartesianProduct"), plan)
