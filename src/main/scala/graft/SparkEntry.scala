@@ -236,6 +236,8 @@ object SparkEntry {
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
     "qm3_frame_sample" -> (Multimodal.sampleFrames _),
     "qm4_letterbox" -> ((s: SparkSession, d: String) => Multimodal.letterboxSpecs(s, d)),
+    "qm5_audio_meta" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioMeta(s, d).toDF()),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
@@ -2703,6 +2705,25 @@ object SparkEntry {
                 ELSE 1 + (text_bytes % 30) END AS INT) AS n_frames,
            floor(sqrt(CAST(byte_sum AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS feature_norm
          FROM s""",
+    // audio: the oracle recomputes the doc_id-derived WAV parameters from
+    // the generator formula; the Spark side PARSES the RIFF/WAVE bytes back,
+    // so the hash match is a differential test of the chunk-scan parser
+    // (n_bytes = 12 RIFF + 24 fmt + 8 data header + text, +14 for the odd
+    // rows' padded LIST filler chunk)
+    "qm5_audio_meta" ->
+      """WITH d AS (
+           SELECT doc_id, octet_length(encode(text)) AS tb,
+             CAST(1 + doc_id % 2 AS INT) AS channels,
+             CAST(8000 * (1 + doc_id % 5) AS INT) AS sample_rate
+           FROM documents)
+         SELECT doc_id,
+           CAST(44 + tb + CASE WHEN doc_id % 2 = 1 THEN 14 ELSE 0 END
+             AS BIGINT) AS n_bytes,
+           channels, sample_rate, CAST(16 AS INT) AS bits,
+           CAST(tb // (channels * 2) AS BIGINT) AS n_samples,
+           CAST((tb // (channels * 2)) * 1000 // sample_rate AS BIGINT)
+             AS duration_ms
+         FROM d""",
     "qm3_frame_sample" ->
       """WITH f AS (
            SELECT doc_id,

@@ -141,6 +141,52 @@ object Multimodal {
       }
     }
 
+    private def le4(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    private def fourcc(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** WAV (RIFF/WAVE): "RIFF" <size32le> "WAVE", then a CHUNK SCAN —
+      * arbitrary chunks ("LIST", "JUNK", ...) are skipped by their embedded
+      * little-endian length (chunks are word-aligned: odd lengths carry a
+      * pad byte) until "fmt " yields
+      * format(2le) channels(2le) sample_rate(4le) byte_rate(4le)
+      * block_align(2le) bits(2le), and "data" yields the payload length.
+      * Returns (channels, sample_rate, bits, n_samples) with
+      * n_samples = data_len / block_align (the ragged tail dropped).
+      */
+    def wavMeta(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, align, bits
+      while (i + 8 <= b.length) {
+        val id = fourcc(b, i)
+        val len = le4(b, i + 4)
+        if (len < 0 || len > Int.MaxValue) return None
+        val l = len.toInt
+        if (id == "fmt ") {
+          if (l < 16 || i + 8 + 16 > b.length) return None
+          val ch = le2(b, i + 10)
+          val rate = le4(b, i + 12).toInt
+          val align = le2(b, i + 20)
+          val bits = le2(b, i + 22)
+          if (ch <= 0 || rate <= 0 || align <= 0 || bits <= 0) return None
+          fmt = Some((ch, rate, align, bits))
+        } else if (id == "data") {
+          return fmt.map { case (ch, rate, align, bits) =>
+            // the data chunk may be the byte tail: clamp to what's present
+            val avail = math.min(l.toLong, (b.length - i - 8).toLong)
+            (ch, rate, bits, avail / align)
+          }
+        }
+        i += 8 + l + (l & 1) // chunks are word-aligned
+      }
+      None
+    }
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
       pngDims(bytes).map { case (w, h) => ("png", w, h, 1) }
         .orElse(jpegDims(bytes).map { case (w, h) => ("jpeg", w, h, 1) })
@@ -282,5 +328,71 @@ object Multimodal {
     meta.select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(10))).as("frame_idx"))
       .withColumn("frame_key", concat_ws("#", col("doc_id"), col("frame_idx")))
+  }
+
+  /** Typed metadata emitted by the audio header stage. */
+  final case class AudioMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      channels: Int,
+      sample_rate: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_ms: Long
+  )
+
+  /** The embedded audio parameters, derived from doc_id: the generator
+    * writes them into a REAL RIFF/WAVE header, `MediaDecoder.wavMeta` must
+    * parse them back out — the oracle recomputes them from this formula, so
+    * any parser bug breaks the hash match (the qm2 differential discipline).
+    */
+  private def audioCh = (lit(1) + col("doc_id") % 2).cast("int")
+  private def audioRate = (lit(8000) * (lit(1) + col("doc_id") % 5)).cast("int")
+
+  /** Derive a binary "audio" table from documents: every row a COMPLETE
+    * valid 16-bit PCM WAV file — "RIFF" size "WAVE", a "LIST" filler chunk
+    * on odd doc_ids (so the parser's chunk scan is exercised, not just the
+    * happy path), the "fmt " chunk with doc_id-derived channels/rate, and a
+    * "data" chunk whose payload is the document's UTF-8 bytes (its length
+    * is the ragged data size a real recorder produces).
+    */
+  def audioTable(spark: SparkSession, dir: String): DataFrame = {
+    val text = encode(col("text"), "UTF-8")
+    val align = audioCh * 2 // 16-bit PCM
+    val filler = concat(
+      unhex(lit("4C495354")), le(4)(lit(5)), // "LIST", ODD len 5
+      unhex(lit("494E464F6700"))) // 5 content bytes + the word-align pad
+    val fmt = concat(
+      unhex(lit("666D7420")), le(4)(lit(16)), // "fmt ", len 16
+      le(2)(lit(1)), le(2)(audioCh), le(4)(audioRate),
+      le(4)(audioRate * align), le(2)(align), le(2)(lit(16)))
+    val data = concat(unhex(lit("64617461")), le(4)(length(text)), text)
+    val body = when(col("doc_id") % 2 === 1, concat(filler, fmt, data))
+      .otherwise(concat(fmt, data))
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(unhex(lit("52494646")), le(4)(length(body) + 4),
+          unhex(lit("57415645")), body).as("payload"),
+        col("source"), col("lang"))
+  }
+
+  /** qm5: audio metadata decode — batched mapPartitions over the WAV binary
+    * column, one decoder per partition (the decodeMeta batch shape), typed
+    * `Dataset[AudioMeta]` out. duration_ms is integer floor math so both
+    * engines agree exactly.
+    */
+  def audioMeta(spark: SparkSession, dir: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    audioTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (ch, rate, bits, n) = MediaDecoder.wavMeta(bytes)
+            .getOrElse((0, 1, 0, 0L)) // malformed: zeroed row, rate 1 guards /0
+          AudioMeta(id, bytes.length.toLong, ch, rate, bits, n,
+            n * 1000L / rate)
+        }
+      }
   }
 }

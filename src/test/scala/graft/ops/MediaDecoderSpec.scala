@@ -159,4 +159,52 @@ class MediaDecoderSpec extends AnyFunSuite {
     assert(MediaDecoder.webpDims(hex("52494646" + le4(22) + "57454250" +
       "5650384C" + le4(6) + "2E" + le4(bits) + "0000000000")).isEmpty)
   }
+
+  /** A complete little WAV: ch channels, 16-bit PCM, `n` data bytes. */
+  private def wav(ch: Int, rate: Int, dataBytes: Int,
+      filler: String = ""): Array[Byte] = {
+    val align = ch * 2
+    val fmt = "666D7420" + le4(16) + le2(1) + le2(ch) + le4(rate) +
+      le4(rate * align) + le2(align) + le2(16)
+    val data = "64617461" + le4(dataBytes) + ("AB" * dataBytes)
+    val body = filler + fmt + data
+    hex("52494646" + le4(4 + body.length / 2) + "57415645" + body)
+  }
+
+  test("WAV fmt/data parse: channels, rate, bits, floor-divided samples") {
+    assert(MediaDecoder.wavMeta(wav(2, 44100, 400))
+      .contains((2, 44100, 16, 100L))) // 400 bytes / align 4
+    // ragged tail dropped: 7 bytes at align 2 -> 3 samples
+    assert(MediaDecoder.wavMeta(wav(1, 8000, 7)).contains((1, 8000, 16, 3L)))
+  }
+
+  test("WAV chunk scan: odd-length filler chunk skipped via its pad byte") {
+    val filler = "4C495354" + le4(5) + "494E464F67" + "00" // LIST len 5 + pad
+    assert(MediaDecoder.wavMeta(wav(1, 16000, 32, filler))
+      .contains((1, 16000, 16, 16L)))
+  }
+
+  test("WAV rejects: wrong magic, data before fmt, truncated fmt") {
+    assert(MediaDecoder.wavMeta(hex("52494646" + le4(4) + "57415746")).isEmpty)
+    val dataFirst = hex("52494646" + le4(16) + "57415645" +
+      "64617461" + le4(4) + "ABABABAB")
+    assert(MediaDecoder.wavMeta(dataFirst).isEmpty)
+    val truncated = hex("52494646" + le4(12) + "57415645" + "666D7420" + le4(16))
+    assert(MediaDecoder.wavMeta(truncated).isEmpty)
+  }
+
+  test("WAV differential vs the JDK's own audio writer") {
+    import javax.sound.sampled._
+    for ((ch, rate, frames) <- Seq((1, 8000, 123), (2, 44100, 50))) {
+      val fmt = new AudioFormat(rate.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](frames * ch * 2)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      val parsed = MediaDecoder.wavMeta(bos.toByteArray)
+      assert(parsed.contains((ch, rate, 16, frames.toLong)),
+        s"jdk wav ch=$ch rate=$rate: $parsed")
+    }
+  }
 }
