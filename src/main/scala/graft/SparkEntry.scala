@@ -238,6 +238,8 @@ object SparkEntry {
     "qm4_letterbox" -> ((s: SparkSession, d: String) => Multimodal.letterboxSpecs(s, d)),
     "qm5_audio_meta" -> ((s: SparkSession, d: String) =>
       Multimodal.audioMeta(s, d).toDF()),
+    "qm6_video_meta" -> ((s: SparkSession, d: String) =>
+      Multimodal.videoMeta(s, d).toDF()),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
@@ -2722,6 +2724,24 @@ object SparkEntry {
            channels, sample_rate, CAST(16 AS INT) AS bits,
            CAST(tb // (channels * 2) AS BIGINT) AS n_samples,
            CAST((tb // (channels * 2)) * 1000 // sample_rate AS BIGINT)
+             AS duration_ms
+         FROM d""",
+    // video: the oracle recomputes the doc_id-derived MP4 parameters from
+    // the generator formula; the Spark side walks the real ISO-BMFF boxes
+    // (ftyp brand, moov/mvhd timescale+duration, trak/tkhd 16.16 dims), so
+    // the hash match is a differential test of the box parser
+    // (n_bytes = 16 ftyp + 216 moov + 8 mdat header + text)
+    "qm6_video_meta" ->
+      """WITH d AS (
+           SELECT doc_id, octet_length(encode(text)) AS tb FROM documents)
+         SELECT doc_id,
+           CAST(240 + tb AS BIGINT) AS n_bytes,
+           'isom' AS brand,
+           CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+           CAST(tb * 40 AS BIGINT) AS duration,
+           CAST(320 + (doc_id % 16) * 16 AS INT) AS width,
+           CAST(240 + (doc_id % 9) * 16 AS INT) AS height,
+           CAST((tb * 40 * 1000) // (1000 * (1 + doc_id % 3)) AS BIGINT)
              AS duration_ms
          FROM d""",
     "qm3_frame_sample" ->

@@ -187,6 +187,58 @@ object Multimodal {
       None
     }
 
+    /** MP4 (ISO-BMFF): a box walk — size(4be) type(4be) payload — over the
+      * top level to "moov", then over moov's children: "mvhd" (version 0)
+      * yields timescale/duration at payload offsets 12/16, and the first
+      * "trak"'s "tkhd" yields track width/height as 16.16 fixed-point at
+      * payload offsets 76/80. Returns (major_brand, timescale, duration,
+      * width, height). Size-0 ("rest of file") and truncated boxes abort.
+      */
+    def mp4Meta(b: Array[Byte]): Option[(String, Long, Long, Int, Int)] = {
+      if (b.length < 16 || fourcc(b, 4) != "ftyp") return None
+      val brand = fourcc(b, 8)
+      var i = 0
+      var moov = -1
+      var moovEnd = -1
+      while (i + 8 <= b.length && moov < 0) {
+        val sz = be4(b, i).toLong & 0xffffffffL
+        if (sz < 8 || i + sz > b.length) return None
+        if (fourcc(b, i + 4) == "moov") { moov = i + 8; moovEnd = i + sz.toInt }
+        i += sz.toInt
+      }
+      if (moov < 0) return None
+      var ts = -1L; var dur = -1L; var w = -1; var h = -1
+      var j = moov
+      while (j + 8 <= moovEnd) {
+        val sz = be4(b, j).toLong & 0xffffffffL
+        if (sz < 8 || j + sz > moovEnd) return None
+        fourcc(b, j + 4) match {
+          case "mvhd" =>
+            if (sz < 32 || b(j + 8) != 0) return None // version 0 only
+            ts = be4(b, j + 20).toLong & 0xffffffffL
+            dur = be4(b, j + 24).toLong & 0xffffffffL
+          case "trak" if w < 0 =>
+            // one level deeper: find tkhd among trak's children
+            var k = j + 8
+            val trakEnd = j + sz.toInt
+            while (k + 8 <= trakEnd && w < 0) {
+              val csz = be4(b, k).toLong & 0xffffffffL
+              if (csz < 8 || k + csz > trakEnd) return None
+              if (fourcc(b, k + 4) == "tkhd") {
+                if (csz < 92 || b(k + 8) != 0) return None
+                w = be4(b, k + 84) >>> 16 // 16.16 fixed
+                h = be4(b, k + 88) >>> 16
+              }
+              k += csz.toInt
+            }
+          case _ => ()
+        }
+        j += sz.toInt
+      }
+      if (ts > 0 && dur >= 0 && w > 0 && h > 0) Some((brand, ts, dur, w, h))
+      else None
+    }
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
       pngDims(bytes).map { case (w, h) => ("png", w, h, 1) }
         .orElse(jpegDims(bytes).map { case (w, h) => ("jpeg", w, h, 1) })
@@ -392,6 +444,79 @@ object Multimodal {
             .getOrElse((0, 1, 0, 0L)) // malformed: zeroed row, rate 1 guards /0
           AudioMeta(id, bytes.length.toLong, ch, rate, bits, n,
             n * 1000L / rate)
+        }
+      }
+  }
+
+  /** Typed metadata emitted by the video header stage. */
+  final case class VideoMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int,
+      duration_ms: Long
+  )
+
+  /** The embedded video parameters, derived from doc_id (the qm2/qm5
+    * differential discipline: generator writes them into real box bytes,
+    * the parser must get them back out, the oracle recomputes the formula).
+    */
+  private def vidTs = (lit(1000) * (lit(1) + col("doc_id") % 3)).cast("long")
+  private def vidW = (lit(320) + (col("doc_id") % 16) * 16).cast("int")
+  private def vidH = (lit(240) + (col("doc_id") % 9) * 16).cast("int")
+
+  private val UnityMatrixHex =
+    "000100000000000000000000000000000001000000000000000000000000000040000000"
+
+  /** Derive a binary "video" table from documents: every row a structurally
+    * valid ISO-BMFF (MP4) prefix — `ftyp` (brand isom), a `moov` container
+    * holding a version-0 `mvhd` (doc_id-derived timescale, text-derived
+    * duration) and a `trak`/`tkhd` with 16.16 fixed-point track dimensions,
+    * then an `mdat` box carrying the document's UTF-8 bytes with an ACCURATE
+    * box size (so the top-level box walk is exercised end to end).
+    */
+  def videoTable(spark: SparkSession, dir: String): DataFrame = {
+    val text = encode(col("text"), "UTF-8")
+    val dur = length(text).cast("long") * 40
+    val mvhd = concat(
+      unhex(lit("0000006C6D766864" + "00" * 12)),
+      be(4)(vidTs), be(4)(dur),
+      unhex(lit("000100000100" + "00" * 10 + UnityMatrixHex + "00" * 24 +
+        "00000002")))
+    val tkhd = concat(
+      unhex(lit("0000005C746B6864" + "00000007" + "00" * 8 + "00000001" +
+        "00" * 4)),
+      be(4)(dur),
+      unhex(lit("00" * 16 + UnityMatrixHex)),
+      be(4)(vidW.cast("long") * 65536), be(4)(vidH.cast("long") * 65536))
+    val moov = concat(unhex(lit("000000D86D6F6F76")), mvhd,
+      unhex(lit("000000647472616B")), tkhd)
+    val mdat = concat(be(4)(length(text) + 8), unhex(lit("6D646174")), text)
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(unhex(lit("000000106674797069736F6D00000200")), moov, mdat)
+          .as("payload"),
+        col("source"), col("lang"))
+  }
+
+  /** qm6: video metadata decode — the decodeMeta/audioMeta batch shape over
+    * the MP4 binary column. duration_ms = duration * 1000 / timescale in
+    * integer floor math so both engines agree exactly.
+    */
+  def videoMeta(spark: SparkSession, dir: String): Dataset[VideoMeta] = {
+    import spark.implicits._
+    videoTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (brand, ts, dur, w, h) = MediaDecoder.mp4Meta(bytes)
+            .getOrElse(("", 1L, 0L, 0, 0)) // malformed: ts 1 guards /0
+          VideoMeta(id, bytes.length.toLong, brand, ts, dur, w, h,
+            dur * 1000L / ts)
         }
       }
   }

@@ -193,6 +193,49 @@ class MediaDecoderSpec extends AnyFunSuite {
     assert(MediaDecoder.wavMeta(truncated).isEmpty)
   }
 
+  private def be4h(v: Long) = f"$v%08X"
+
+  /** A structurally valid MP4: ftyp + optional free box + moov(mvhd, trak/
+    * tkhd) with the given parameters. Returns hex.
+    */
+  private def mp4(ts: Long, dur: Long, w: Int, h: Int,
+      free: Boolean = false): Array[Byte] = {
+    val matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 +
+      "40000000"
+    val mvhd = "0000006C6D766864" + "00" * 12 + be4h(ts) + be4h(dur) +
+      "000100000100" + "00" * 10 + matrix + "00" * 24 + "00000002"
+    val tkhd = "0000005C746B6864" + "00000007" + "00" * 8 + "00000001" +
+      "00" * 4 + be4h(dur) + "00" * 16 + matrix +
+      be4h(w.toLong * 65536) + be4h(h.toLong * 65536)
+    // an unknown udta box inside moov before mvhd: must be skipped
+    val udta = "0000000C75647461" + "00" * 4
+    val moovLen = 8 + 12 + 108 + 100
+    val moov = be4h(moovLen.toLong) + "6D6F6F76" + udta + mvhd +
+      "000000647472616B" + tkhd
+    val freeBox = if (free) "0000001066726565" + "00" * 8 else ""
+    hex("000000106674797069736F6D00000200" + freeBox + moov)
+  }
+
+  test("MP4 box walk: brand, mvhd timescale/duration, tkhd 16.16 dims") {
+    assert(MediaDecoder.mp4Meta(mp4(1000, 48000, 640, 480))
+      .contains(("isom", 1000L, 48000L, 640, 480)))
+    // unknown top-level (free) and in-moov (udta) boxes are skipped
+    assert(MediaDecoder.mp4Meta(mp4(2000, 0, 16, 16, free = true))
+      .contains(("isom", 2000L, 0L, 16, 16)))
+  }
+
+  test("MP4 rejects: no ftyp, undersized box, truncated moov, zero dims") {
+    assert(MediaDecoder.mp4Meta(hex("00000010667265656973" +
+      "6F6D00000200")).isEmpty) // first box not ftyp
+    val ok = mp4(1000, 400, 320, 240)
+    assert(MediaDecoder.mp4Meta(ok.take(40)).isEmpty) // truncated moov
+    val zeroW = mp4(1000, 400, 0, 240)
+    assert(MediaDecoder.mp4Meta(zeroW).isEmpty)
+    // a box claiming size < 8 desyncs the walk: reject, don't loop
+    val bad = ok.clone(); bad(16) = 0; bad(17) = 0; bad(18) = 0; bad(19) = 4
+    assert(MediaDecoder.mp4Meta(bad).isEmpty)
+  }
+
   test("WAV differential vs the JDK's own audio writer") {
     import javax.sound.sampled._
     for ((ch, rate, frames) <- Seq((1, 8000, 123), (2, 44100, 50))) {
