@@ -189,6 +189,9 @@ object CleanJob {
       nDelivered: Long = 0L,
       repetitionGated: Long = 0L,
       nReleased: Long = 0L,
+      splitTrain: Long = 0L,
+      splitVal: Long = 0L,
+      splitTest: Long = 0L,
       stageSecs: Map[String, Double] = Map.empty)
 
   /** Run the staged pipeline over `corpusDir/documents.parquet`, writing
@@ -438,6 +441,28 @@ object CleanJob {
       } finally prof.unpersist()
     }
 
+    // stage 8: leakage-free split assignment (qd19's operator) over the
+    // RELEASED corpus. The guard re-runs the dedup-grade 4x2 banding with a
+    // STRICTER verify threshold (0.1 vs dedup's 0.2): dedup keeps one doc
+    // per >=0.2 cluster, so what this stage co-locates is the residual
+    // 0.1-0.2 resemblance that legitimately survived. Its guarantee is
+    // self-consistent — every pair ITS candidate generator admits lands in
+    // one split (recall at very low J is bounded by the banding, like any
+    // LSH guard; an 8x1 banding would lift it but is candidate-quadratic at
+    // scale — measured 289 s vs ~30 s at 200k docs, the wrong shape).
+    val nReleasedCnt = repStats("released")
+    val splitStats = stage("split_assign", nReleasedCnt) {
+      graft.ops.Dedup.clusterAwareSplit(spark, s"$outDir/released",
+          threshold = 0.1)
+        .write.mode("overwrite").parquet(s"$outDir/splits/splits.parquet")
+      val byS = spark.read.parquet(s"$outDir/splits/splits.parquet")
+        .groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Map("train" -> byS.getOrElse("train", 0L),
+        "val" -> byS.getOrElse("val", 0L),
+        "test" -> byS.getOrElse("test", 0L))
+    }
+
     val stats = CleanStats(
       nInput = nInput,
       urlRemoved = nInput - urlKept,
@@ -454,6 +479,9 @@ object CleanJob {
       nDelivered = lineStats("delivered"),
       repetitionGated = repStats("gated"),
       nReleased = repStats("released"),
+      splitTrain = splitStats("train"),
+      splitVal = splitStats("val"),
+      splitTest = splitStats("test"),
       stageSecs = stageSecs.toMap)
 
     require(stats.nFinal ==
@@ -464,6 +492,9 @@ object CleanJob {
       s"line-stage lineage does not conserve: $stats")
     require(stats.nReleased == stats.nDelivered - stats.repetitionGated,
       s"repetition-stage lineage does not conserve: $stats")
+    require(stats.splitTrain + stats.splitVal + stats.splitTest ==
+      stats.nReleased,
+      s"split-stage lineage does not conserve: $stats")
     stats
   }
 }
@@ -526,6 +557,8 @@ object CleanJobRunner {
       f""""n_delivered":${stats.nDelivered},""" +
       f""""repetition_gated":${stats.repetitionGated},""" +
       f""""n_released":${stats.nReleased},""" +
+      f""""split_train":${stats.splitTrain},"split_val":${stats.splitVal},""" +
+      f""""split_test":${stats.splitTest},""" +
       f""""stage_secs":{$stages},""" +
       f""""wall_s":$wall%.1f,"docs_per_sec":${(stats.nInput / wall).toLong}}""")
     spark.stop()

@@ -166,6 +166,22 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val releasedIds = released.select("doc_id").collect().map(_.getLong(0)).toSet
     assert(releasedIds == passIds,
       s"released set != repetition-pass set (${releasedIds.size} vs ${passIds.size})")
+
+    // stage 8: every released doc gets exactly one split; quotas conserve
+    // and any residual >= 0.1-similar pair co-locates (the leakage claim)
+    val splits = spark.read.parquet(s"$out/splits/splits.parquet")
+    assert(splits.count() == stats.nReleased)
+    assert(stats.splitTrain + stats.splitVal + stats.splitTest ==
+      stats.nReleased, stats.toString)
+    assert(splits.select("doc_id").distinct().count() == stats.nReleased)
+    val splitOf = splits.select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    graft.ops.Dedup.minhashLshPairsPortable(spark, s"$out/released",
+        threshold = 0.1)
+      .select("doc_a", "doc_b").collect().foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(splitOf(a) == splitOf(b), s"LEAK: ($a,$b) straddles splits")
+      }
   }
 
   test("kill-and-resume: completed stages are skipped, lineage identical") {
