@@ -109,6 +109,8 @@ object SparkEntry {
       Dedup.chunkDupShare(s, d)),
     "qd19_cluster_split" -> ((s: SparkSession, d: String) =>
       Dedup.clusterAwareSplit(s, d)),
+    "qd20_bucket_split" -> ((s: SparkSession, d: String) =>
+      Dedup.bucketSplit(s, d)),
     "qt24_classifier_gate" -> ((s: SparkSession, d: String) =>
       TextAnalysis.classifierGate(s, d)),
     "qt25_domain_mixture" -> ((s: SparkSession, d: String) =>
@@ -1158,7 +1160,10 @@ object SparkEntry {
     * connected components, ending in CTE `comp`(doc_id, cluster_id) over
     * the pair-participating documents.
     */
-  private val lshCompCte: String =
+  /** Shared shingle→portable-MinHash-signature prefix (qd10/qd19/qd20),
+    * ending in CTE `sigs`(doc_id, sh, sig[8]).
+    */
+  private val minhashSigsCte: String =
     """WITH RECURSIVE w AS (
          SELECT doc_id,
            string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
@@ -1173,7 +1178,9 @@ object SparkEntry {
            [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
               + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
              FOR s IN sh]) FOR i IN range(0, 8)] AS sig
-         FROM sh WHERE len(sh) > 0),
+         FROM sh WHERE len(sh) > 0)"""
+
+  private val lshCompCte: String = minhashSigsCte + """,
        pairs AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
@@ -2227,6 +2234,50 @@ object SparkEntry {
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
          FROM b"""),
+    // verify-free split guard: CC over the band-bucket STAR graph (members
+    // edge to each admitted bucket's min doc) at the percolation-safe 2x4
+    // banding — the per-lane replay of the bkey string groups, the 4096
+    // cap, star edges, recursive reachability, and the split hash, all
+    // recomputed independently
+    "qd20_bucket_split" -> (minhashSigsCte + """,
+         bk AS (
+           SELECT doc_id, b, sig[4*b+1] AS s1, sig[4*b+2] AS s2,
+             sig[4*b+3] AS s3, sig[4*b+4] AS s4
+           FROM sigs CROSS JOIN UNNEST([0,1]) AS u(b)),
+         caps AS (
+           SELECT b, s1, s2, s3, s4 FROM bk GROUP BY b, s1, s2, s3, s4
+           HAVING COUNT(*) <= 4096),
+         adm AS (
+           SELECT bk.doc_id, bk.b, bk.s1, bk.s2, bk.s3, bk.s4
+           FROM bk JOIN caps USING (b, s1, s2, s3, s4)),
+         roots AS (
+           SELECT b, s1, s2, s3, s4, MIN(doc_id) AS root
+           FROM adm GROUP BY b, s1, s2, s3, s4),
+         e0 AS (
+           SELECT DISTINCT adm.doc_id AS a, roots.root AS r
+           FROM adm JOIN roots USING (b, s1, s2, s3, s4)
+           WHERE adm.doc_id <> roots.root),
+         edges2 AS (SELECT a AS src, r AS dst FROM e0 UNION SELECT r, a FROM e0),
+         reach2(doc_id, r) AS (
+           SELECT src, src FROM edges2
+           UNION
+           SELECT e.src, reach2.r FROM edges2 e JOIN reach2 ON e.dst = reach2.doc_id),
+         comp2 AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach2 GROUP BY doc_id),
+         spine AS (SELECT doc_id FROM documents),
+         rep AS (
+           SELECT spine.doc_id,
+             COALESCE(comp2.cluster_id, spine.doc_id) AS cluster_rep
+           FROM spine LEFT JOIN comp2 USING (doc_id)),
+         bq AS (
+           SELECT doc_id, cluster_rep,
+             CAST('0x' || substr(md5(CAST(cluster_rep AS VARCHAR) || ':split'),
+               1, 15) AS BIGINT) % 100 AS bucket
+           FROM rep)
+         SELECT doc_id, cluster_rep, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM bq"""),
     // AllPairs/PPJoin exact similarity join: df-ordered prefixes, length +
     // positional filters, the 4096 token cap, and the exact-Jaccard verify —
     // all replayed. DOUBLE casts matter: DuckDB parses 0.8 as DECIMAL, whose

@@ -441,19 +441,17 @@ object CleanJob {
       } finally prof.unpersist()
     }
 
-    // stage 8: leakage-free split assignment (qd19's operator) over the
-    // RELEASED corpus. The guard re-runs the dedup-grade 4x2 banding with a
-    // STRICTER verify threshold (0.1 vs dedup's 0.2): dedup keeps one doc
-    // per >=0.2 cluster, so what this stage co-locates is the residual
-    // 0.1-0.2 resemblance that legitimately survived. Its guarantee is
-    // self-consistent — every pair ITS candidate generator admits lands in
-    // one split (recall at very low J is bounded by the banding, like any
-    // LSH guard; an 8x1 banding would lift it but is candidate-quadratic at
-    // scale — measured 289 s vs ~30 s at 200k docs, the wrong shape).
+    // stage 8: leakage-free split assignment over the RELEASED corpus via
+    // qd20's VERIFY-FREE bucket-star guard: leakage-safety needs only
+    // connectivity and over-merging is conservative, so the cluster key is
+    // CC over band-bucket co-membership — LINEAR in corpus size. The
+    // pair-enumerating variants were measured and rejected here: qd19 at
+    // t=0.1 ran 338 s on the 1M pipeline's 517k released docs, an 8x1
+    // banding 289 s at 200k (candidate volume is bucket-quadratic); the
+    // star guard co-locates a SUPERSET of every pair either would admit.
     val nReleasedCnt = repStats("released")
     val splitStats = stage("split_assign", nReleasedCnt) {
-      graft.ops.Dedup.clusterAwareSplit(spark, s"$outDir/released",
-          threshold = 0.1)
+      graft.ops.Dedup.bucketSplit(spark, s"$outDir/released")
         .write.mode("overwrite").parquet(s"$outDir/splits/splits.parquet")
       val byS = spark.read.parquet(s"$outDir/splits/splits.parquet")
         .groupBy(col("split")).count().collect()

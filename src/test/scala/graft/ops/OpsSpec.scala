@@ -97,6 +97,29 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qd20: the verify-free star guard co-locates every verified pair") {
+    val sf = "/root/testdata/sf0.001"
+    val split = Dedup.bucketSplit(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(split.size == 500)
+    // superset property: every pair the SAME-BANDING verified guard admits
+    // (any threshold — verification only shrinks the set) shares an
+    // admitted bucket, hence a star component, hence a split
+    val pairs = Dedup.minhashLshPairsPortable(spark, sf, bands = 2,
+        rowsPerBand = 4, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(split(a)._1 == split(b)._1, s"pair ($a,$b) not co-clustered")
+    }
+    // conservative over-merge must not collapse the corpus: quotas stay
+    // near 80/10/10 (wide bounds — organic bucket chains shift a few docs)
+    val counts = split.values.groupBy(_._2).map { case (s, xs) => s -> xs.size }
+    assert(counts("train") > 300 && counts("train") < 480, counts.toString)
+    assert(counts.getOrElse("val", 0) > 10 && counts.getOrElse("test", 0) > 10,
+      counts.toString)
+  }
+
   test("exact dedup finds case/whitespace-normalized duplicates") {
     val stats = Dedup.exactDedupStats(spark, dupDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

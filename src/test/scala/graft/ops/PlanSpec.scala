@@ -509,6 +509,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qd20 bucket split: star guard — no window, no cartesian, no verify") {
+    val plan = planOf(Dedup.bucketSplit(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the whole point: NO exact-Jaccard verify anywhere in the plan
+    assert(!plan.contains("jaccard"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qg6 communities: vote rounds leave no cartesian and no window") {
     val plan = planOf(LinkGraph.hostCommunities(spark, sf, k = 2))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -168,7 +168,9 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"released set != repetition-pass set (${releasedIds.size} vs ${passIds.size})")
 
     // stage 8: every released doc gets exactly one split; quotas conserve
-    // and any residual >= 0.1-similar pair co-locates (the leakage claim)
+    // and any residual >= 0.1-similar pair co-locates (the leakage claim —
+    // the star guard admits a SUPERSET of any verified pair set, so the
+    // check runs against the verified 0.1-threshold pairs)
     val splits = spark.read.parquet(s"$out/splits/splits.parquet")
     assert(splits.count() == stats.nReleased)
     assert(stats.splitTrain + stats.splitVal + stats.splitTest ==
@@ -177,7 +179,7 @@ class CleanJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val splitOf = splits.select(col("doc_id"), col("split")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     graft.ops.Dedup.minhashLshPairsPortable(spark, s"$out/released",
-        threshold = 0.1)
+        bands = 2, rowsPerBand = 4, threshold = 0.1)
       .select("doc_a", "doc_b").collect().foreach { r =>
         val (a, b) = (r.getLong(0), r.getLong(1))
         assert(splitOf(a) == splitOf(b), s"LEAK: ($a,$b) straddles splits")
