@@ -147,6 +147,8 @@ object SparkEntry {
     "qs1_ann_brute" -> ((s: SparkSession, d: String) => Similarity.annBruteForce(s, d)),
     "qs2_ann_lsh" -> ((s: SparkSession, d: String) => Similarity.annLsh(s, d)),
     "qs9_mips" -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
+    "qs10_recall_eval" -> ((s: SparkSession, d: String) =>
+      Similarity.annRecallEval(s, d)),
     // honestly approximate: IVF coarse quantization cannot guarantee exact
     // top-k on the synthetic corpus (near-uniform random vectors, the worst
     // case for coarse quantization) without probing every cell, so qs3 stays
@@ -1495,6 +1497,35 @@ object SparkEntry {
     // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,
     // sampleCap=4096, nQueries=5, k=10)
     "qs6_ann_pq" -> pqOracleSql(4, 8, 2, 4096, 5, 10),
+    // recall@k harness: the ENTIRE evaluation of the PQ approximation is
+    // itself oracled — the approx side nests qs6's full replay (training,
+    // assignment, ADC, ranking) as a CTE; the exact side recomputes integer
+    // L2 on the same fixed-point vectors; recall = |approx ∩ exact| / k
+    "qs10_recall_eval" ->
+      s"""WITH approx AS (${pqOracleSql(4, 8, 2, 4096, 5, 10)}),
+         fx AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         ex AS (
+           SELECT query_id, neighbor_id FROM (
+             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                 list_sum([(a.qv[i]-b.qv[i])*(a.qv[i]-b.qv[i])
+                           FOR i IN range(1, len(a.qv)+1)]) ASC,
+                 b.vec_id ASC) AS rnk
+             FROM fx a JOIN fx b ON a.vec_id < 5 AND b.vec_id <> a.vec_id)
+           WHERE rnk <= 10),
+         hits AS (
+           SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM approx a JOIN ex ON ex.query_id = a.query_id
+             AND ex.neighbor_id = a.neighbor_id
+           GROUP BY a.query_id),
+         qids AS (SELECT DISTINCT query_id FROM approx)
+         SELECT qids.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+         FROM qids LEFT JOIN hits h USING (query_id)""",
     // IVF-PQ: coarse training, cells, residuals, PQ training, encoding,
     // probes, ADC, and ranking all exact int64 — the whole two-level
     // approximate result hash-matches (defaults of Similarity.annIvfPq:

@@ -647,4 +647,49 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
         round(col("ip"), 6).as("inner_product"))
   }
+
+  /** qs10: ANN RECALL EVALUATION — the harness every production ANN
+    * deployment ships beside the index (FAISS's own benchmarks report
+    * recall@k vs exhaustive search): per query, the fraction of the exact
+    * L2 top-k recovered by qs6's PQ asymmetric-distance top-k. Because the
+    * PQ chain (training, assignment, ADC, ranking) and the exact baseline
+    * are BOTH exact integer math on the same fixed-point vectors, the whole
+    * evaluation — an op measuring an approximation's quality — is itself
+    * DuckDB-oracled end to end.
+    *
+    * Exact distances avoid any new kernel: ‖q−e‖² = q·q + e·e − 2q·e via
+    * three native dot_i64 folds (int64-exact at dim 64, 1e6 fixed point).
+    * Query side broadcasts; the per-query top-k window partitions on the
+    * fixed small query count (the q19 heap is the shape if queries grew).
+    */
+  def annRecallEval(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, m: Int = 4, ks: Int = 8, rounds: Int = 2,
+      sampleCap: Int = 4096): DataFrame = {
+    val approx = annPq(spark, dir, nQueries, k, m, ks, rounds, sampleCap)
+      .select(col("query_id"), col("neighbor_id"))
+    val fixed = embeddings(spark, dir).select(
+      col("vec_id"),
+      transform(col("embedding"),
+        v => round(v.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    val queries = fixed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("qv").as("quv"))
+    val dist = GraftFunctions.dotI64(col("quv"), col("quv")) +
+      GraftFunctions.dotI64(col("qv"), col("qv")) -
+      lit(2L) * GraftFunctions.dotI64(col("quv"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    val exact = fixed.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("dist", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val hits = approx.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    approx.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
+          .as("recall_at_k"))
+  }
 }
