@@ -200,6 +200,8 @@ object SparkEntry {
       TextAnalysis.shardManifest(s, d)),
     "qt33_chunk_windows" -> ((s: SparkSession, d: String) =>
       TextAnalysis.chunkWindows(s, d)),
+    "qt35_pmi" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.pmiCollocations(s, d)),
     "qt34_weighted_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.weightedSample(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
@@ -2510,6 +2512,32 @@ object SparkEntry {
     // slice, both clamp at the tail)
     "qt33_chunk_windows" -> (chunkCte + """
          SELECT doc_id, chunk_id, start_tok, n_toks, chunk_fp FROM ch"""),
+    // PMI collocations: occurrence-count bigram/unigram tables, one ln of
+    // the exact integer rational with pinned f64 association, round 9
+    "qt35_pmi" ->
+      """WITH w AS (
+           SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+           FROM documents),
+         uni AS (SELECT unnest(w) AS word FROM w),
+         cu AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY word),
+         nw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+         bg AS (
+           SELECT [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS bs
+           FROM w WHERE len(w) >= 2),
+         bigr AS (SELECT unnest(bs) AS bigram FROM bg),
+         cb AS (
+           SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c_ab
+           FROM bigr GROUP BY bigram HAVING COUNT(*) >= 5),
+         nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bigr)
+         SELECT cb.bigram, cb.c_ab, ca.c AS c_a, cbb.c AS c_b,
+           ROUND(ln(CAST(cb.c_ab AS DOUBLE) * nw.n * nw.n /
+             (CAST(ca.c AS DOUBLE) * cbb.c * nb.n)), 9) AS pmi
+         FROM cb
+         JOIN cu ca ON ca.word = string_split(cb.bigram, ' ')[1]
+         JOIN cu cbb ON cbb.word = string_split(cb.bigram, ' ')[2]
+         CROSS JOIN nw CROSS JOIN nb
+         ORDER BY pmi DESC, cb.bigram ASC
+         LIMIT 50""",
     // duplicate-chunk share: a fingerprint is duplicated iff it occurs in
     // >= 2 DISTINCT docs; per-doc share over the same chunk set
     "qd18_chunk_dup_share" -> (chunkCte + """,

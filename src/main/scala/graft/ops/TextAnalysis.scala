@@ -1190,6 +1190,51 @@ object TextAnalysis {
         (sum(dec(col("fp"))) % dec(mers)).cast("long").as("content_fp"))
   }
 
+  /** qt35: PMI COLLOCATIONS — the pointwise-mutual-information bigram
+    * ranking (Church & Hanks 1990) corpus linguists and tokenizer designers
+    * run to find multi-word units ("new york", "machine learning") worth
+    * merging: PMI(a,b) = ln(P(ab) / (P(a)P(b))) over token OCCURRENCE
+    * counts (not qt5's doc counts), reported for bigrams above a minimum
+    * count with the top-k by PMI.
+    *
+    * Float parity (qt16 discipline): the argument of the single ln is the
+    * exact integer rational c_ab·N_w·N_w / (c_a·c_b·N_b) evaluated in f64
+    * with PINNED association on both engines, and the ln rounds to 9
+    * digits.
+    *
+    * Scale shape: two explode+hash-aggregates (unigrams, bigrams) with
+    * map-side partials; the unigram re-attach is a vocab-sized plain join
+    * (AQE size-gates it — never hinted, per the broadcast invariant); the
+    * corpus totals are 1-row aggregates (crossJoin-legit); the final top-k
+    * plans as TakeOrderedAndProject. No windows, nothing corpus-quadratic.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String, minCount: Long = 5,
+      topK: Int = 50): DataFrame = {
+    val w = docs(spark, dir).select(
+      split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("w"))
+    val uni = w.select(explode(col("w")).as("word"))
+    val cu = uni.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val nw = uni.agg(count(lit(1)).as("n_w"))
+    val bigrams = w.filter(size(col("w")) >= 2).select(explode(expr(
+      "transform(sequence(1, size(w)-1), " +
+        "i -> concat(element_at(w, i), ' ', element_at(w, i+1)))"))
+      .as("bigram"))
+    val cb = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val nb = bigrams.agg(count(lit(1)).as("n_b"))
+    cb.withColumn("wa", element_at(split(col("bigram"), " "), 1))
+      .withColumn("wb", element_at(split(col("bigram"), " "), 2))
+      .join(cu.select(col("word").as("wa"), col("c").as("c_a")), Seq("wa"))
+      .join(cu.select(col("word").as("wb"), col("c").as("c_b")), Seq("wb"))
+      .crossJoin(nw).crossJoin(nb)
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        round(log(col("c_ab").cast("double") * col("n_w") * col("n_w") /
+          (col("c_a").cast("double") * col("c_b") * col("n_b"))), 9)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(topK)
+  }
+
   /** qt33: sliding-window token chunking — the context-window sharding step
     * every RAG index and fixed-length pretraining pipeline runs: each
     * document's whitespace tokens become overlapping chunks of `win` tokens

@@ -525,6 +525,13 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qt35 PMI: aggregates + bounded top-k — no window, no global sort") {
+    val plan = planOf(TextAnalysis.pmiCollocations(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qc4 k-means||: final assignment is a map-only E-step over literals") {
     val plan = planOf(Clustering.kmeansParallel(spark, sf))
     // the returned DataFrame (final argmin) must not join or shuffle: the
