@@ -202,6 +202,8 @@ object SparkEntry {
       TextAnalysis.chunkWindows(s, d)),
     "qt35_pmi" -> ((s: SparkSession, d: String) =>
       TextAnalysis.pmiCollocations(s, d)),
+    "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.kmvSetOps(s, d)),
     "qt34_weighted_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.weightedSample(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
@@ -237,6 +239,8 @@ object SparkEntry {
       Clustering.prototypePrune(s, d)),
     "qc4_kmeans_parallel" -> ((s: SparkSession, d: String) =>
       Clustering.kmeansParallel(s, d)),
+    "qc5_kcenter_coreset" -> ((s: SparkSession, d: String) =>
+      Clustering.kcenterCoreset(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -433,6 +437,101 @@ object SparkEntry {
         """
          SELECT vec_id, cand AS cluster, dist AS dist_sq FROM af"""
     head + roundsSql + tail
+  }
+
+  /** qc5's oracle, generated: the k-center greedy traversal UNROLLED — k-1
+    * selection rounds, each computing every vector's min distance to the
+    * center set so far (exact int64 squared-L2 on the fixed-point codes)
+    * and picking the (dist DESC, vec_id ASC) argmax, then the final
+    * nearest-center assignment with the qc1/qc4 (dist ASC, cand ASC)
+    * tie-break. Bit-for-bit the Spark traversal (Clustering.kcenterCoreset).
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def argmin(name: String, cset: String): String =
+      s""",
+         $name AS (
+           SELECT vec_id, cand, dist FROM (
+             SELECT vec_id, cand, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+             FROM (
+               SELECT q.vec_id, c.cand,
+                 CAST(list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
+                                FOR i IN range(1, len(q.qv)+1)]) AS BIGINT) AS dist
+               FROM q, $cset c)) WHERE rn = 1)"""
+    val head =
+      s"""WITH q AS (
+           SELECT vec_id, [CAST(round(CAST(embedding[i] AS DOUBLE)*1000000) AS BIGINT)
+                           FOR i IN range(1, len(embedding)+1)] AS qv
+           FROM embeddings),
+         c1 AS (SELECT CAST(vec_id AS BIGINT) AS cand, qv AS cv FROM q WHERE vec_id = 0)"""
+    val roundsSql = (2 to k).map { t =>
+      argmin(s"d${t - 1}", s"c${t - 1}") +
+        s""",
+         s$t AS (
+           SELECT vec_id FROM d${t - 1} ORDER BY dist DESC, vec_id ASC LIMIT 1),
+         c$t AS (
+           SELECT cand, cv FROM c${t - 1}
+           UNION ALL
+           SELECT CAST(q.vec_id AS BIGINT), q.qv FROM q JOIN s$t USING (vec_id))"""
+    }.mkString
+    val tail =
+      argmin("af", s"c$k") +
+        """
+         SELECT vec_id, cand AS center, dist AS dist_sq FROM af"""
+    head + roundsSql + tail
+  }
+
+  /** qt36's oracle, generated: the two shard KMV sketches replayed as
+    * `SELECT DISTINCT hash ORDER BY hash LIMIT k` (the qt12 equivalence),
+    * the merged sketch as the k smallest of their union, and every
+    * estimator recomputed with the same pinned f64 parenthesization —
+    * plus the exact ground-truth counts the op carries along.
+    */
+  private def kmvSetOpsOracleSql(k: Int): String = {
+    val num = s"${k - 1}.0 * 1152921504606846976.0"
+    s"""WITH w AS (
+           SELECT doc_id % 2 AS half,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT half, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         tt AS (SELECT half, unnest(sh) AS item FROM sh),
+         hh AS (SELECT DISTINCT half,
+             CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS h FROM tt),
+         ska AS (SELECT h FROM hh WHERE half = 0 ORDER BY h LIMIT $k),
+         skb AS (SELECT h FROM hh WHERE half = 1 ORDER BY h LIMIT $k),
+         mg AS (SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+                ORDER BY h LIMIT $k),
+         sa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM ska),
+         sb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM skb),
+         sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth FROM mg),
+         ht AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM mg
+                WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)),
+         ex AS (
+           SELECT CAST(SUM(CASE WHEN mn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS exact_a,
+             CAST(SUM(CASE WHEN mx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_b,
+             CAST(COUNT(*) AS BIGINT) AS exact_union,
+             CAST(SUM(CASE WHEN mn = 0 AND mx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+           FROM (SELECT item, MIN(half) AS mn, MAX(half) AS mx FROM tt GROUP BY item))
+         SELECT CAST($k AS INT) AS k,
+           sa.n AS sk_a_size, sb.n AS sk_b_size,
+           CASE WHEN sa.n < $k THEN CAST(sa.n AS DOUBLE)
+                ELSE ROUND($num / CAST(sa.kth AS DOUBLE), 6) END AS est_a,
+           CASE WHEN sb.n < $k THEN CAST(sb.n AS DOUBLE)
+                ELSE ROUND($num / CAST(sb.kth AS DOUBLE), 6) END AS est_b,
+           sm.n AS merged_size,
+           CASE WHEN sm.n < $k THEN CAST(sm.n AS DOUBLE)
+                ELSE ROUND($num / CAST(sm.kth AS DOUBLE), 6) END AS est_union,
+           ht.n AS hits,
+           ROUND(CAST(ht.n AS DOUBLE) / CAST(sm.n AS DOUBLE), 6) AS jaccard_est,
+           CASE WHEN sm.n < $k THEN CAST(ht.n AS DOUBLE)
+                ELSE ROUND((CAST(ht.n AS DOUBLE) * ($num / CAST(sm.kth AS DOUBLE))) /
+                     CAST(sm.n AS DOUBLE), 6) END AS est_inter,
+           ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
+         FROM sa, sb, sm, ht, ex"""
   }
 
   /** qs6's oracle, generated: product-quantization END TO END — per-subspace
@@ -1494,6 +1593,12 @@ object SparkEntry {
          FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
     "qc4_kmeans_parallel" -> kmeansParOracleSql(8, 16, 3),
+    // k-center greedy coreset: the k-1 farthest-point picks unrolled, then
+    // the final assignment — exact int64 L2, every pick replayed
+    "qc5_kcenter_coreset" -> kcenterOracleSql(8),
+    // KMV set-operation estimates across the doc_id-parity shards, with
+    // exact ground truth riding along (the qs10 harness pattern)
+    "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
     // PQ/ADC ANN: codebook training, encoding, asymmetric distances, and
     // ranking all in exact int64 fixed-point — the whole approximate result
     // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,

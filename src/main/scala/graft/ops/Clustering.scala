@@ -207,6 +207,53 @@ object Clustering {
         col("best.dist").as("dist"), col("qv"))
   }
 
+  /** qc5: k-center greedy coreset (Gonzalez 1985 farthest-point traversal;
+    * the coreset selector of Sener & Savarese 2018, arXiv:1708.00489) — the
+    * DIVERSITY-maximizing data-selection leg: where qc3 keeps the hardest
+    * examples per cluster, k-center keeps the k mutually-farthest examples,
+    * a 2-approximation to the optimal covering radius. Active-learning and
+    * subset-selection pipelines run exactly this loop over the embedding
+    * table.
+    *
+    * Determinism: the seed is vec_id 0; each round adds the point with the
+    * MAXIMUM distance to its nearest chosen center (ties to the smaller
+    * vec_id); all distances are exact int64 squared-L2 on the fixed-point
+    * codes, so the DuckDB oracle unrolls the k-1 selection rounds as a CTE
+    * chain (the qt19 discipline) and replays every pick bit-for-bit.
+    *
+    * Scale shape: each round is ONE map-only pass (min-dist against the
+    * model-sized center literals via native dot_i64 — the qc1 E-step shape)
+    * followed by a TakeOrderedAndProject(1) — a 1-row driver collect per
+    * round, the qt19 trainer-step bound. k passes total; nothing data-sized
+    * reaches the driver, no shuffles beyond the top-1 reduction.
+    *
+    * Output: every vector assigned to its nearest of the k chosen centers —
+    * (vec_id, center = the center's source vec_id, dist_sq); the selected
+    * coreset is exactly the rows with vec_id = center.
+    */
+  def kcenterCoreset(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val c = codes(spark, dir)
+    c.persist()
+    try {
+      val first = c.filter(col("vec_id") === 0L).select("qv").collect()
+      require(first.length == 1, "embeddings table needs vec_id 0 as the seed")
+      var cents: Vector[(Long, Array[Long])] =
+        Vector(0L -> first(0).getSeq[Long](0).toArray)
+      for (_ <- 2 to k) {
+        val next = assignToCands(c, cents)
+          .orderBy(col("dist").desc, col("vec_id").asc)
+          .limit(1).select(col("vec_id"), col("qv")).collect()
+        require(next.length == 1, "k-center round found no candidate row")
+        cents = cents :+
+          (next(0).getLong(0) -> next(0).getSeq[Long](1).toArray)
+      }
+      assignToCands(c, cents)
+        .select(col("vec_id"), col("cand").as("center"),
+          col("dist").as("dist_sq"))
+    } finally c.unpersist()
+  }
+
   /** qc1: final-round k-means assignment — (vec_id, cluster, dist_sq). */
   def kmeansAssign(spark: SparkSession, dir: String,
       k: Int = 8, rounds: Int = 4): DataFrame =

@@ -1235,6 +1235,89 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** qt36: KMV SET-OPERATION ESTIMATES across two corpus shards — the
+    * mergeable-sketch algebra that makes cross-shard distinct statistics
+    * tractable at 100 TB (Beyer, Haas, Reinwald, Sismanis & Gemulla 2007,
+    * SIGMOD — "On synopses for distinct-value estimation under multiset
+    * operations"): each shard keeps only its k-smallest-distinct-hash
+    * sketch of the token vocabulary (qt12's bounded state, map-side
+    * partials + set-union merge), and the union size, Jaccard, and
+    * intersection size of ANY two shards are then computed from the two
+    * k-long sketches alone — no re-scan of either shard, the reason
+    * production systems ship per-partition sketches to a coordinator
+    * instead of shuffling vocabularies. The item stream is qt12's word
+    * bigrams (the interesting cross-shard vocabulary; single tokens are
+    * generator-bounded at small SF).
+    *
+    * Estimators (all replayed exactly by the oracle): with U_k the k-th
+    * smallest retained hash, D̂ = (k-1)·2^60/U_k (exact count when the
+    * sketch is under-full); the merged sketch is the k smallest of the
+    * union of the two sketch sets; Ĵ = |{h ∈ merged : h ∈ A ∧ h ∈ B}|/|merged|
+    * and the intersection is Ĵ·Û. The exact per-shard/union/intersection
+    * counts ride along (the qs10 evaluation-harness pattern — the
+    * estimator's input AND its ground truth under one hash gate).
+    *
+    * Float parity: (k-1)·2^60 is exactly representable in f64 (8-bit
+    * mantissa × 2^60), both engines compute the same IEEE divisions with
+    * PINNED parenthesization, and every estimate rounds to 6 digits.
+    *
+    * Scale shape: one explode + ONE partially-aggregated groupBy(half)
+    * whose state is k longs per shard (the qt12 bound); the set algebra
+    * runs on two 1-row frames (crossJoin-legit, fixed-size per the
+    * broadcast invariant). The exact side is one distinct aggregate —
+    * the part a real 100-TB run would OMIT; it is here as ground truth.
+    */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val toks = docs(spark, dir).select(
+      (col("doc_id") % 2).cast("int").as("half"),
+      explode(Dedup.shingles(col("text"), 2)).as("item"))
+    val sk = toks.groupBy(col("half"))
+      .agg(graft.functions.GraftFunctions.kmvSketch(col("item"), k).as("sk"))
+    val a = sk.filter(col("half") === 0).select(col("sk").as("ska"))
+    val b = sk.filter(col("half") === 1).select(col("sk").as("skb"))
+    val exact = toks
+      .groupBy(col("item"))
+      .agg(min(col("half")).as("mn"), max(col("half")).as("mx"))
+      .agg(
+        sum(when(col("mn") === 0, 1L).otherwise(0L)).as("exact_a"),
+        sum(when(col("mx") === 1, 1L).otherwise(0L)).as("exact_b"),
+        count(lit(1)).as("exact_union"),
+        sum(when(col("mn") === 0 && col("mx") === 1, 1L).otherwise(0L))
+          .as("exact_inter"))
+    // (k-1)*2^60: both factors are powers-of-two-exact in f64, the product
+    // is exact, and DuckDB's `(k-1).0 * 1152921504606846976.0` matches it
+    val num = (k - 1).toDouble * 1.152921504606846976e18
+    val est = (s: Column) =>
+      when(size(s) < k, size(s).cast("double"))
+        .otherwise(round(lit(num) / element_at(s, k).cast("double"), 6))
+    a.crossJoin(b).crossJoin(exact)
+      .withColumn("merged",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("hits",
+        size(filter(col("merged"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+          .cast("long"))
+      .select(
+        lit(k).as("k"),
+        size(col("ska")).cast("long").as("sk_a_size"),
+        size(col("skb")).cast("long").as("sk_b_size"),
+        est(col("ska")).as("est_a"),
+        est(col("skb")).as("est_b"),
+        size(col("merged")).cast("long").as("merged_size"),
+        est(col("merged")).as("est_union"),
+        col("hits"),
+        round(col("hits").cast("double") / size(col("merged")).cast("double"), 6)
+          .as("jaccard_est"),
+        when(size(col("merged")) < k, col("hits").cast("double"))
+          .otherwise(round(
+            (col("hits").cast("double") *
+              (lit(num) / element_at(col("merged"), k).cast("double"))) /
+              size(col("merged")).cast("double"), 6))
+          .as("est_inter"),
+        col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"))
+  }
+
   /** qt33: sliding-window token chunking — the context-window sharding step
     * every RAG index and fixed-length pretraining pipeline runs: each
     * document's whitespace tokens become overlapping chunks of `win` tokens

@@ -136,6 +136,45 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("dot_i64"), "native dot_i64 must score the centroids")
   }
 
+  test("qc5: k-center greedy matches a driver-side brute-force traversal") {
+    val out = Clustering.kcenterCoreset(spark, dir, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 10)
+    // brute-force replication of the traversal on the planted vectors
+    val ss = spark; import ss.implicits._
+    val vecs = ss.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      .map { case (id, v) =>
+        id -> v.map(x => math.round(x.toDouble * 1e6))
+      }.sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    var centers = Vector(vecs.find(_._1 == 0L).get)
+    for (_ <- 2 to 3) {
+      val next = vecs
+        .map { case (id, v) => (id, v, centers.map(c => d2(c._2, v)).min) }
+        .minBy { case (id, _, dm) => (-dm, id) }
+      centers = centers :+ (next._1 -> next._2)
+    }
+    val expect = vecs.map { case (id, v) =>
+      val (cid, dm) = centers.map(c => (c._1, d2(c._2, v)))
+        .minBy { case (c, d) => (d, c) }
+      (id, cid, dm)
+    }.toSet
+    assert(out.toSet == expect)
+    // farthest-point picks must land in three DIFFERENT planted clusters
+    val picked = out.collect { case (id, c, _) if id == c => id }.toSet
+    assert(picked.map(_ % 3).size == 3,
+      s"greedy picks should span the planted clusters, got $picked")
+  }
+
+  test("qc5 plan: each pass is map-only over center literals (no join)") {
+    val plan = Clustering.kcenterCoreset(spark, dir, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "assignment must not join a center table")
+    assert(plan.contains("dot_i64"), "native dot_i64 must score the centers")
+  }
+
   test("qc3: prototype pruning keeps the hardest half of each cluster") {
     val out = Clustering.prototypePrune(spark, dir, k = 3, rounds = 3,
       keepFrac = 0.5).collect()

@@ -49,6 +49,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(s"$dupDir/documents.parquet")
   }
 
+  test("qt36: under-full KMV sketches make every set estimate EXACT") {
+    // the crafted corpus has far fewer than k=256 distinct bigrams per half,
+    // so the sketches retain the whole hash sets and every estimator must
+    // collapse to the exact count — the under-full branch, pinned
+    val row = TextAnalysis.kmvSetOps(spark, dupDir).collect()(0)
+    val get = (n: String) => row.getAs[Long](n)
+    val getD = (n: String) => row.getAs[Double](n)
+    assert(get("sk_a_size") < 256 && get("sk_b_size") < 256)
+    assert(getD("est_a") == get("exact_a").toDouble)
+    assert(getD("est_b") == get("exact_b").toDouble)
+    assert(getD("est_union") == get("exact_union").toDouble)
+    assert(getD("est_inter") == get("exact_inter").toDouble)
+    assert(get("hits") == get("exact_inter"),
+      "under-full merged sketch must contain exactly the true intersection")
+    // sanity on the crafted split: dup pairs land on opposite parities, so
+    // the halves genuinely share vocabulary
+    assert(get("exact_inter") > 0 &&
+      get("exact_inter") < math.min(get("exact_a"), get("exact_b")))
+  }
+
+  test("qt36: full sketches estimate within the KMV error bound") {
+    // sf0.001 has a real bigram vocabulary (both halves >> k): the estimate must
+    // sit within ~4 standard errors (4/sqrt(k-2)) of the exact count
+    val row = TextAnalysis.kmvSetOps(spark, "/root/testdata/sf0.001").collect()(0)
+    val tol = 4.0 / math.sqrt(254.0)
+    for ((e, x) <- Seq("est_a" -> "exact_a", "est_b" -> "exact_b",
+        "est_union" -> "exact_union")) {
+      val est = row.getAs[Double](e)
+      val exact = row.getAs[Long](x).toDouble
+      assert(row.getAs[Long]("sk_a_size") == 256L)
+      assert(math.abs(est - exact) / exact <= tol,
+        s"$e=$est vs $x=$exact exceeds ${tol * 100}% KMV bound")
+    }
+  }
+
   test("qd18: duplicate-chunk share is cross-doc, exact on planted windows") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-chunk").toString
