@@ -204,6 +204,8 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvSetOps(s, d)),
+    "qt37_script_profile" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.scriptProfile(s, d)),
     "qt34_weighted_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.weightedSample(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
@@ -1599,6 +1601,51 @@ object SparkEntry {
     // KMV set-operation estimates across the doc_id-parity shards, with
     // exact ground truth riding along (the qs10 harness pattern)
     "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
+    // script profile: every bucket replayed from unicode(ch) BETWEEN tests
+    // (ranges documented at GraftImpl.scriptProfile), dominant = the same
+    // fixed-priority first-maximal CASE, confidence the same single
+    // rounded f64 division
+    "qt37_script_profile" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             [unicode(substr(text, i, 1)) FOR i IN range(1, length(text) + 1)] AS cps
+           FROM documents),
+         e AS (SELECT doc_id, lang, unnest(cps) AS cp FROM c),
+         b AS (
+           SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_cp,
+             CAST(SUM(CASE WHEN (cp BETWEEN 65 AND 90) OR (cp BETWEEN 97 AND 122)
+               OR (cp BETWEEN 192 AND 591) THEN 1 ELSE 0 END) AS BIGINT) AS latin,
+             CAST(SUM(CASE WHEN cp BETWEEN 1024 AND 1279 THEN 1 ELSE 0 END) AS BIGINT) AS cyrillic,
+             CAST(SUM(CASE WHEN cp BETWEEN 880 AND 1023 THEN 1 ELSE 0 END) AS BIGINT) AS greek,
+             CAST(SUM(CASE WHEN cp BETWEEN 1536 AND 1791 THEN 1 ELSE 0 END) AS BIGINT) AS arabic,
+             CAST(SUM(CASE WHEN cp BETWEEN 1424 AND 1535 THEN 1 ELSE 0 END) AS BIGINT) AS hebrew,
+             CAST(SUM(CASE WHEN (cp BETWEEN 19968 AND 40959) OR (cp BETWEEN 13312 AND 19903)
+               OR (cp BETWEEN 12352 AND 12543) THEN 1 ELSE 0 END) AS BIGINT) AS cjk,
+             CAST(SUM(CASE WHEN cp BETWEEN 44032 AND 55215 THEN 1 ELSE 0 END) AS BIGINT) AS hangul,
+             CAST(SUM(CASE WHEN cp BETWEEN 48 AND 57 THEN 1 ELSE 0 END) AS BIGINT) AS digit,
+             CAST(SUM(CASE WHEN cp = 32 OR cp BETWEEN 9 AND 13 THEN 1 ELSE 0 END) AS BIGINT) AS space
+           FROM e GROUP BY 1, 2)
+         SELECT doc_id, lang, n_cp, latin, cyrillic, greek, arabic, hebrew,
+           cjk, hangul, digit, space,
+           n_cp - latin - cyrillic - greek - arabic - hebrew - cjk - hangul
+             - digit - space AS other,
+           latin + cyrillic + greek + arabic + hebrew + cjk + hangul AS letter_cp,
+           CASE
+             WHEN latin + cyrillic + greek + arabic + hebrew + cjk + hangul = 0 THEN 'none'
+             WHEN latin >= GREATEST(cyrillic, greek, arabic, hebrew, cjk, hangul) THEN 'latin'
+             WHEN cyrillic >= GREATEST(greek, arabic, hebrew, cjk, hangul) THEN 'cyrillic'
+             WHEN greek >= GREATEST(arabic, hebrew, cjk, hangul) THEN 'greek'
+             WHEN arabic >= GREATEST(hebrew, cjk, hangul) THEN 'arabic'
+             WHEN hebrew >= GREATEST(cjk, hangul) THEN 'hebrew'
+             WHEN cjk >= hangul THEN 'cjk'
+             ELSE 'hangul' END AS dominant_script,
+           CASE
+             WHEN latin + cyrillic + greek + arabic + hebrew + cjk + hangul = 0 THEN 0.0
+             ELSE ROUND(
+               CAST(GREATEST(latin, cyrillic, greek, arabic, hebrew, cjk, hangul) AS DOUBLE)
+               / (latin + cyrillic + greek + arabic + hebrew + cjk + hangul), 6) END
+             AS script_frac
+         FROM b""",
     // PQ/ADC ANN: codebook training, encoding, asymmetric distances, and
     // ranking all in exact int64 fixed-point — the whole approximate result
     // hash-matches (defaults of Similarity.annPq: m=4, ks=8, rounds=2,

@@ -631,6 +631,42 @@ object GraftImpl {
     while (j < nd) { ent += terms(j); j += 1 }
     org.apache.spark.sql.catalyst.InternalRow(n, nd.toLong, maxCount, ent)
   }
+
+  /** One-pass Unicode script bucket counts (qt37's core). Buckets are PLAIN
+    * code-point ranges — deliberately simpler than full UCD Script
+    * properties — so a DuckDB oracle replays every bucket from unicode(ch)
+    * with BETWEEN tests: latin [41,5A]|[61,7A]|[C0,24F], cyrillic [400,4FF],
+    * greek [370,3FF], arabic [600,6FF], hebrew [590,5FF], cjk
+    * [4E00,9FFF]|[3400,4DBF]|[3040,30FF] (han + ext-A + kana), hangul
+    * [AC00,D7AF], digit [30,39], space 20|[09,0D]; first match wins, the
+    * rest is `other`. Returns 11 longs:
+    * (n_cp, latin, cyrillic, greek, arabic, hebrew, cjk, hangul, digit,
+    * space, other).
+    */
+  def scriptProfile(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var i = 0
+    var n, lat, cyr, grk, ara, heb, cjk, han, dig, spc, oth = 0L
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      i += Character.charCount(cp)
+      n += 1
+      if ((cp >= 0x41 && cp <= 0x5A) || (cp >= 0x61 && cp <= 0x7A) ||
+          (cp >= 0xC0 && cp <= 0x24F)) lat += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if (cp >= 0x370 && cp <= 0x3FF) grk += 1
+      else if (cp >= 0x600 && cp <= 0x6FF) ara += 1
+      else if (cp >= 0x590 && cp <= 0x5FF) heb += 1
+      else if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3400 && cp <= 0x4DBF) ||
+               (cp >= 0x3040 && cp <= 0x30FF)) cjk += 1
+      else if (cp >= 0xAC00 && cp <= 0xD7AF) han += 1
+      else if (cp >= 0x30 && cp <= 0x39) dig += 1
+      else if (cp == 0x20 || (cp >= 0x09 && cp <= 0x0D)) spc += 1
+      else oth += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      n, lat, cyr, grk, ara, heb, cjk, han, dig, spc, oth)
+  }
 }
 
 /** cms_sketch(item, depth, width): Count-Min Sketch aggregate (Cormode &
@@ -1145,6 +1181,24 @@ case class CharEntropy(child: Expression) extends UnaryExpression {
   override def prettyName: String = "char_entropy"
 }
 
+/** script_profile(text): one-pass Unicode script bucket counts (qt37) —
+  * plain code-point-range buckets (see GraftImpl.scriptProfile) so every
+  * count is DuckDB-replayable integer math.
+  */
+case class ScriptProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    Seq("n_cp", "latin", "cyrillic", "greek", "arabic", "hebrew", "cjk",
+      "hangul", "digit", "space", "other")
+      .map(f => StructField(f, LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.scriptProfile(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.scriptProfile($c)")
+  override protected def withNewChildInternal(newChild: Expression): ScriptProfile =
+    copy(child = newChild)
+  override def prettyName: String = "script_profile"
+}
+
 /** dot_i64(a, b): exact integer dot product of two ARRAY<BIGINT> codes. */
 /** gopher_repetition(doc_id, text): the 19 integer numerators/denominators
   * of the Gopher §A1.1 repetition battery in one pass (qt29's core) — the
@@ -1314,6 +1368,8 @@ object GraftFunctions {
       exprs => RepetitionProfile(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("char_entropy",
       exprs => CharEntropy(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("script_profile",
+      exprs => ScriptProfile(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("dot_i64",
       exprs => DotI64(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("dot_ff",
@@ -1403,6 +1459,10 @@ object GraftFunctions {
 
   def charEntropy(text: Column): Column = {
     ensureRegistered(); call_function("char_entropy", text)
+  }
+
+  def scriptProfile(text: Column): Column = {
+    ensureRegistered(); call_function("script_profile", text)
   }
 
   def winnowFps(words: Column, k: Int, win: Int): Column = {

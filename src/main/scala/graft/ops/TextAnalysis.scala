@@ -1153,6 +1153,46 @@ object TextAnalysis {
         round(col("e.entropy_raw"), 6).as("entropy_nats"))
   }
 
+  /** qt37: UNICODE SCRIPT PROFILE + declared-language consistency — the
+    * script-level companion to qt3's n-gram language ID that production
+    * crawl pipelines run FIRST (fastText langid and CLD both gate on
+    * script): per document, code points are bucketed into plain
+    * code-point-range scripts (latin / cyrillic / greek / arabic / hebrew /
+    * cjk / hangul, plus digit / space / other — GraftImpl.scriptProfile
+    * documents the exact ranges; deliberately simpler than full UCD Script
+    * properties so every bucket is integer-replayable), and the dominant
+    * script is the first maximal letter bucket in that fixed priority
+    * order. A declared-lang = en/fr/de/es document whose dominant script
+    * is not latin is mislabeled or mojibake-damaged — the cheap pre-filter
+    * that runs before any model-based language ID at 100 TB.
+    *
+    * Scale shape: ONE map-only pass through the native `script_profile`
+    * expression (codegen'd, zero exchanges — spec-asserted); the dominant
+    * pick and confidence are column-layer arithmetic on the struct. The
+    * DuckDB oracle replays every bucket from unicode(ch) BETWEEN tests and
+    * the same priority CASE.
+    */
+  def scriptProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions
+    val buckets = Seq("latin", "cyrillic", "greek", "arabic", "hebrew",
+      "cjk", "hangul")
+    val base = docs(spark, dir).select(col("doc_id"), col("lang"),
+      GraftFunctions.scriptProfile(col("text")).as("p"))
+    val letters = buckets.map(b => col(s"p.$b")).reduce(_ + _)
+    val top = greatest(buckets.map(b => col(s"p.$b")): _*)
+    val dominant = buckets.foldLeft(when(letters === 0L, lit("none"))) {
+      (w, b) => w.when(col(s"p.$b") === top, lit(b))
+    }.otherwise(lit("none"))
+    base.select(Seq(col("doc_id"), col("lang"), col("p.n_cp").as("n_cp")) ++
+      (buckets ++ Seq("digit", "space", "other"))
+        .map(b => col(s"p.$b").as(b)) ++ Seq(
+      letters.as("letter_cp"),
+      dominant.as("dominant_script"),
+      when(letters === 0L, lit(0.0))
+        .otherwise(round(top.cast("double") / letters.cast("double"), 6))
+        .as("script_frac")): _*)
+  }
+
   /** qt32: training-shard manifest — the release step every published
     * dataset ships: documents are assigned to S shards by a deterministic
     * hash (so the training-order shuffle is reproducible and any shard can

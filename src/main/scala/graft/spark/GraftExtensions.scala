@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.{BpeMerge, CharEntropy, CmsSketch, CosineSimilarity,
   DotFF, DotI64, GopherRepetition, GraftFunctions, HllMerge, HllSketch,
   JaccardSorted, KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile,
-  SimHash64, SrpSigs, TopKRankAgg, WinnowFps, WordShingles}
+  ScriptProfile, SimHash64, SrpSigs, TopKRankAgg, WinnowFps, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => RepetitionProfile(exprs.head))
     inject("char_entropy", classOf[CharEntropy],
       exprs => CharEntropy(exprs.head))
+    inject("script_profile", classOf[ScriptProfile],
+      exprs => ScriptProfile(exprs.head))
     inject("dot_i64", classOf[DotI64], exprs => DotI64(exprs(0), exprs(1)))
     inject("dot_ff", classOf[DotFF], exprs => DotFF(exprs(0), exprs(1)))
     inject("gopher_repetition", classOf[GopherRepetition],

@@ -84,6 +84,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt37: script buckets, priority tie-break, and mismatch signal are exact") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-script").toString
+    Seq(
+      (0L, "Hello world 123", "en", "s", 15L),
+      (1L, "привет мир", "ru", "s", 10L),
+      (5L, "你好世界 こんにちは", "zh", "s", 10L),
+      (7L, "abc где где", "en", "s", 11L), // declared-en, cyrillic-dominant
+      (8L, "ab яв", "en", "s", 5L),        // 2-2 letter tie -> priority latin
+      (9L, "123 456", "en", "s", 7L)       // no letters -> none
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.scriptProfile(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def chk(id: Long, dom: String, frac: Double, counts: (String, Long)*): Unit = {
+      val r = out(id)
+      assert(r.getAs[String]("dominant_script") == dom, s"doc $id: $r")
+      assert(r.getAs[Double]("script_frac") == frac, s"doc $id: $r")
+      counts.foreach { case (c, v) =>
+        assert(r.getAs[Long](c) == v, s"doc $id $c: $r") }
+    }
+    chk(0L, "latin", 1.0, "latin" -> 10L, "digit" -> 3L, "space" -> 2L,
+      "n_cp" -> 15L, "other" -> 0L)
+    chk(1L, "cyrillic", 1.0, "cyrillic" -> 9L, "space" -> 1L)
+    chk(5L, "cjk", 1.0, "cjk" -> 9L, "space" -> 1L)
+    chk(7L, "cyrillic", 0.666667, "latin" -> 3L, "cyrillic" -> 6L,
+      "letter_cp" -> 9L)
+    chk(8L, "latin", 0.5, "latin" -> 2L, "cyrillic" -> 2L)
+    chk(9L, "none", 0.0, "digit" -> 6L, "letter_cp" -> 0L)
+    // one map-only pass: the native expression, no exchange anywhere
+    val plan = TextAnalysis.scriptProfile(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("script_profile"), plan)
+    assert(!plan.contains("Exchange"), "qt37 must be map-only:\n" + plan)
+  }
+
   test("qd18: duplicate-chunk share is cross-doc, exact on planted windows") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-chunk").toString

@@ -104,6 +104,11 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(ce.getLong(0) == 6L && ce.getLong(1) == 3L && ce.getLong(2) == 3L,
         ce.toString)
       assert(math.abs(ce.getDouble(3) - 1.011404264) < 1e-9, ce.toString)
+      // script_profile('Ab1 я'): 5 code points — latin 2, cyrillic 1,
+      // digit 1, space 1, everything else 0
+      val sp = spark.sql("SELECT script_profile('Ab1 я') AS p").head.getStruct(0)
+      assert((0 to 10).map(sp.getLong) ==
+        Seq(5L, 2L, 1L, 0L, 0L, 0L, 0L, 0L, 1L, 1L, 0L), sp.toString)
       // winnow_fps: 8 words, k=3, win=4 -> 6 grams, 3 windows, 1..3
       // distinct ascending positions in [0, 5]
       val wf = spark.sql(
