@@ -139,6 +139,8 @@ object SparkEntry {
       LinkGraph.hostHarmonic(s, d)),
     "qg5_host_triangles" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostTriangles(s, d)),
+    "qg7_host_kcore" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostKcore(s, d)),
     "qg6_host_communities" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostCommunities(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
@@ -481,6 +483,50 @@ object SparkEntry {
         """
          SELECT vec_id, cand AS center, dist AS dist_sq FROM af"""
     head + roundsSql + tail
+  }
+
+  /** qg7's oracle, generated: the planted undirected graph rebuilt from
+    * doc_id arithmetic, then `rounds` synchronous peel waves unrolled as a
+    * CTE chain — each wave recomputes alive-degrees over the both-direction
+    * edge list and keeps d >= k. Peeling is idempotent past the fixpoint,
+    * so a fixed unroll length >= the actual peel depth replays the Spark
+    * convergence loop exactly (LinkGraph.hostKcore).
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // every per-wave CTE is MATERIALIZED: DuckDB inlines plain CTEs at each
+    // reference, and d_t references s_{t-1} twice — the same exponential
+    // re-derivation the qd6 invariant forbids on the Spark side (unfixed,
+    // 18 waves re-open the base parquet 2^18 times and exhaust the fd limit)
+    val head =
+      s"""WITH hs AS MATERIALIZED (SELECT DISTINCT doc_id % 32 AS h FROM documents),
+         eu AS MATERIALIZED (
+           SELECT DISTINCT src, dst FROM (
+             SELECT a.h AS src, b.h AS dst FROM hs a, hs b
+             WHERE a.h < b.h AND b.h <= 5
+             UNION ALL
+             SELECT h, h + 1 FROM hs WHERE h BETWEEN 5 AND 19
+             UNION ALL
+             SELECT h, CASE WHEN h = 29 THEN 21 ELSE h + 1 END FROM hs
+             WHERE h BETWEEN 21 AND 29
+             UNION ALL
+             SELECT h, 31 FROM hs WHERE h = 30)
+           WHERE src IN (SELECT h FROM hs) AND dst IN (SELECT h FROM hs)),
+         eb AS MATERIALIZED (
+           SELECT src, dst FROM eu UNION ALL SELECT dst, src FROM eu),
+         s0 AS MATERIALIZED (SELECT h AS v FROM hs)"""
+    val waves = (1 to rounds).map { t =>
+      s""",
+         d$t AS MATERIALIZED (
+           SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM eb
+           WHERE src IN (SELECT v FROM s${t - 1})
+             AND dst IN (SELECT v FROM s${t - 1})
+           GROUP BY 1),
+         s$t AS MATERIALIZED (SELECT v FROM d$t WHERE d >= $k)"""
+    }.mkString
+    val tail =
+      s"""
+         SELECT v AS host_id, d AS core_deg FROM d$rounds WHERE d >= $k"""
+    head + waves + tail
   }
 
   /** qt36's oracle, generated: the two shard KMV sketches replayed as
@@ -1533,6 +1579,10 @@ object SparkEntry {
     // label propagation: k unrolled synchronous rounds of the pinned
     // frequency-then-min vote; block convergence is the spec's claim
     "qg6_host_communities" -> lpaOracleSql(8),
+    // k-core: the peel waves unrolled (idempotent past the fixpoint, so a
+    // fixed unroll length replays the convergence-based Spark loop exactly;
+    // the planted path needs ~15 waves, 18 gives margin)
+    "qg7_host_kcore" -> kcoreOracleSql(2, 18),
     // harmonic centrality: the qg3 register chain + per-round HLL estimates
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end

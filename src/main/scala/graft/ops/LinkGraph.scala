@@ -400,4 +400,90 @@ object LinkGraph {
       edges.unpersist(); ()
     }
   }
+
+  /** qg7: k-CORE decomposition by synchronous degree peeling (Seidman 1983;
+    * the Batagelj-Zaveršnik cores) — the webgraph density signal spam/link-farm
+    * filters gate on: a host survives the k-core iff it keeps ≥ k neighbors
+    * among SURVIVORS, so chains, pendants and sparsely-attached spam halos
+    * peel away while genuinely dense cores (mutual-link communities) remain.
+    * Each round drops every alive host with alive-degree < k and repeats to
+    * the fixpoint — the standard distributed formulation (one Pregel
+    * superstep per peel wave).
+    *
+    * The planted graph (host = doc_id % 32, restricted to observed hosts,
+    * undirected): a 6-clique {0..5}, a 15-edge path 5-6-…-20 hanging off the
+    * clique, a 9-cycle {21..29}, and a pendant pair 30-31. At k=2 the path
+    * peels ONE NODE PER ROUND from the free end (interior degree stays 2
+    * until a neighbor goes) — the genuine peel cascade, ~15 waves — while
+    * the cycle (every 2-core contains its cycles) and the clique survive;
+    * the pendant pair vanishes in wave 1.
+    *
+    * Scale shape (the qd6/qg1 iterative-dataflow invariant): per round two
+    * left-semi joins of the persisted both-direction edge list against the
+    * shrinking alive set + one hash aggregate with map-side partials;
+    * per-round localCheckpoint(true) with predecessor release; alive only
+    * shrinks, so count equality IS set equality and the loop THROWS past
+    * `maxRounds` (non-convergence is impossible for peeling — the bound
+    * guards a mis-planted graph). Rounds = peel depth, the same bound the
+    * distributed coreness literature accepts.
+    *
+    * Output: one row per k-core member — (host_id, core_deg = its degree
+    * within the core). The DuckDB oracle unrolls the waves as a CTE chain
+    * (idempotent past the fixpoint, so a fixed unroll length replays the
+    * convergence-based loop exactly).
+    */
+  def hostKcore(spark: SparkSession, dir: String, k: Int = 2,
+      maxRounds: Int = 24): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val hosts = docs(spark, dir).select((col("doc_id") % 32).as("h")).distinct()
+    val clique = hosts.filter(col("h") <= 4)
+      .select(col("h").as("src"),
+        explode(sequence(col("h") + 1, lit(5L))).as("dst"))
+    val path = hosts.filter(col("h").between(5, 19))
+      .select(col("h").as("src"), (col("h") + 1).as("dst"))
+    val cycle = hosts.filter(col("h").between(21, 29))
+      .select(col("h").as("src"),
+        when(col("h") === 29, lit(21L)).otherwise(col("h") + 1).as("dst"))
+    val pair = hosts.filter(col("h") === 30)
+      .select(col("h").as("src"), lit(31L).as("dst"))
+    // graph over OBSERVED hosts only (the qg6 discipline): both endpoints
+    // must exist in the corpus, so a partial corpus can't mint phantom nodes
+    val und = clique.union(path).union(cycle).union(pair)
+      .join(hosts.withColumnRenamed("h", "src"), Seq("src"), "left_semi")
+      .join(hosts.withColumnRenamed("h", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")).distinct()
+    val eb = und
+      .union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .persist()
+    try {
+      eb.count() // materialize the reused edge list once
+      var alive = hosts.select(col("h").as("v")).localCheckpoint(true)
+      var n = alive.count()
+      var converged = false
+      var round = 0
+      while (!converged) {
+        round += 1
+        require(round <= maxRounds,
+          s"k-core peeling did not converge in $maxRounds rounds")
+        val next = eb
+          .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+          .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+          .groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select("v")
+          .localCheckpoint(true)
+        val m = next.count()
+        alive.unpersist()
+        alive = next
+        converged = m == n
+        n = m
+      }
+      // final core degrees; the last checkpoint stays pinned because the
+      // returned lazy DataFrame reads from it (the qg1 discipline)
+      eb.join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("host_id")).agg(count(lit(1)).as("core_deg"))
+    } finally {
+      eb.unpersist(); ()
+    }
+  }
 }

@@ -273,4 +273,28 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 50, s"expected 50 observed hosts, got ${rows.length}")
     assert(rows.forall(h => h >= 0 && h < 50), rows.sorted.mkString(","))
   }
+
+  test("qg7: 2-core keeps exactly the clique and the cycle after the cascade") {
+    // planted graph on hosts 0..31: 6-clique {0..5} + path 5-6-..-20 +
+    // 9-cycle {21..29} + pendant pair 30-31. At k=2 the path peels one
+    // node per wave from the free end (~15 waves), the pendant pair dies
+    // in wave 1, cycles and cliques are 2-cores by construction.
+    val out = LinkGraph.hostKcore(spark, dir, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0L to 5L).map(_ -> 5L).toMap ++ (21L to 29L).map(_ -> 2L)
+    assert(out == expect, out.toSeq.sorted.mkString(","))
+  }
+
+  test("qg7: 3-core peels the cycle too, keeping only the clique") {
+    val out = LinkGraph.hostKcore(spark, dir, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == (0L to 5L).map(_ -> 5L).toMap, out.toSeq.sorted.mkString(","))
+  }
+
+  test("qg7: the maxRounds guard throws instead of looping past the budget") {
+    val e = intercept[IllegalArgumentException] {
+      LinkGraph.hostKcore(spark, dir, k = 2, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"), e.getMessage)
+  }
 }
