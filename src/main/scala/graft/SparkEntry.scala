@@ -254,6 +254,8 @@ object SparkEntry {
       Multimodal.audioMeta(s, d).toDF()),
     "qm6_video_meta" -> ((s: SparkSession, d: String) =>
       Multimodal.videoMeta(s, d).toDF()),
+    "qm7_png_pixels" -> ((s: SparkSession, d: String) =>
+      Multimodal.pngPixelStats(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
@@ -3056,6 +3058,31 @@ object SparkEntry {
            CAST((tb * 40 * 1000) // (1000 * (1 + doc_id % 3)) AS BIGINT)
              AS duration_ms
          FROM d""",
+    // real pixel decode: the oracle recomputes every pixel from the qm7
+    // closed form (doc_id, x, y) — arithmetic only, no codec — while the
+    // Spark side round-trips real zlib'd PNG bytes (encode -> chunk-walk +
+    // CRC verify -> inflate -> unfilter -> aggregate); agreement means the
+    // whole codec path is bit-exact. An error row ('' differs) would break
+    // the hash — the alarm by construction.
+    "qm7_png_pixels" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+         v AS (
+           SELECT doc_id, w, h, p,
+             (7 * doc_id + 13 * (p % w) + 31 * (p // w)) % 256 AS r,
+             (11 * doc_id + 17 * (p % w) + 5 * (p // w)) % 256 AS g,
+             (3 * doc_id + 29 * (p % w) + 23 * (p // w)) % 256 AS b
+           FROM px)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b,
+           CAST(SUM((r * 65536 + g * 256 + b) * (p + 1)) AS BIGINT) AS pix_fp,
+           '' AS error
+         FROM v GROUP BY 1, 2, 3""",
     "qm3_frame_sample" ->
       """WITH f AS (
            SELECT doc_id,

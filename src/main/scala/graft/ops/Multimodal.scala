@@ -239,6 +239,148 @@ object Multimodal {
       else None
     }
 
+    /** REAL PNG pixel codec (qm7) — pure JVM, java.util.zip only. Scope:
+      * 8-bit-depth color-type-2 (RGB) non-interlaced images, the layout the
+      * qm7 generator emits; everything else is a typed reject, never an
+      * exception. The decoder does the full job a codec must: chunk walk
+      * with per-chunk CRC32 verification, multi-IDAT concatenation, zlib
+      * inflate, and per-scanline unfiltering for ALL five PNG filter types
+      * (None/Sub/Up/Average/Paeth — the encoder here writes filter 0, but
+      * javax.imageio's encoder picks adaptive filters, and the spec decodes
+      * ITS output differentially, so types 1-4 are exercised against an
+      * independent implementation).
+      */
+    object PngCodec {
+
+      private def writeChunk(out: java.io.ByteArrayOutputStream, tag: String,
+          body: Array[Byte]): Unit = {
+        val d = new java.io.DataOutputStream(out)
+        d.writeInt(body.length)
+        val tb = tag.getBytes("US-ASCII")
+        d.write(tb)
+        d.write(body)
+        val c = new java.util.zip.CRC32
+        c.update(tb)
+        c.update(body)
+        d.writeInt(c.getValue.toInt)
+      }
+
+      /** Encode packed RGB8 rows as a complete, valid PNG (filter 0 per
+        * scanline, single IDAT).
+        */
+      def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+        require(w > 0 && h > 0 && rgb.length == w * h * 3,
+          s"need ${w * h * 3} rgb bytes, got ${rgb.length}")
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+        ihdr.putInt(w).putInt(h)
+        ihdr.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        val stride = w * 3
+        val raw = new Array[Byte](h * (1 + stride)) // filter byte 0 = None
+        var y = 0
+        while (y < h) {
+          System.arraycopy(rgb, y * stride, raw, y * (1 + stride) + 1, stride)
+          y += 1
+        }
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw)
+        defl.finish()
+        val zo = new java.io.ByteArrayOutputStream
+        val buf = new Array[Byte](8192)
+        while (!defl.finished()) zo.write(buf, 0, defl.deflate(buf))
+        defl.end()
+        val out = new java.io.ByteArrayOutputStream
+        out.write(PngSig, 0, 8)
+        writeChunk(out, "IHDR", ihdr.array)
+        writeChunk(out, "IDAT", zo.toByteArray)
+        writeChunk(out, "IEND", Array.emptyByteArray)
+        out.toByteArray
+      }
+
+      /** Decode to (width, height, packed RGB8 rows); Left(reject_class) on
+        * anything malformed or out of scope.
+        */
+      def decode(b: Array[Byte]): Either[String, (Int, Int, Array[Byte])] = {
+        if (b.length < 8 || !java.util.Arrays.equals(b, 0, 8, PngSig, 0, 8))
+          return Left("bad_signature")
+        var i = 8
+        var w = 0
+        var h = 0
+        var seenIhdr = false
+        var done = false
+        val idat = new java.io.ByteArrayOutputStream
+        while (!done) {
+          if (i + 8 > b.length) return Left("truncated")
+          val len = be4(b, i)
+          if (len < 0 || i + 12 + len > b.length) return Left("truncated")
+          val tag = new String(b, i + 4, 4, "US-ASCII")
+          val c = new java.util.zip.CRC32
+          c.update(b, i + 4, 4 + len)
+          if (c.getValue.toInt != be4(b, i + 8 + len)) return Left("bad_crc")
+          tag match {
+            case "IHDR" =>
+              if (len != 13) return Left("bad_ihdr")
+              w = be4(b, i + 8); h = be4(b, i + 12)
+              if (b(i + 16) != 8 || b(i + 17) != 2 || b(i + 20) != 0)
+                return Left("unsupported")
+              if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24))
+                return Left("bad_dims")
+              seenIhdr = true
+            case "IDAT" => idat.write(b, i + 8, len)
+            case "IEND" => done = true
+            case _      => () // ancillary chunk: CRC checked, content skipped
+          }
+          i += 12 + len
+        }
+        if (!seenIhdr) return Left("no_ihdr")
+        val stride = w * 3
+        val raw = new Array[Byte](h * (1 + stride))
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        var off = 0
+        try {
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            if (n == 0 && inf.needsInput()) return Left("idat_short")
+            off += n
+          }
+        } catch {
+          case _: java.util.zip.DataFormatException => return Left("bad_deflate")
+        } finally inf.end()
+        if (off < raw.length) return Left("idat_short")
+        val out = new Array[Byte](h * stride)
+        var y = 0
+        while (y < h) {
+          val ft = raw(y * (1 + stride)) & 0xff
+          if (ft > 4) return Left("bad_filter")
+          val ro = y * (1 + stride) + 1
+          val oo = y * stride
+          var x = 0
+          while (x < stride) {
+            val cur = raw(ro + x) & 0xff
+            val a = if (x >= 3) out(oo + x - 3) & 0xff else 0
+            val up = if (y > 0) out(oo - stride + x) & 0xff else 0
+            val ul = if (x >= 3 && y > 0) out(oo - stride + x - 3) & 0xff else 0
+            val v = ft match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + up
+              case 3 => cur + (a + up) / 2
+              case _ => // Paeth
+                val p = a + up - ul
+                val pa = math.abs(p - a)
+                val pb = math.abs(p - up)
+                val pc = math.abs(p - ul)
+                cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) up else ul)
+            }
+            out(oo + x) = (v & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Right((w, h, out))
+      }
+    }
+
     def decode(bytes: Array[Byte]): (String, Int, Int, Int) =
       pngDims(bytes).map { case (w, h) => ("png", w, h, 1) }
         .orElse(jpegDims(bytes).map { case (w, h) => ("jpeg", w, h, 1) })
@@ -519,5 +661,83 @@ object Multimodal {
             dur * 1000L / ts)
         }
       }
+  }
+
+  /** qm7 pixel contract — every pixel of every generated image is a CLOSED
+    * FORM in (doc_id, x, y), so the DuckDB oracle recomputes the decoded
+    * pixel aggregates from arithmetic alone, with no codec on its side: the
+    * hash gate then covers the ENTIRE encode -> deflate -> inflate ->
+    * unfilter -> aggregate path (any bit error anywhere breaks the match).
+    */
+  private[ops] def pxW(id: Long): Int = 8 + (id % 17).toInt
+  private[ops] def pxH(id: Long): Int = 8 + ((id * 3) % 13).toInt
+  private[ops] def pxR(id: Long, x: Int, y: Int): Int =
+    ((7 * id + 13 * x + 31 * y) % 256).toInt
+  private[ops] def pxG(id: Long, x: Int, y: Int): Int =
+    ((11 * id + 17 * x + 5 * y) % 256).toInt
+  private[ops] def pxB(id: Long, x: Int, y: Int): Int =
+    ((3 * id + 29 * x + 23 * y) % 256).toInt
+
+  /** Complete, valid RGB8 PNGs (signature, CRC'd chunks, real zlib IDAT),
+    * one per document, pixels from the closed form above. Generation is a
+    * typed mapPartitions (the decodeMeta batch shape) because deflate is
+    * imperative byte work no Column expression should attempt.
+    */
+  def pixelPngTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val w = pxW(id); val h = pxH(id)
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              rgb(o) = pxR(id, x, y).toByte
+              rgb(o + 1) = pxG(id, x, y).toByte
+              rgb(o + 2) = pxB(id, x, y).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id, MediaDecoder.PngCodec.encode(w, h, rgb))
+        }
+      }
+  }
+
+  /** qm7: REAL pixel decode under the hash gate — inflate + unfilter every
+    * generated PNG and aggregate the pixels in exact integers: channel sums
+    * and a POSITIONAL fingerprint sum((r<<16|g<<8|b) * (pos+1)) (bounded by
+    * n_px * 2^24 * n_px << 2^63 at these sizes, so plain int64). A decode
+    * failure surfaces as an error row the oracle never produces — the hash
+    * mismatch IS the alarm. This retires the round-4 "pixel decode remains
+    * a stub" gap: the batch shape is unchanged, the codec is real.
+    */
+  def pngPixelStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pixelPngTable(spark, dir).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        MediaDecoder.PngCodec.decode(bytes) match {
+          case Right((w, h, px)) =>
+            var sr = 0L; var sg = 0L; var sb = 0L; var fp = 0L
+            var p = 0
+            val n = w * h
+            while (p < n) {
+              val r = px(p * 3) & 0xff
+              val g = px(p * 3 + 1) & 0xff
+              val b = px(p * 3 + 2) & 0xff
+              sr += r; sg += g; sb += b
+              fp += ((r.toLong << 16) | (g << 8) | b) * (p + 1)
+              p += 1
+            }
+            (id, w, h, n.toLong, sr, sg, sb, fp, "")
+          case Left(err) => (id, 0, 0, 0L, 0L, 0L, 0L, 0L, err)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
+      "pix_fp", "error")
   }
 }
