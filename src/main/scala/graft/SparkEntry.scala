@@ -208,6 +208,8 @@ object SparkEntry {
       TextAnalysis.kmvSetOps(s, d)),
     "qt37_script_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.scriptProfile(s, d)),
+    "qt38_decontam_rewrite" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.decontaminationRewrite(s, d)),
     "qt34_weighted_sample" -> ((s: SparkSession, d: String) =>
       TextAnalysis.weightedSample(s, d)),
     "qt28_ccnet_buckets" -> ((s: SparkSession, d: String) =>
@@ -1653,6 +1655,66 @@ object SparkEntry {
     // KMV set-operation estimates across the doc_id-parity shards, with
     // exact ground truth riding along (the qs10 harness pattern)
     "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
+    // decontamination rewrite: qd14's span replay pointed at the eval-gram
+    // set — islands chain at gap <= 4, spans >= 6 tokens, rebuild included
+    "qt38_decontam_rewrite" ->
+      """WITH base AS (
+           SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         g AS (
+           SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(array_to_string(w[(i+1):(i+4)], ' ')),
+               1, 15) AS BIGINT) AS gh
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(0, CAST(n - 4 AS INT))) AS i
+                 FROM base WHERE n >= 4)),
+         ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 29 = 0),
+         h AS (
+           SELECT doc_id, pos FROM g JOIN ev USING (gh)
+           WHERE doc_id % 29 <> 0),
+         br AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) <= 4
+               THEN 0 ELSE 1 END AS brk
+           FROM h),
+         isl AS (
+           SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+           FROM br),
+         sp AS (
+           SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+           FROM isl GROUP BY doc_id, grp
+           HAVING MAX(pos) + 4 - MIN(pos) >= 6),
+         agg AS (
+           SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s) AS removed
+           FROM sp GROUP BY doc_id),
+         rem AS (
+           SELECT doc_id,
+             unnest(generate_series(CAST(s AS INT), CAST(e - 1 AS INT))) AS idx
+           FROM sp),
+         tok AS (
+           SELECT doc_id, i - 1 AS idx, w[i] AS tok
+           FROM (SELECT doc_id, w,
+                   unnest(generate_series(1, CAST(n AS INT))) AS i
+                 FROM base WHERE doc_id % 29 <> 0)),
+         kept AS (
+           SELECT t.doc_id, t.idx, t.tok
+           FROM tok t LEFT JOIN rem r
+             ON t.doc_id = r.doc_id AND t.idx = r.idx
+           WHERE r.idx IS NULL),
+         rebuilt AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS clean_text
+           FROM kept GROUP BY doc_id)
+         SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.removed, 0) AS BIGINT) AS removed_tokens,
+           COALESCE(r.clean_text, '') AS clean_text
+         FROM base b
+         LEFT JOIN agg a USING (doc_id)
+         LEFT JOIN rebuilt r USING (doc_id)
+         WHERE b.doc_id % 29 <> 0""",
     // script profile: every bucket replayed from unicode(ch) BETWEEN tests
     // (ranges documented at GraftImpl.scriptProfile), dominant = the same
     // fixed-priority first-maximal CASE, confidence the same single

@@ -1153,6 +1153,76 @@ object TextAnalysis {
         round(col("e.entropy_raw"), 6).as("entropy_nats"))
   }
 
+  /** qt38: DECONTAMINATION REWRITE — the span-removal variant of qt8/qt13:
+    * instead of flagging contaminated train docs (and losing the whole
+    * document), the contaminated SPANS are cut and the text rebuilt, the
+    * way FineWeb/GPT-3-style pipelines decontaminate against benchmark
+    * suites while keeping the surrounding clean text. Mechanically this is
+    * qd14's ExactSubstr machinery pointed at an EVAL-GRAM set: positional
+    * w-gram md5-60 hashes over train docs probe the distinct eval-suite
+    * gram set (doc_id % evalMod == 0 plays the benchmark, as in qt8);
+    * matched positions chain into islands (gap <= w), islands >= minLen
+    * tokens become removal spans, and each doc's token array is filtered
+    * once and re-joined.
+    *
+    * Scale shape: the probe join is AQE size-gated, never hinted — eval
+    * suites grow with benchmark count (the qt13 lesson; at production
+    * width the bloom prefilter composes in front of this probe unchanged).
+    * The island window partitions by doc_id (doc-bounded, never
+    * corpus-sized); the rebuild filters each doc's own token array after
+    * one span-list join, so tokens never shuffle (the qd14 property). The
+    * DuckDB oracle replays every step including the rebuild.
+    *
+    * Output (train docs only): (doc_id, n_tokens, n_spans, removed_tokens,
+    * clean_text).
+    */
+  def decontaminationRewrite(spark: SparkSession, dir: String, w: Int = 4,
+      evalMod: Int = 29, minLen: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(w >= 1 && minLen >= w, s"need minLen >= w >= 1, got w=$w minLen=$minLen")
+    val base = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("words"))
+      .withColumn("n_tokens", size(col("words")).cast("long"))
+    def grams(df: DataFrame): DataFrame = df.where(col("n_tokens") >= w)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), (col("n_tokens") - w).cast("int")),
+          i => conv(substring(md5(
+            array_join(slice(col("words"), i + 1, lit(w)), " ")),
+            1, 15), 16, 10).cast("long"))))
+      .toDF("doc_id", "pos", "gh")
+    val train = base.filter(col("doc_id") % evalMod =!= 0)
+    val evalSet = grams(base.filter(col("doc_id") % evalMod === 0))
+      .select(col("gh")).distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val spans = grams(train).join(evalSet, Seq("gh"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= w, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("grp", sum(col("brk")).over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + w).as("e"))
+      .where(col("e") - col("s") >= minLen)
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum((col("e") - col("s")).cast("long")).as("removed_tokens"),
+        collect_list(struct(col("s"), col("e"))).as("spans"))
+    train.join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        when(col("spans").isNull, array_join(col("words"), " "))
+          .otherwise(array_join(
+            filter(col("words"), (_: Column, i: Column) =>
+              !exists(col("spans"), sp =>
+                sp.getField("s") <= i && i < sp.getField("e"))),
+            " ")).as("clean_text"))
+  }
+
   /** qt37: UNICODE SCRIPT PROFILE + declared-language consistency — the
     * script-level companion to qt3's n-gram language ID that production
     * crawl pipelines run FIRST (fastText langid and CLD both gate on

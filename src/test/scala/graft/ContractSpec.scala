@@ -27,9 +27,10 @@ class ContractSpec extends AnyFunSuite {
     for ((name, sql) <- SparkEntry.oracleSql) {
       // collect base-relation identifiers; CTE names defined in the SQL
       // itself are legal too
-      // CTE heads: `name AS (` or the recursive `name(col, ...) AS (` form
+      // CTE heads: `name AS (`, the recursive `name(col, ...) AS (` form,
+      // and DuckDB's `name AS MATERIALIZED (` (qg7's anti-inlining guard)
       val cteNames = ("(?i)(?:WITH(?:\\s+RECURSIVE)?|,)\\s+([a-z_][a-z0-9_]*)" +
-        "\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(").r
+        "\\s*(?:\\([^)]*\\))?\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromJoin.findAllMatchIn(sql).map(_.group(1)).toSet
       // UNNEST is a lateral table FUNCTION (qd11's prefix-position expansion),

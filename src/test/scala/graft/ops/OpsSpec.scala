@@ -120,6 +120,34 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), "qt37 must be map-only:\n" + plan)
   }
 
+  test("qt38: planted benchmark spans are cut, isolated short hits survive") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-decon").toString
+    val eval = "the secret benchmark answer sequence alpha beta gamma delta"
+    Seq(
+      (0L, eval, "en", "s", 60L), // doc_id % 29 == 0: the benchmark doc
+      (1L, s"intro words here $eval closing remarks", "en", "s", 90L),
+      (2L, "totally unrelated clean training text with no overlap", "en", "s", 55L),
+      (3L, "mentions alpha beta gamma delta once amid other words", "en", "s", 55L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.decontaminationRewrite(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(0L), "eval docs are not rewritten")
+    // doc 1: the 9-token benchmark quote at offset 3 -> grams 3..8 chain
+    // into one island, span [3, 12), 9 tokens removed, clean text = frame
+    val r1 = out(1L)
+    assert(r1.getLong(2) == 1L && r1.getLong(3) == 9L, r1.toString)
+    assert(r1.getString(4) == "intro words here closing remarks", r1.toString)
+    // doc 2: untouched
+    assert(out(2L).getLong(2) == 0L &&
+      out(2L).getString(4).startsWith("totally unrelated"), out(2L).toString)
+    // doc 3: ONE isolated 4-gram hit -> island of 4 < minLen 6 -> kept whole
+    val r3 = out(3L)
+    assert(r3.getLong(2) == 0L && r3.getLong(3) == 0L, r3.toString)
+    assert(r3.getString(4).contains("alpha beta gamma delta"), r3.toString)
+  }
+
   test("qd18: duplicate-chunk share is cross-doc, exact on planted windows") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-chunk").toString
