@@ -141,6 +141,8 @@ object SparkEntry {
       LinkGraph.hostTriangles(s, d)),
     "qg7_host_kcore" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostKcore(s, d)),
+    "qg8_host_hits" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostHits(s, d)),
     "qg6_host_communities" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostCommunities(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
@@ -531,6 +533,54 @@ object SparkEntry {
       s"""
          SELECT v AS host_id, d AS core_deg FROM d$rounds WHERE d >= $k"""
     head + waves + tail
+  }
+
+  /** qg8's oracle, generated: the qg1 planted directed host graph rebuilt
+    * from doc_id arithmetic (restricted to observed hosts), then k HITS
+    * rounds unrolled — each round one LEFT-JOINed sum per direction plus
+    * the integer max-rescale (floor divide by max(score) DIV 10^6,
+    * clamped to >= 1). All math is floor division on positives, so
+    * DuckDB's // replays Spark's DIV bit for bit
+    * (LinkGraph.hostHits). Every per-round CTE is MATERIALIZED (the qg7
+    * anti-inlining guard): a$t is referenced by both hr$t and its own
+    * rescale subquery, the qd6 exponential-re-derivation trap otherwise.
+    */
+  private def hitsOracleSql(k: Int): String = {
+    val head =
+      s"""WITH e0 AS MATERIALIZED (
+           SELECT DISTINCT doc_id % 32 AS src,
+             ((doc_id % 32) * 5 + 1 + doc_id % 3) % 32 AS dst
+           FROM documents),
+         nodes AS MATERIALIZED (SELECT DISTINCT src AS v FROM e0),
+         e AS MATERIALIZED (
+           SELECT src, dst FROM e0 WHERE dst IN (SELECT v FROM nodes)),
+         h0 AS MATERIALIZED (SELECT v, CAST(1000000 AS BIGINT) AS h FROM nodes)"""
+    val rounds = (1 to k).map { t =>
+      s""",
+         ar$t AS MATERIALIZED (
+           SELECT n.v, CAST(COALESCE(s.m, 0) AS BIGINT) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT e.dst AS v, SUM(p.h) AS m
+             FROM e JOIN h${t - 1} p ON e.src = p.v GROUP BY 1) s
+           ON n.v = s.v),
+         a$t AS MATERIALIZED (
+           SELECT v, CAST(raw // GREATEST((SELECT MAX(raw) FROM ar$t) // 1000000, 1) AS BIGINT) AS a
+           FROM ar$t),
+         hr$t AS MATERIALIZED (
+           SELECT n.v, CAST(COALESCE(s.m, 0) AS BIGINT) AS raw
+           FROM nodes n LEFT JOIN (
+             SELECT e.src AS v, SUM(p.a) AS m
+             FROM e JOIN a$t p ON e.dst = p.v GROUP BY 1) s
+           ON n.v = s.v),
+         h$t AS MATERIALIZED (
+           SELECT v, CAST(raw // GREATEST((SELECT MAX(raw) FROM hr$t) // 1000000, 1) AS BIGINT) AS h
+           FROM hr$t)"""
+    }.mkString
+    val tail =
+      s"""
+         SELECT a.v AS host_id, a.a AS auth_fp, h.h AS hub_fp
+         FROM a$k a JOIN h$k h ON a.v = h.v"""
+    head + rounds + tail
   }
 
   /** qt36's oracle, generated: the two shard KMV sketches replayed as
@@ -1587,6 +1637,7 @@ object SparkEntry {
     // fixed unroll length replays the convergence-based Spark loop exactly;
     // the planted path needs ~15 waves, 18 gives margin)
     "qg7_host_kcore" -> kcoreOracleSql(2, 18),
+    "qg8_host_hits" -> hitsOracleSql(4),
     // harmonic centrality: the qg3 register chain + per-round HLL estimates
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end

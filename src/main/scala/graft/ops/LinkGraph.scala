@@ -486,4 +486,81 @@ object LinkGraph {
       eb.unpersist(); ()
     }
   }
+
+  /** qg8: HITS hubs & authorities (Kleinberg 1999, JACM 46(5)) over the
+    * qg1 planted host graph — the two-score decomposition link-spam and
+    * seed-list curation use beside PageRank's single score: a good HUB
+    * links to many good authorities, a good AUTHORITY is linked from many
+    * good hubs. Per round the mutual updates
+    *   a_t(v) = sum over u->v of h_{t-1}(u)   (join on src, hash agg on dst)
+    *   h_t(v) = sum over v->w of a_t(w)       (join on dst, hash agg on src)
+    * are each ONE shuffle with map-side partials — a 10^8-in-link host
+    * combines before the exchange, exactly qg1's contribution shape.
+    *
+    * HITS' float L2 normalization is replaced by INTEGER MAX-RESCALING:
+    * after each half-update every score floor-divides by
+    * s = max(1, max(score) DIV 10^6), so scores stay in a ~[10^6, 2^6*10^6)
+    * band regardless of host count or degree — bounded int64 at ANY corpus
+    * scale — while the ORDER (the only thing HITS consumers use; the
+    * eigenvector is defined up to scale) is preserved: floor by a common
+    * positive divisor is monotone (it can merge near-ties, the documented
+    * trade for bit-reproducibility). All math is integer floor division on
+    * positives (Spark DIV == DuckDB //), so the unrolled DuckDB oracle
+    * replays every round bit for bit. The rescale scalar attaches by
+    * crossJoin against a broadcast 1-row aggregate (the N/V/max_id
+    * discipline) — no driver collect in the loop.
+    *
+    * Iterative-dataflow invariant (qd6/qg1): per-round
+    * localCheckpoint(true) with predecessor release; the reused edge list
+    * and node table persist once and release in finally (the final a/h
+    * checkpoints stay pinned — the returned lazy DataFrame reads them).
+    *
+    * Output: (host_id, auth_fp, hub_fp) after k rounds.
+    */
+  def hostHits(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val edges0 = docs(spark, dir)
+      .select((col("doc_id") % 32).as("src"),
+        ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
+      .distinct()
+    val nodes = edges0.select(col("src").as("node")).distinct().persist()
+    // graph over OBSERVED hosts (the qg6 discipline): a partial corpus
+    // cannot mint authority targets it never crawled as hosts
+    val edges = edges0
+      .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst")).persist()
+    try {
+      nodes.count(); edges.count() // materialize the reused tables once
+      // one half-update: sum `prevCol` of `prev` over edges joined on
+      // `joinKey`, grouped to `groupKey`, re-attached to the full node
+      // table (in-link-free hosts keep 0), then max-rescaled
+      def halfUpdate(prev: DataFrame, prevCol: String, joinKey: String,
+          groupKey: String, outCol: String): DataFrame = {
+        val raw = nodes.join(
+          edges.join(prev.withColumnRenamed("node", joinKey), joinKey)
+            .groupBy(col(groupKey).as("node")).agg(sum(col(prevCol)).as("raw")),
+          Seq("node"), "left")
+          .select(col("node"), coalesce(col("raw"), lit(0L)).as("raw"))
+        val s = raw.agg(greatest(expr("max(raw) DIV 1000000"), lit(1L)).as("s"))
+        raw.crossJoin(broadcast(s))
+          .select(col("node"), expr("raw DIV s").as(outCol))
+          .localCheckpoint(true)
+      }
+      var hub = nodes.select(col("node"), lit(1000000L).as("h"))
+        .localCheckpoint(true)
+      var auth: DataFrame = null
+      for (_ <- 1 to k) {
+        val nextAuth = halfUpdate(hub, "h", "src", "dst", "a")
+        if (auth != null) auth.unpersist()
+        auth = nextAuth
+        val nextHub = halfUpdate(auth, "a", "dst", "src", "h")
+        hub.unpersist()
+        hub = nextHub
+      }
+      auth.join(hub, "node")
+        .select(col("node").as("host_id"), col("a").as("auth_fp"),
+          col("h").as("hub_fp"))
+    } finally {
+      edges.unpersist(); nodes.unpersist(); ()
+    }
+  }
 }

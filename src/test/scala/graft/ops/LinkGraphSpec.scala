@@ -297,4 +297,63 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(e.getMessage.contains("did not converge"), e.getMessage)
   }
+
+  /** qg8's recurrence, single-threaded: the qg1 edge construction over
+    * observed hosts, then per round the un-normalized sums followed by the
+    * integer max-rescale (floor divide by max(1, max/10^6)) — the same
+    * fixed-point arithmetic the distributed op and the DuckDB oracle run.
+    */
+  private def hitsReference(k: Int): Map[Long, (Long, Long)] = {
+    val edges0 = ids.map(id => (id % 32, ((id % 32) * 5 + 1 + id % 3) % 32))
+      .distinct
+    val nodes = edges0.map(_._1).toSet
+    val edges = edges0.filter { case (_, d) => nodes.contains(d) }
+    var h: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    var a: Map[Long, Long] = Map.empty
+    for (_ <- 1 to k) {
+      val araw = nodes.map(v =>
+        v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+      val sa = math.max(araw.values.max / 1000000L, 1L)
+      a = araw.map { case (v, x) => v -> x / sa }
+      val hraw = nodes.map(v =>
+        v -> edges.filter(_._1 == v).map(e => a(e._2)).sum).toMap
+      val sh = math.max(hraw.values.max / 1000000L, 1L)
+      h = hraw.map { case (v, x) => v -> x / sh }
+    }
+    nodes.map(n => n -> ((a(n), h(n)))).toMap
+  }
+
+  test("qg8: distributed HITS equals the single-threaded recurrence, exactly") {
+    val out = LinkGraph.hostHits(spark, dir).collect()
+      .map(r => r.getAs[Long]("host_id") ->
+        ((r.getAs[Long]("auth_fp"), r.getAs[Long]("hub_fp")))).toMap
+    val ref = hitsReference(4)
+    assert(out.keySet == ref.keySet)
+    ref.foreach { case (n, v) =>
+      assert(out(n) == v, s"host $n: spark ${out(n)} vs reference $v")
+    }
+    // the decomposition is non-degenerate: scores separate hosts in BOTH
+    // roles (authority mass concentrated by in-links, hub mass by out-fan)
+    assert(out.values.map(_._1).toSet.size > 1, "authority scores all equal")
+    assert(out.values.map(_._2).toSet.size > 1, "hub scores all equal")
+    // a host nobody links to has zero authority after round 1, forever
+    val inLinked = ids.map(id => ((id % 32) * 5 + 1 + id % 3) % 32).toSet
+    val orphanAuth = out.collect {
+      case (n, (a, _)) if !inLinked.contains(n) => a
+    }
+    assert(orphanAuth.nonEmpty && orphanAuth.forall(_ == 0L))
+    // max-rescaling keeps the band bounded: every score fits well inside
+    // int64 regardless of rounds (the scale argument, asserted)
+    out.values.foreach { case (a, h) =>
+      assert(a >= 0L && a < 64000000L && h >= 0L && h < 64000000L, (a, h))
+    }
+  }
+
+  test("qg8: re-running produces identical scores (determinism)") {
+    val a = LinkGraph.hostHits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = LinkGraph.hostHits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
