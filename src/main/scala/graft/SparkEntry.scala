@@ -206,6 +206,8 @@ object SparkEntry {
       TextAnalysis.chunkWindows(s, d)),
     "qt35_pmi" -> ((s: SparkSession, d: String) =>
       TextAnalysis.pmiCollocations(s, d)),
+    "qt39_jsd_drift" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.jsdDrift(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvSetOps(s, d)),
     "qt37_script_profile" -> ((s: SparkSession, d: String) =>
@@ -1706,6 +1708,39 @@ object SparkEntry {
     // KMV set-operation estimates across the doc_id-parity shards, with
     // exact ground truth riding along (the qs10 harness pattern)
     "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
+    // qt39: the shard token distributions, bucket spine, smoothing and the
+    // per-bucket JSD term replayed with the PINNED parenthesization
+    // (TextAnalysis.jsdDrift) — p/q/m are single IEEE divisions of
+    // exactly-converted int64s, one ln per operand, round 9
+    "qt39_jsd_drift" ->
+      """WITH w AS (
+           SELECT doc_id % 2 AS half,
+             unnest(string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+           FROM documents),
+         wf AS (SELECT half, w FROM w WHERE w <> ''),
+         c AS (
+           SELECT half, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM wf GROUP BY 1, 2),
+         sp AS (SELECT unnest(range(256)) AS bucket),
+         n AS (SELECT
+           CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM wf),
+         j AS (
+           SELECT sp.bucket,
+             COALESCE(a.c, 0) AS cnt_a, COALESCE(b.c, 0) AS cnt_b
+           FROM sp
+           LEFT JOIN (SELECT bucket, c FROM c WHERE half = 0) a ON sp.bucket = a.bucket
+           LEFT JOIN (SELECT bucket, c FROM c WHERE half = 1) b ON sp.bucket = b.bucket),
+         t AS (
+           SELECT bucket, cnt_a, cnt_b,
+             CAST(cnt_a + 1 AS DOUBLE) / CAST(n.n_a + 256 AS DOUBLE) AS p,
+             CAST(cnt_b + 1 AS DOUBLE) / CAST(n.n_b + 256 AS DOUBLE) AS q
+           FROM j, n)
+        SELECT bucket, cnt_a, cnt_b,
+          round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))) * 0.5, 9) AS jsd_term
+        FROM t""",
     // decontamination rewrite: qd14's span replay pointed at the eval-gram
     // set — islands chain at gap <= 4, spans >= 6 tokens, rebuild included
     "qt38_decontam_rewrite" ->

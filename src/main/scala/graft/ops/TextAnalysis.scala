@@ -1428,6 +1428,72 @@ object TextAnalysis {
         col("exact_a"), col("exact_b"), col("exact_union"), col("exact_inter"))
   }
 
+  /** qt39: DISTRIBUTION-DRIFT monitoring between two corpus shards — the
+    * between-snapshot check a production pipeline runs before admitting a
+    * new crawl (did the token distribution move?): Jensen-Shannon
+    * divergence between the shards' hashed-token distributions over a
+    * FIXED B-bucket spine (qt21's hashed-feature discipline — state is B
+    * cells regardless of vocabulary size, which is what lets two 50-TB
+    * snapshots be compared from two 256-row summaries shipped to a
+    * coordinator, the qt36 sketch-algebra story for DISTRIBUTIONS).
+    *
+    * Shards are doc_id parity (the qt36 snapshot-A/B convention); every
+    * token INSTANCE counts (a distribution, not a vocabulary). Per bucket,
+    * with add-1 smoothing, p = (c_a+1)/(n_a+B), q = (c_b+1)/(n_b+B),
+    * m = (p+q)/2, and the bucket's JSD term is
+    * (p·ln(p/m) + q·ln(q/m))·0.5 — exactly 0 when the bucket is balanced
+    * (ln 1), non-negative by the log-sum inequality, and the terms sum to
+    * the corpus drift scalar in [0, ln 2].
+    *
+    * Float parity (the qt16/qt35 discipline): counts are exact int64;
+    * p/q/m are single IEEE divisions of exactly-converted int64s with
+    * PINNED parenthesization; each term takes its lns once and rounds to
+    * 9 digits, so both engines agree bit for bit.
+    *
+    * Scale shape: one map-only bucketing pass + ONE hash aggregate with
+    * map-side partials down to ≤ 2B cells, re-attached to the fixed
+    * B-row spine (crossJoin against the broadcast 1-row totals — the
+    * N/V/max_id discipline) — no corpus-sized shuffle, no window,
+    * bounded state by construction.
+    *
+    * Output: one row per bucket, zero-count buckets included:
+    * (bucket, cnt_a, cnt_b, jsd_term).
+    */
+  def jsdDrift(spark: SparkSession, dir: String, buckets: Int = 256): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val words = docs(spark, dir).select(
+      (col("doc_id") % 2).cast("int").as("half"),
+      explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " "))
+        .as("w"))
+      .filter(col("w") =!= "")
+    val cells = words.select(col("half"),
+      (conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+        % buckets).as("bucket"))
+      .groupBy(col("half"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(cells.filter(col("half") === 0)
+        .select(col("bucket"), col("c").as("cnt_a")), Seq("bucket"), "left")
+      .join(cells.filter(col("half") === 1)
+        .select(col("bucket"), col("c").as("cnt_b")), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = words.groupBy()
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p", (col("cnt_a") + lit(1L)).cast("double") /
+        (col("n_a") + lit(buckets.toLong)).cast("double"))
+      .withColumn("q", (col("cnt_b") + lit(1L)).cast("double") /
+        (col("n_b") + lit(buckets.toLong)).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0d))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        round((col("p") * log(col("p") / col("m")) +
+          col("q") * log(col("q") / col("m"))) * lit(0.5d), 9).as("jsd_term"))
+  }
+
   /** qt33: sliding-window token chunking — the context-window sharding step
     * every RAG index and fixed-length pretraining pipeline runs: each
     * document's whitespace tokens become overlapping chunks of `win` tokens

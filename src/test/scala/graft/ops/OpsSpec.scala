@@ -84,6 +84,75 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt39: per-bucket JSD terms equal an independent MessageDigest replay") {
+    // independent reference: md5-lane bucketing, add-1 smoothing, and the
+    // pinned-parenthesization JSD term recomputed from first principles
+    val base = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1L, "The quick brown fox  jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today extra tail words here"),
+      (3L, "the quick brown fox jumps over the sleepy dog again and again today extra tail words here"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (6L, "completely different content about spark catalyst optimizers"),
+      (7L, "weather report sunny tomorrow with light winds expected"),
+      (8L, "numerical columns one two three four five six seven eight"),
+      (9L, "den Hund und die Katze und das Haus und der Baum ist mit"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucketOf(w: String): Int = {
+      md.reset()
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val tokens = base.flatMap { case (id, text) =>
+      text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty).map(w => ((id % 2).toInt, bucketOf(w)))
+    }
+    val nA = tokens.count(_._1 == 0).toLong
+    val nB = tokens.count(_._1 == 1).toLong
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = (0 until 256).map { b =>
+      val ca = tokens.count(t => t._1 == 0 && t._2 == b).toLong
+      val cb = tokens.count(t => t._1 == 1 && t._2 == b).toLong
+      val p = (ca + 1L).toDouble / (nA + 256L).toDouble
+      val q = (cb + 1L).toDouble / (nB + 256L).toDouble
+      val m = (p + q) / 2.0
+      b.toLong -> ((ca, cb,
+        round9((p * math.log(p / m) + q * math.log(q / m)) * 0.5)))
+    }.toMap
+    val got = TextAnalysis.jsdDrift(spark, dupDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == want.keySet, "spine must cover all 256 buckets")
+    want.foreach { case (b, v) =>
+      assert(got(b) == v, s"bucket $b: spark ${got(b)} vs reference $v")
+    }
+    // terms are non-negative (per-bucket 2-point KL) and some bucket moved
+    assert(got.values.forall(_._3 >= 0.0))
+    assert(got.values.exists(_._3 > 0.0), "crafted shards genuinely differ")
+  }
+
+  test("qt39: identical shards read zero drift in every bucket") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-jsd0").toString
+    // pairs (2i, 2i+1) carry the SAME text, so the parity shards hold
+    // identical token multisets -> p == q per bucket -> every term ln(1)=0
+    (0L until 20L).map(i =>
+      (i, s"shared text block number ${i / 2} with stable words", "en", "s", 40L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.jsdDrift(spark, dir).collect()
+    assert(out.length == 256)
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"bucket ${r.getLong(0)} counts differ: ${r.getLong(1)} vs ${r.getLong(2)}")
+      assert(r.getDouble(3) == 0.0,
+        s"bucket ${r.getLong(0)} term ${r.getDouble(3)} != 0")
+    }
+  }
+
   test("qt37: script buckets, priority tie-break, and mismatch signal are exact") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-script").toString
