@@ -251,6 +251,8 @@ object SparkEntry {
       Clustering.kmeansParallel(s, d)),
     "qc5_kcenter_coreset" -> ((s: SparkSession, d: String) =>
       Clustering.kcenterCoreset(s, d)),
+    "qc6_cluster_quality" -> ((s: SparkSession, d: String) =>
+      Clustering.clusterQuality(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -394,6 +396,38 @@ object SparkEntry {
   private def kmeansOracleSql(k: Int, rounds: Int): String =
     kmeansOracleBlocks(k, rounds) +
       s"\n         SELECT vec_id, cluster, dist AS dist_sq FROM a$rounds"
+
+  /** qc6's oracle, generated: the qc1 chain, then per-cluster stats from
+    * the final assignment, the k×k exact int64 centroid geometry from the
+    * final-round centroid set c{rounds-1}, and the RMS-scatter
+    * Davies-Bouldin component with the PINNED sqrt/divide parenthesization
+    * (Clustering.clusterQuality).
+    */
+  private def clusterQualityOracleSql(k: Int, rounds: Int): String =
+    kmeansOracleBlocks(k, rounds) +
+      s""",
+         st AS (
+           SELECT cluster, CAST(COUNT(*) AS BIGINT) AS csize,
+             CAST(SUM(dist) AS BIGINT) AS sse
+           FROM a$rounds GROUP BY 1),
+         scs AS (
+           SELECT cluster, csize, sse,
+             round(CAST(sse AS DOUBLE) / CAST(csize AS DOUBLE), 9) AS msd,
+             sqrt(CAST(sse AS DOUBLE) / CAST(csize AS DOUBLE)) AS scat
+           FROM st),
+         cdist AS (
+           SELECT a.cid AS ci, b.cid AS cj,
+             CAST(list_sum([(a.cv[i]-b.cv[i])*(a.cv[i]-b.cv[i])
+                            FOR i IN range(1, len(a.cv)+1)]) AS BIGINT) AS d2
+           FROM c${rounds - 1} a, c${rounds - 1} b WHERE a.cid <> b.cid)
+         SELECT i.cluster, i.csize, i.sse, i.msd,
+           MIN(cdist.d2) AS min_sep_sq,
+           MAX(round((i.scat + j.scat) / sqrt(CAST(cdist.d2 AS DOUBLE)), 9))
+             AS db_r
+         FROM scs i
+         JOIN cdist ON cdist.ci = i.cluster
+         JOIN scs j ON cdist.cj = j.cluster
+         GROUP BY 1, 2, 3, 4"""
 
   /** qc4's oracle, generated: the FULL k-means|| seeding chain — r unrolled
     * oversampling rounds (min-distance argmin vs the growing candidate set,
@@ -1701,6 +1735,7 @@ object SparkEntry {
              + CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS pii_total
          FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
+    "qc6_cluster_quality" -> clusterQualityOracleSql(8, 4),
     "qc4_kmeans_parallel" -> kmeansParOracleSql(8, 16, 3),
     // k-center greedy coreset: the k-1 farthest-point picks unrolled, then
     // the final assignment — exact int64 L2, every pick replayed

@@ -60,7 +60,14 @@ object Clustering {
     * previous centroid.
     */
   private[ops] def lloydAssign(spark: SparkSession, dir: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int): DataFrame =
+    lloydChain(spark, dir, k, rounds)._1
+
+  /** The Lloyd loop with the FINAL-round centroids exposed alongside the
+    * assignment (qc6 needs the model itself for inter-centroid geometry).
+    */
+  private[ops] def lloydChain(spark: SparkSession, dir: String,
+      k: Int, rounds: Int): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got $k/$rounds")
     val c = codes(spark, dir)
     c.persist()
@@ -90,7 +97,7 @@ object Clustering {
           cents = next
         }
       }
-      assigned
+      (assigned, cents)
     } finally c.unpersist()
   }
 
@@ -298,6 +305,61 @@ object Clustering {
     m.join(dup, col("vec_id") === col("dup_id"), "left")
       .select(col("vec_id"), col("cluster"),
         col("dup_id").isNotNull.cast("int").as("dropped"))
+  }
+
+  /** qc6: CLUSTER-QUALITY evaluation over the qc1 k-means model — the
+    * model-selection signal (is k right? did the clustering separate?)
+    * every embedding-curation run checks before trusting qc2/qc3's
+    * within-cluster decisions. Per non-empty cluster:
+    *   - csize, sse        exact int64 member count and within-cluster
+    *                       squared-L2 cost (the inertia decomposition)
+    *   - msd               mean squared distance, round(sse/csize, 9)
+    *   - min_sep_sq        exact int64 squared distance to the nearest
+    *                       OTHER non-empty centroid (separation)
+    *   - db_r              the cluster's Davies-Bouldin component
+    *                       max_j (s_i + s_j) / d(c_i, c_j) with the RMS
+    *                       scatter s = sqrt(sse/csize) — the corpus DB
+    *                       index is avg(db_r); lower = better separated
+    *
+    * The RMS-scatter variant is chosen DELIBERATELY: classic DB uses the
+    * mean of per-point distances, which would need a per-point sqrt and an
+    * order-pinned f64 sum; RMS scatter needs only the already-exact int64
+    * SSE and ONE sqrt per cluster — sqrt/divide/add are IEEE-exact on
+    * exactly-converted int64s, so every double here replays bit-for-bit
+    * (the qt25 sqrt discipline) under the usual round-9.
+    *
+    * Scale shape: the assignment is qc1's map-only E-step; stats are ONE
+    * hash aggregate to k rows with map-side partials; the k×k centroid
+    * geometry is computed from the model literals (model-sized, driver
+    * math — the qc1 M-step bound) and joined against the k-row stats.
+    * Nothing data-sized moves.
+    */
+  def clusterQuality(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 4): DataFrame = {
+    val (m, cents) = lloydChain(spark, dir, k, rounds)
+    val stats = m.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("csize"), sum(col("dist_sq")).as("sse"))
+      .withColumn("msd",
+        round(col("sse").cast("double") / col("csize").cast("double"), 9))
+      .withColumn("scat",
+        sqrt(col("sse").cast("double") / col("csize").cast("double")))
+    val ss = spark; import ss.implicits._
+    val pairs = (for {
+      i <- cents.indices; j <- cents.indices if i != j
+    } yield (i, j,
+      cents(i).zip(cents(j)).map { case (x, y) => (x - y) * (x - y) }.sum))
+      .toDF("ci", "cj", "d2")
+    val other = stats.select(col("cluster").as("cj_cluster"),
+      col("scat").as("scat_j"))
+    stats
+      .join(pairs, col("cluster") === col("ci"))
+      .join(other, col("cj") === col("cj_cluster"))
+      .groupBy(col("cluster"), col("csize"), col("sse"), col("msd"))
+      .agg(min(col("d2")).as("min_sep_sq"),
+        max(round((col("scat") + col("scat_j")) /
+          sqrt(col("d2").cast("double")), 9)).as("db_r"))
+      .select(col("cluster"), col("csize"), col("sse"), col("msd"),
+        col("min_sep_sq"), col("db_r"))
   }
 
   /** qc3: density-based prototype pruning (Sorscher et al. 2022,

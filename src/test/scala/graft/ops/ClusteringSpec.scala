@@ -194,6 +194,80 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qc6: quality report equals a single-threaded Lloyd + geometry replay") {
+    // full independent reference: the qc1 recurrence from first principles
+    // (first-k init, exact int64 argmin with smallest-cid ties, half-away
+    // M-step means, empty clusters keep their centroid), then the qc6 stats
+    // with the same pinned sqrt/divide math
+    val k = 3; val rounds = 3
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def halfAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    def code(v: Array[Float]): Array[Long] =
+      v.map(f => java.math.BigDecimal.valueOf(f.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // rebuild the planted corpus codes exactly as writeCorpus emits them
+    def vec(axis: Int, idx: Int): Array[Float] = {
+      val v = Array.fill(Dim)(0.0f); v(axis) = 10.0f
+      v((axis + 3) % Dim) = 0.1f * (idx % 5); v
+    }
+    val vecs: Map[Long, Array[Long]] =
+      ((0 until 9).map(i => i.toLong -> code(vec(i % 3, i / 3))) :+ {
+        val v = vec(0, 0); v(4) = 0.05f; 9L -> code(v)
+      }).toMap
+    var cents: Vector[Array[Long]] =
+      (0L until k.toLong).map(vecs(_)).toVector
+    var assign: Map[Long, (Int, Long)] = Map.empty
+    for (r <- 1 to rounds) {
+      assign = vecs.map { case (id, qv) =>
+        val best = cents.zipWithIndex
+          .map { case (cv, cid) => (d2(qv, cv), cid) }.min
+        id -> ((best._2, best._1))
+      }
+      if (r < rounds) {
+        cents = cents.zipWithIndex.map { case (prev, cid) =>
+          val members = vecs.filter { case (id, _) => assign(id)._1 == cid }
+          if (members.isEmpty) prev
+          else (0 until Dim).map { p =>
+            halfAway(members.values.map(_(p)).sum.toDouble / members.size)
+          }.toArray
+        }
+      }
+    }
+    val nonEmpty = assign.values.map(_._1).toSet
+    val want = nonEmpty.map { cid =>
+      val ms = assign.collect { case (id, (c, d)) if c == cid => (id, d) }
+      val csize = ms.size.toLong
+      val sse = ms.map(_._2).sum
+      val scat = math.sqrt(sse.toDouble / csize.toDouble)
+      val others = nonEmpty - cid
+      val minSep = others.map(j => d2(cents(cid), cents(j))).min
+      val dbR = others.map { j =>
+        val msJ = assign.values.filter(_._1 == j).map(_._2)
+        val scatJ = math.sqrt(msJ.sum.toDouble / msJ.size.toDouble)
+        round9((scat + scatJ) / math.sqrt(d2(cents(cid), cents(j)).toDouble))
+      }.max
+      cid -> ((csize, sse, round9(sse.toDouble / csize.toDouble), minSep, dbR))
+    }.toMap
+    val got = Clustering.clusterQuality(spark, dir, k = k, rounds = rounds)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (cid, v) =>
+      assert(got(cid) == v, s"cluster $cid: spark ${got(cid)} vs reference $v")
+    }
+    // the planted clusters are genuinely well separated: every DB component
+    // is far below 1 (scatter << separation)
+    assert(got.values.forall(_._5 < 0.5),
+      s"planted clusters should read DB << 1: ${got.values.map(_._5)}")
+    // sizes recover the planted structure: 4 + 3 + 3
+    assert(got.values.map(_._1).toSeq.sorted == Seq(3L, 3L, 4L))
+  }
+
   test("qt20: gopher rules fire on the right boundary cases") {
     val ss = spark; import ss.implicits._
     val tdir = Files.createTempDirectory("graft-gopher").toString
