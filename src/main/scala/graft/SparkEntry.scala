@@ -87,6 +87,8 @@ object SparkEntry {
     "qd6_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "qd7_minhash_lsh_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.minhashLshPairsPortable(s, d)),
+    "qd21_minhash_calibration" -> ((s: SparkSession, d: String) =>
+      Dedup.minhashCalibration(s, d)),
     "qd8_cluster_survivors" -> ((s: SparkSession, d: String) =>
       Dedup.clusterSurvivors(s, d)),
     "qd9_incremental_dedup" -> ((s: SparkSession, d: String) =>
@@ -2527,6 +2529,40 @@ object SparkEntry {
              (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
              (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))
          WHERE j >= 0.2""",
+    // qd21: qd7's sigs + band predicate, NO threshold, plus the lane-match
+    // estimator — matches/8 is a dyadic rational (exact f64), the exact
+    // Jaccard rounds 6, and the error is one IEEE subtraction (round 6)
+    "qd21_minhash_calibration" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0)
+         SELECT doc_a, doc_b, matches,
+           CAST(matches AS DOUBLE) / 8.0 AS est_jaccard,
+           ROUND(j, 6) AS jaccard,
+           ROUND(CAST(matches AS DOUBLE) / 8.0 - ROUND(j, 6), 6) AS err
+         FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(list_sum([CASE WHEN a.sig[i] = b.sig[i] THEN 1 ELSE 0 END
+               FOR i IN range(1, 9)]) AS BIGINT) AS matches,
+             len(list_intersect(a.sh, b.sh))
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND (
+             (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+             (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+             (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+             (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))""",
     // qd6's component CTE + qt2's quality score (rounded to 6 dp BEFORE the
     // rank so ordering is bit-stable), survivor = rank 1 per cluster
     "qd8_cluster_survivors" ->

@@ -226,6 +226,70 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** qd21: MinHash SKETCH CALIBRATION — the qs10 evaluation-harness pattern
+    * applied to dedup: for every band-admitted candidate pair, the
+    * sketch-ESTIMATED Jaccard (matching lanes / lanes — the unbiased
+    * estimator the banding trades on) next to the exact two-pointer
+    * Jaccard, plus the signed error. This is the dashboard that justifies
+    * a banding choice on a REAL corpus (the qd20 percolation lesson: band
+    * width must be picked from measured collision behavior, and this op
+    * measures it) — in production it runs over a hash-sampled slice, here
+    * over the full band-admitted candidate set. No threshold filter:
+    * calibration needs the whole admitted J range, not just accepted pairs.
+    *
+    * Float parity: est = matches/8 is a dyadic rational (exact f64);
+    * the exact Jaccard rounds to 6 (the qd7 discipline); the error is one
+    * IEEE subtraction of exact doubles, rounded to 6.
+    *
+    * Scale shape: identical to [[minhashLshPairsPortable]] — the signature
+    * is computed ONCE per doc (native one-pass MinHashAffine), band keys
+    * explode from it, one bucket shuffle + one verify join, maxBucket cap.
+    *
+    * Output: (doc_a, doc_b, matches, est_jaccard, jaccard, err).
+    */
+  def minhashCalibration(
+      spark: SparkSession,
+      dir: String,
+      shingleSize: Int = 2,
+      bands: Int = 4,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 4096
+  ): DataFrame = {
+    val lanes = bands * rowsPerBand
+    require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes lanes")
+    val sigs = shingleBase(spark, dir, shingleSize)
+      .withColumn("sig",
+        graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes))
+    val bandCols = (0 until bands).map { b =>
+      concat_ws("|", lit(b.toString) +:
+        (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+    }
+    val buckets = sigs.select(col("doc_id"),
+      explode(array(bandCols: _*)).as("bkey"))
+    val admitted = capBuckets(buckets, "bkey", maxBucket)
+    val cand = admitted.as("a").join(admitted.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("matches",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1L, 0L)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .withColumn("est_jaccard",
+        col("matches").cast("double") / lit(lanes.toDouble))
+      .withColumn("jaccard", round(
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b")),
+        6))
+      .select(col("doc_a"), col("doc_b"), col("matches"), col("est_jaccard"),
+        col("jaccard"),
+        round(col("est_jaccard") - col("jaccard"), 6).as("err"))
+  }
+
   /** Incremental (batch-vs-corpus) dedup — the daily-ingest gate: each doc
     * of the incoming BATCH is checked against the existing CORPUS for exact
     * dups (normalized fingerprint) and near dups (the [[minhashLshPairsPortable]]

@@ -84,6 +84,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qd21: calibration rows equal an independent affine-lane replay") {
+    // independent reference: the portable md5-affine lane family computed
+    // from first principles (MessageDigest halves, (a + i*b) mod 2^61-1),
+    // the 4x2 band predicate, lane-match estimator, and exact Jaccard
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def halves(s: String): (Long, Long) = {
+      md.reset()
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        java.lang.Long.parseLong(hex.substring(15, 30), 16))
+    }
+    def shinglesOf(text: String): Set[String] = {
+      val ws = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+        .filter(_.nonEmpty)
+      if (ws.length < 2) ws.toSet
+      else ws.sliding(2).map(_.mkString(" ")).toSet
+    }
+    def sigOf(sh: Set[String]): Array[Long] =
+      (0 until 8).map { i =>
+        sh.map { s =>
+          val (a, b) = halves(s)
+          (a + i * b) % 2305843009213693951L
+        }.min
+      }.toArray
+    val texts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog again and again today",
+      1L -> "The quick brown fox  jumps over the lazy dog again and again today",
+      2L -> "the quick brown fox jumps over the lazy dog again and again today extra tail words here",
+      3L -> "the quick brown fox jumps over the sleepy dog again and again today extra tail words here",
+      4L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      5L -> "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+      6L -> "completely different content about spark catalyst optimizers",
+      7L -> "weather report sunny tomorrow with light winds expected",
+      8L -> "numerical columns one two three four five six seven eight",
+      9L -> "den Hund und die Katze und das Haus und der Baum ist mit").toMap
+    val shs = texts.map { case (id, t) => id -> shinglesOf(t) }
+    val sigsRef = shs.map { case (id, sh) => id -> sigOf(sh) }
+    def bandHit(x: Array[Long], y: Array[Long]): Boolean =
+      (0 until 4).exists(b => x(2 * b) == y(2 * b) && x(2 * b + 1) == y(2 * b + 1))
+    def round6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val want = (for {
+      a <- texts.keys; b <- texts.keys
+      if a < b && bandHit(sigsRef(a), sigsRef(b))
+    } yield {
+      val m = (0 until 8).count(i => sigsRef(a)(i) == sigsRef(b)(i)).toLong
+      val j = round6(shs(a).intersect(shs(b)).size.toDouble /
+        shs(a).union(shs(b)).size.toDouble)
+      (a, b) -> ((m, m.toDouble / 8.0, j, round6(m.toDouble / 8.0 - j)))
+    }).toMap
+    val got = Dedup.minhashCalibration(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == want,
+      s"spark ${got.toSeq.sortBy(_._1)} vs reference ${want.toSeq.sortBy(_._1)}")
+    // the exact-dup pair reads a perfect sketch: 8/8 lanes, zero error
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) == ((8L, 1.0, 1.0, 0.0)))
+  }
+
   test("qt39: per-bucket JSD terms equal an independent MessageDigest replay") {
     // independent reference: md5-lane bucketing, add-1 smoothing, and the
     // pinned-parenthesization JSD term recomputed from first principles
