@@ -210,6 +210,8 @@ object SparkEntry {
       TextAnalysis.pmiCollocations(s, d)),
     "qt39_jsd_drift" -> ((s: SparkSession, d: String) =>
       TextAnalysis.jsdDrift(s, d)),
+    "qt40_readability" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.readability(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvSetOps(s, d)),
     "qt37_script_profile" -> ((s: SparkSession, d: String) =>
@@ -1745,6 +1747,29 @@ object SparkEntry {
     // KMV set-operation estimates across the doc_id-parity shards, with
     // exact ground truth riding along (the qs10 harness pattern)
     "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
+    // qt40: integer counts via len(regexp_extract_all) (no regexp_count in
+    // DuckDB 1.0), formulas on CAST-to-DOUBLE constants (decimal literals
+    // would otherwise compute in DECIMAL), pinned parenthesization, round 6
+    "qt40_readability" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_words,
+             GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+           FROM documents),
+         r AS (
+           SELECT doc_id, n_words, n_sentences, n_syllables,
+             CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE) AS wps_raw,
+             CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS spw_raw
+           FROM c)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(wps_raw, 6) AS wps,
+           round(spw_raw, 6) AS spw,
+           round(CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * wps_raw
+             - CAST(84.6 AS DOUBLE) * spw_raw, 6) AS flesch,
+           round(CAST(0.39 AS DOUBLE) * wps_raw + CAST(11.8 AS DOUBLE) * spw_raw
+             - CAST(15.59 AS DOUBLE), 6) AS fk_grade
+         FROM r""",
     // qt39: the shard token distributions, bucket spine, smoothing and the
     // per-bucket JSD term replayed with the PINNED parenthesization
     // (TextAnalysis.jsdDrift) — p/q/m are single IEEE divisions of

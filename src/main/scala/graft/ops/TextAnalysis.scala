@@ -1494,6 +1494,98 @@ object TextAnalysis {
           col("q") * log(col("q") / col("m"))) * lit(0.5d), 9).as("jsd_term"))
   }
 
+  /** qt39's histogram leg, reusable: the hashed-token bucket histogram of
+    * ANY documents frame on the fixed spine — (bucket, cnt), non-empty
+    * buckets only. This is the 256-row summary a snapshot ships to the
+    * drift monitor ([[jsdAgainst]], [[graft.streaming.StreamOps]]).
+    */
+  def tokenHistogram(documents: DataFrame, buckets: Int = 256): DataFrame =
+    documents
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+        " ")).as("w"))
+      .filter(col("w") =!= "")
+      .select((conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long")
+        % buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** One-row JSD of a batch histogram against a reference histogram (both
+    * (bucket, cnt) on the same spine) — the qt39 math with the corpus-scan
+    * step already done, so a STREAM can drift-check each micro-batch
+    * against yesterday's persisted 256-row summary without ever touching
+    * the reference corpus. Output: (n_batch, n_ref, jsd) with jsd the
+    * 6-dp-rounded sum of the per-bucket 9-dp terms.
+    */
+  def jsdAgainst(batchHist: DataFrame, refHist: DataFrame,
+      buckets: Int = 256): DataFrame = {
+    val spark = batchHist.sparkSession
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    val joined = spine
+      .join(batchHist.select(col("bucket"), col("cnt").as("cnt_a")),
+        Seq("bucket"), "left")
+      .join(refHist.select(col("bucket"), col("cnt").as("cnt_b")),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.groupBy()
+      .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+    joined.crossJoin(broadcast(totals))
+      .withColumn("p", (col("cnt_a") + lit(1L)).cast("double") /
+        (col("n_a") + lit(buckets.toLong)).cast("double"))
+      .withColumn("q", (col("cnt_b") + lit(1L)).cast("double") /
+        (col("n_b") + lit(buckets.toLong)).cast("double"))
+      .withColumn("m", (col("p") + col("q")) / lit(2.0d))
+      .withColumn("term", round((col("p") * log(col("p") / col("m")) +
+        col("q") * log(col("q") / col("m"))) * lit(0.5d), 9))
+      .groupBy()
+      .agg(first(col("n_a")).as("n_batch"), first(col("n_b")).as("n_ref"),
+        round(sum(col("term")), 6).as("jsd"))
+  }
+
+  /** qt40: READABILITY scoring (Flesch 1948 Reading Ease + Flesch-Kincaid
+    * 1975 grade level) — the classic prose-complexity gate corpus filters
+    * run beside qt2's surface ratios (very low readability flags OCR noise
+    * and boilerplate; very high flags word salad). Counts are the standard
+    * deterministic heuristics, all in the Java∩RE2 regex subset:
+    * sentences = runs of [.!?] (clamped >= 1), syllables = vowel-group runs
+    * [aeiouy]+ over the lowered text (the plain vowel-group variant —
+    * documented: no-vowel words contribute 0, no per-word minimum).
+    *
+    * Float parity: the three integer counts convert exactly; the two
+    * rate divisions and the affine formulas (206.835 − 1.015·wps −
+    * 84.6·spw; 0.39·wps + 11.8·spw − 15.59) are pinned-parenthesization
+    * IEEE ops on f64 with constants CAST explicitly on the oracle side
+    * (DuckDB decimal literals would otherwise compute in DECIMAL),
+    * rounded to 6.
+    *
+    * Scale shape: ONE map-only pass, zero exchanges, scan pruned to
+    * (doc_id, text) — the qt1/qt2 family.
+    *
+    * Output: (doc_id, n_words, n_sentences, n_syllables, wps, spw,
+    * flesch, fk_grade).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val w = size(split(trim(col("text")), "\\s+")).cast("long")
+    val s = greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"),
+      lit(1L))
+    val syl = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long")
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    docs(spark, dir)
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("wps_raw", wps)
+      .withColumn("spw_raw", spw)
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(col("wps_raw"), 6).as("wps"),
+        round(col("spw_raw"), 6).as("spw"),
+        round(lit(206.835d) - lit(1.015d) * col("wps_raw") -
+          lit(84.6d) * col("spw_raw"), 6).as("flesch"),
+        round(lit(0.39d) * col("wps_raw") + lit(11.8d) * col("spw_raw") -
+          lit(15.59d), 6).as("fk_grade"))
+  }
+
   /** qt33: sliding-window token chunking — the context-window sharding step
     * every RAG index and fixed-length pretraining pipeline runs: each
     * document's whitespace tokens become overlapping chunks of `win` tokens

@@ -130,6 +130,27 @@ object StreamOps {
         }
       }
 
+  /** Streaming DISTRIBUTION-DRIFT monitor — the continuous face of qt39:
+    * each micro-batch's hashed-token histogram JSDs against a STATIC
+    * reference histogram (yesterday's persisted 256-row corpus summary,
+    * [[graft.ops.TextAnalysis.tokenHistogram]]), so ingest monitoring
+    * never re-scans the reference corpus. foreachBatch, like
+    * [[streamingAdmission]]: the per-batch drift row (n_batch, n_ref,
+    * jsd) lands wherever `sink` points it — alert thresholds are one
+    * filter downstream. Input: a docs stream with a `text` column.
+    */
+  def streamingDrift(docs: DataFrame, refHist: DataFrame,
+      buckets: Int = 256)(sink: (DataFrame, Long) => Unit) =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          sink(graft.ops.TextAnalysis.jsdAgainst(
+            graft.ops.TextAnalysis.tokenHistogram(batch.toDF(), buckets),
+            refHist, buckets), id)
+        }
+      }
+
   /** Streaming extraction: pages stream -> the same pure per-document
     * extraction -> foreachBatch MERGE into the snapshot store. Stateless, so
     * exactly-once lands on the store's idempotent merge.

@@ -84,6 +84,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt40: readability counts and formulas replay exactly") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-read").toString
+    Seq(
+      (0L, "The cat sat. It ran! Did it run?", "en", "s", 32L),
+      (1L, "no terminal punctuation here at all", "en", "s", 36L), // clamp s>=1
+      (2L, "xzq zzz grr", "en", "s", 11L),                         // zero vowels
+      (3L, "Wait... what?! Really?!", "en", "s", 23L)              // punct runs
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def round6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def ref(text: String): (Long, Long, Long, Double, Double, Double, Double) = {
+      val w = text.trim.split("\\s+").length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val syl = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      val wps = w.toDouble / s.toDouble
+      val spw = syl.toDouble / w.toDouble
+      (w, s, syl, round6(wps), round6(spw),
+        round6(206.835 - 1.015 * wps - 84.6 * spw),
+        round6(0.39 * wps + 11.8 * spw - 15.59))
+    }
+    val texts = Map(
+      0L -> "The cat sat. It ran! Did it run?",
+      1L -> "no terminal punctuation here at all",
+      2L -> "xzq zzz grr",
+      3L -> "Wait... what?! Really?!")
+    val got = TextAnalysis.readability(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    assert(got.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val (w, s, syl, wps, spw, fl, fk) = ref(t)
+      assert(got(id) == ((w, s, syl, wps, spw, fl, fk)),
+        s"doc $id: spark ${got(id)} vs reference ${ref(t)}")
+    }
+    // pinned boundary semantics: the punctuation-free doc clamps to one
+    // sentence; the vowel-free doc reads zero syllables (documented variant)
+    assert(got(1L)._2 == 1L)
+    assert(got(2L)._3 == 0L)
+    // "Wait... what?! Really?!" has three [.!?]+ RUNS, not seven marks
+    assert(got(3L)._2 == 3L)
+  }
+
   test("qd21: calibration rows equal an independent affine-lane replay") {
     // independent reference: the portable md5-affine lane family computed
     // from first principles (MessageDigest halves, (a + i*b) mod 2^61-1),

@@ -147,6 +147,40 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming drift reads zero for in-distribution batches, positive for shifted") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference: yesterday's 256-row histogram summary of a tiny corpus
+    val refDocs = Seq.tabulate(8)(i => s"stable corpus words block $i")
+      .toDF("text")
+    val refHist = graft.ops.TextAnalysis.tokenHistogram(refDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("bucket", "cnt") // materialized: the persisted summary stand-in
+    val results = scala.collection.mutable.Map[Long, (Long, Long, Double)]()
+    val input = MemoryStream[String]
+    val q = StreamOps.streamingDrift(input.toDF().withColumnRenamed("value", "text"),
+      refHist) { (drift, id) =>
+      val r = drift.collect()(0)
+      results.synchronized {
+        results(id) = ((r.getLong(0), r.getLong(1), r.getDouble(2))) }
+    }.start()
+    try {
+      // batch 0: the exact reference text mix -> identical distribution,
+      // identical totals -> p == q in every bucket -> jsd exactly 0
+      input.addData(Seq.tabulate(8)(i => s"stable corpus words block $i"): _*)
+      q.processAllAvailable()
+      // batch 1: disjoint vocabulary -> positive drift
+      input.addData("zq xv qqq vvv kkk jjj www yyy")
+      q.processAllAvailable()
+      val r0 = results.synchronized(results(0))
+      val r1 = results.synchronized(results(1))
+      assert(r0._1 == r0._2, s"batch 0 totals ${r0._1} vs ref ${r0._2}")
+      assert(r0._3 == 0.0, s"in-distribution batch read jsd ${r0._3}")
+      assert(r1._3 > 0.0, s"shifted batch read jsd ${r1._3}")
+      assert(results.size == 2)
+    } finally q.stop()
+  }
+
   test("streaming admission flags each micro-batch against the static index") {
     val ss = spark; import ss.implicits._
     implicit val sqlCtx = spark.sqlContext
