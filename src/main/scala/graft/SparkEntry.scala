@@ -145,6 +145,8 @@ object SparkEntry {
       LinkGraph.hostKcore(s, d)),
     "qg8_host_hits" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostHits(s, d)),
+    "qg9_host_mixing" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostMixing(s, d)),
     "qg6_host_communities" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostCommunities(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
@@ -1678,6 +1680,44 @@ object SparkEntry {
     // the planted path needs ~15 waves, 18 gives margin)
     "qg7_host_kcore" -> kcoreOracleSql(2, 18),
     "qg8_host_hits" -> hitsOracleSql(4),
+    // qg9: the qg1 planted graph, exact int64 count/sum aggregates (CAST
+    // out of HUGEINT), one pinned IEEE division per metric, NULL guards on
+    // both engines for the zero-variance / all-self-loop edge cases
+    "qg9_host_mixing" ->
+      """WITH e0 AS (
+           SELECT DISTINCT doc_id % 32 AS src,
+             ((doc_id % 32) * 5 + 1 + doc_id % 3) % 32 AS dst
+           FROM documents),
+         nodes AS (SELECT DISTINCT src AS v FROM e0),
+         e AS (SELECT src, dst FROM e0 WHERE dst IN (SELECT v FROM nodes)),
+         ns AS (SELECT src, dst FROM e WHERE src <> dst),
+         eb AS (
+           SELECT DISTINCT src, dst FROM (
+             SELECT src, dst FROM ns UNION ALL SELECT dst, src FROM ns)),
+         dg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM eb GROUP BY 1),
+         wd AS (
+           SELECT a.d AS dx, b.d AS dy
+           FROM eb JOIN dg a ON eb.src = a.v JOIN dg b ON eb.dst = b.v),
+         sm AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(dx) AS BIGINT) AS sx,
+             CAST(SUM(dx*dy) AS BIGINT) AS sxy, CAST(SUM(dx*dx) AS BIGINT) AS sxx
+           FROM wd),
+         cn AS (
+           SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_hosts,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM e WHERE src = dst) AS n_self_loops,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ns a
+              WHERE EXISTS (SELECT 1 FROM ns b
+                            WHERE b.src = a.dst AND b.dst = a.src)) AS n_reciprocal)
+         SELECT n_hosts, n_edges, n_self_loops, n_reciprocal,
+           CASE WHEN n_edges - n_self_loops <> 0 THEN
+             round(CAST(n_reciprocal AS DOUBLE)
+               / CAST(n_edges - n_self_loops AS DOUBLE), 6) END AS reciprocity,
+           CASE WHEN (m*sxx - sx*sx) <> 0 THEN
+             round(CAST(m*sxy - sx*sx AS DOUBLE)
+               / CAST(m*sxx - sx*sx AS DOUBLE), 6) END AS assortativity
+         FROM cn, sm""",
     // harmonic centrality: the qg3 register chain + per-round HLL estimates
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end

@@ -563,4 +563,76 @@ object LinkGraph {
       edges.unpersist(); nodes.unpersist(); ()
     }
   }
+
+  /** qg9: host-graph MIXING metrics — edge reciprocity and degree
+    * assortativity (Newman 2002, PRL 89.208701), the two structural-health
+    * numbers crawl curation reads before trusting a link graph: organic
+    * webgraphs are weakly reciprocal and DISassortative (high-degree hubs
+    * link to low-degree leaves, r < 0), while link farms and mirror
+    * networks read near-perfect reciprocity and assortative cores. Over
+    * the qg1 planted directed host graph (observed hosts only):
+    *   - reciprocity  = reciprocated non-self directed edges / non-self
+    *                    directed edges (self-loops counted separately —
+    *                    they are trivially reciprocal)
+    *   - assortativity = Pearson correlation of undirected endpoint
+    *                    degrees over the symmetrized edge list (each
+    *                    undirected edge contributes both orientations, so
+    *                    Newman's formula reduces to
+    *                    (m·Σxy − Sx²) / (m·Σx² − Sx²)); NULL for a
+    *                    degree-regular graph (zero variance)
+    *
+    * Float parity: every sum is an exact int64 aggregate (CAST out of
+    * HUGEINT on the oracle side); each metric is ONE IEEE division of
+    * exactly-converted int64s, round 6 (at web scale the Pearson sums
+    * outgrow int64 — the documented upgrade is the qc4 DECIMAL(38,0)
+    * route; the formula is unchanged).
+    *
+    * Scale shape: one distinct + two hash aggregates and a semi-join on
+    * (src, dst) — every shuffle is edge-keyed with map-side partials; the
+    * output is ONE row (the fixed-size crossJoin discipline).
+    *
+    * Output: (n_hosts, n_edges, n_self_loops, n_reciprocal, reciprocity,
+    * assortativity).
+    */
+  def hostMixing(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = docs(spark, dir)
+      .select((col("doc_id") % 32).as("src"),
+        ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
+      .distinct()
+    val nodes = e0.select(col("src").as("node")).distinct()
+    val e = e0
+      .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val nonSelf = e.filter(col("src") =!= col("dst"))
+    val rev = nonSelf.select(col("dst").as("src"), col("src").as("dst"))
+    val eb = nonSelf.union(rev).distinct()
+    val deg = eb.groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+    val withDeg = eb
+      .join(deg.select(col("v").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("v").as("dst"), col("d").as("dy")), "dst")
+    val pearson = withDeg.agg(
+      count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"))
+    val counts = e.agg(count(lit(1)).as("n_edges"),
+      sum(when(col("src") === col("dst"), 1L).otherwise(0L)).as("n_self_loops"))
+    val nHosts = nodes.agg(count(lit(1)).as("n_hosts"))
+    val nRecip = nonSelf.join(rev.withColumnRenamed("src", "s2")
+        .withColumnRenamed("dst", "d2"),
+      col("src") === col("s2") && col("dst") === col("d2"), "left_semi")
+      .agg(count(lit(1)).as("n_reciprocal"))
+    val num = col("m") * col("sxy") - col("sx") * col("sx")
+    val den = col("m") * col("sxx") - col("sx") * col("sx")
+    nHosts.crossJoin(broadcast(counts)).crossJoin(broadcast(nRecip))
+      .crossJoin(broadcast(pearson))
+      .select(col("n_hosts"), col("n_edges"), col("n_self_loops"),
+        col("n_reciprocal"),
+        when(col("n_edges") - col("n_self_loops") =!= 0L,
+          round(col("n_reciprocal").cast("double") /
+            (col("n_edges") - col("n_self_loops")).cast("double"), 6))
+          .as("reciprocity"),
+        when(den =!= 0L,
+          round(num.cast("double") / den.cast("double"), 6))
+          .as("assortativity"))
+  }
 }

@@ -349,6 +349,43 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qg9: mixing metrics equal a first-principles replay") {
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val e0 = ids.map(id => (id % 32, ((id % 32) * 5 + 1 + id % 3) % 32))
+      .distinct
+    val nodes = e0.map(_._1).toSet
+    val e = e0.filter { case (_, d) => nodes.contains(d) }
+    val ns = e.filter { case (s, d) => s != d }
+    val nsSet = ns.toSet
+    val nRecip = ns.count { case (s, d) => nsSet.contains((d, s)) }.toLong
+    val eb = (ns ++ ns.map(_.swap)).distinct
+    val dg = eb.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val m = eb.size.toLong
+    val sx = eb.map { case (s, _) => dg(s) }.sum
+    val sxy = eb.map { case (s, d) => dg(s) * dg(d) }.sum
+    val sxx = eb.map { case (s, _) => dg(s) * dg(s) }.sum
+    val nSelf = e.count { case (s, d) => s == d }.toLong
+    val wantRecip = round6(nRecip.toDouble / (e.size - nSelf).toDouble)
+    val den = m * sxx - sx * sx
+    val wantAssort = round6((m * sxy - sx * sx).toDouble / den.toDouble)
+    val row = LinkGraph.hostMixing(spark, dir).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) == nodes.size.toLong)
+    assert(r.getLong(1) == e.size.toLong)
+    assert(r.getLong(2) == nSelf)
+    assert(r.getLong(3) == nRecip)
+    assert(r.getDouble(4) == wantRecip,
+      s"reciprocity ${r.getDouble(4)} vs $wantRecip")
+    assert(den != 0L && r.getDouble(5) == wantAssort,
+      s"assortativity ${r.getDouble(5)} vs $wantAssort")
+    // structural sanity: the affine planted graph is sparse and directed —
+    // reciprocity well below 1, and both metrics are in their ranges
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    assert(r.getDouble(5) >= -1.0 && r.getDouble(5) <= 1.0)
+  }
+
   test("qg8: re-running produces identical scores (determinism)") {
     val a = LinkGraph.hostHits(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
