@@ -214,6 +214,8 @@ object SparkEntry {
       TextAnalysis.jsdDrift(s, d)),
     "qt40_readability" -> ((s: SparkSession, d: String) =>
       TextAnalysis.readability(s, d)),
+    "qt41_near_contamination" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.nearContamination(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvSetOps(s, d)),
     "qt37_script_profile" -> ((s: SparkSession, d: String) =>
@@ -2628,6 +2630,37 @@ object SparkEntry {
              (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
              (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
              (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))""",
+    // qt41: qd7's sigs + band predicate run ASYMMETRICALLY train x eval
+    // (the qt8 doc_id % 29 eval slice), exact-Jaccard verify at 0.2; cap
+    // warn-only like qd7 (buckets far under 4096 at the suite SFs)
+    "qt41_near_contamination" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0),
+         tr AS (SELECT * FROM sigs WHERE doc_id % 29 <> 0),
+         ev AS (SELECT * FROM sigs WHERE doc_id % 29 = 0)
+         SELECT doc_id, eval_id, ROUND(j, 6) AS jaccard FROM (
+           SELECT t.doc_id, e.doc_id AS eval_id,
+             len(list_intersect(t.sh, e.sh))
+               / len(list_distinct(list_concat(t.sh, e.sh))) AS j
+           FROM tr t JOIN ev e ON (
+             (t.sig[1] = e.sig[1] AND t.sig[2] = e.sig[2]) OR
+             (t.sig[3] = e.sig[3] AND t.sig[4] = e.sig[4]) OR
+             (t.sig[5] = e.sig[5] AND t.sig[6] = e.sig[6]) OR
+             (t.sig[7] = e.sig[7] AND t.sig[8] = e.sig[8])))
+         WHERE j >= 0.2""",
     // qd6's component CTE + qt2's quality score (rounded to 6 dp BEFORE the
     // rank so ordering is bit-stable), survivor = rank 1 per cluster
     "qd8_cluster_survivors" ->

@@ -1542,6 +1542,47 @@ object TextAnalysis {
         round(sum(col("term")), 6).as("jsd"))
   }
 
+  /** qt41: NEAR-DUP contamination — the LSH leg of the decontamination
+    * family: qt8/qt13 flag and qt38 cuts EXACT n-gram overlap, but a
+    * benchmark dump that was reformatted, re-punctuated, or lightly
+    * paraphrased shares few exact 4-grams while remaining a
+    * whole-document near-duplicate of the eval text. This op runs the
+    * qd7 portable banded-MinHash machinery ASYMMETRICALLY (train × eval,
+    * the qd9 batch-vs-corpus shape): band keys on both sides, one
+    * bucket join, exact-Jaccard verify at the dedup threshold. The eval
+    * suite is the qt8 deterministic slice (doc_id % evalMod == 0).
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs),
+    * so its band table is tiny and AQE broadcasts it; the train side
+    * shuffles band keys once ([[graft.ops.Dedup.bandTableOf]], cap
+    * guard included). Everything downstream of the candidate join is
+    * pair-bounded.
+    *
+    * Output: (doc_id, eval_id, jaccard) — train docs near-matching an
+    * eval doc; dropping them is one anti-join downstream.
+    */
+  def nearContamination(spark: SparkSession, dir: String,
+      shingleSize: Int = 2, threshold: Double = 0.2,
+      evalMod: Int = 29): DataFrame = {
+    val base = Dedup.shinglesOf(docs(spark, dir), shingleSize)
+    val evalSh = base.filter(col("doc_id") % evalMod === 0)
+    val trainSh = base.filter(col("doc_id") % evalMod =!= 0)
+    val evalBands = Dedup.bandTableOf(evalSh)
+      .withColumnRenamed("doc_id", "eval_id")
+    val trainBands = Dedup.bandTableOf(trainSh)
+    val cand = trainBands.join(evalBands, "bkey")
+      .select(col("doc_id"), col("eval_id")).distinct()
+    cand
+      .join(trainSh.select(col("doc_id"), col("sh").as("sh_t")), "doc_id")
+      .join(evalSh.select(col("doc_id").as("eval_id"), col("sh").as("sh_e")),
+        "eval_id")
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_t"), col("sh_e")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("eval_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** qt40: READABILITY scoring (Flesch 1948 Reading Ease + Flesch-Kincaid
     * 1975 grade level) — the classic prose-complexity gate corpus filters
     * run beside qt2's surface ratios (very low readability flags OCR noise

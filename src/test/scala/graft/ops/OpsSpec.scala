@@ -84,6 +84,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt41: near-dup contamination flags the paraphrase exact grams miss") {
+    // dupDir: doc 0 is the eval doc (0 % 29 == 0); doc 1 is its exact dup
+    // after normalization (case + whitespace — the "reformatted benchmark
+    // dump" case), docs 2/3 are superset near-variants
+    val got = TextAnalysis.nearContamination(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the reformatted dump is caught at jaccard 1.0 even though its RAW
+    // bytes differ (qt8's exact-gram pass sees normalized grams too, but a
+    // paraphrase with insertions would break 4-gram runs — here the claim
+    // is the LSH route flags whole-doc similarity)
+    assert(got.contains((1L, 0L)) && got((1L, 0L)) == 1.0, got.toString)
+    // every emitted row is train x eval at or above the threshold
+    got.foreach { case ((t, e), j) =>
+      assert(t % 29 != 0 && e % 29 == 0 && j >= 0.2, s"($t,$e,$j)")
+    }
+    // the superset variant (doc 2 contains doc 0 plus a tail) is also a
+    // near-match when its bands collide — if emitted, its jaccard must be
+    // the exact set ratio; unrelated docs (7,8,9) never appear
+    assert(!got.keySet.exists { case (t, _) => Set(7L, 8L, 9L)(t) }, got.toString)
+  }
+
   test("qt40: readability counts and formulas replay exactly") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-read").toString
