@@ -261,6 +261,8 @@ object SparkEntry {
       Clustering.kcenterCoreset(s, d)),
     "qc6_cluster_quality" -> ((s: SparkSession, d: String) =>
       Clustering.clusterQuality(s, d)),
+    "qc7_silhouette" -> ((s: SparkSession, d: String) =>
+      Clustering.silhouette(s, d)),
     // ---- multimodal plumbing ----
     "qm1_binary_meta" -> (Multimodal.mediaMetaSql _),
     "qm2_decode_meta" -> ((s: SparkSession, d: String) => Multimodal.decodeMeta(s, d).toDF()),
@@ -626,6 +628,31 @@ object SparkEntry {
          FROM a$k a JOIN h$k h ON a.v = h.v"""
     head + rounds + tail
   }
+
+  /** qc7's oracle, generated: the qc1 chain, then per-vector nearest-OTHER
+    * centroid distance from the final centroid set and the simplified
+    * silhouette with the pinned sqrt/divide/max math and the both-zero
+    * degenerate case pinned to 0 (Clustering.silhouette).
+    */
+  private def silhouetteOracleSql(k: Int, rounds: Int): String =
+    kmeansOracleBlocks(k, rounds) +
+      s""",
+         b2 AS (
+           SELECT a.vec_id, MIN(CAST(list_sum([(q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i])
+                            FOR i IN range(1, len(q.qv)+1)]) AS BIGINT)) AS b2
+           FROM a$rounds a JOIN q USING (vec_id)
+           CROSS JOIN c${rounds - 1} c
+           WHERE c.cid <> a.cluster
+           GROUP BY 1)
+         SELECT a.vec_id, a.cluster,
+           round(sqrt(CAST(a.dist AS DOUBLE)), 6) AS a_dist,
+           round(sqrt(CAST(b2.b2 AS DOUBLE)), 6) AS b_dist,
+           CASE WHEN GREATEST(sqrt(CAST(a.dist AS DOUBLE)),
+                              sqrt(CAST(b2.b2 AS DOUBLE))) = 0 THEN 0.0
+                ELSE round((sqrt(CAST(b2.b2 AS DOUBLE)) - sqrt(CAST(a.dist AS DOUBLE)))
+                  / GREATEST(sqrt(CAST(a.dist AS DOUBLE)),
+                             sqrt(CAST(b2.b2 AS DOUBLE))), 6) END AS silhouette
+         FROM a$rounds a JOIN b2 USING (vec_id)"""
 
   /** qt36's oracle, generated: the two shard KMV sketches replayed as
     * `SELECT DISTINCT hash ORDER BY hash LIMIT k` (the qt12 equivalence),
@@ -1782,6 +1809,7 @@ object SparkEntry {
          FROM d""",
     "qc1_kmeans" -> kmeansOracleSql(8, 4),
     "qc6_cluster_quality" -> clusterQualityOracleSql(8, 4),
+    "qc7_silhouette" -> silhouetteOracleSql(8, 4),
     "qc4_kmeans_parallel" -> kmeansParOracleSql(8, 16, 3),
     // k-center greedy coreset: the k-1 farthest-point picks unrolled, then
     // the final assignment — exact int64 L2, every pick replayed

@@ -362,6 +362,50 @@ object Clustering {
         col("min_sep_sq"), col("db_r"))
   }
 
+  /** qc7: per-vector SIMPLIFIED SILHOUETTE (Hruschka et al. 2004 — the
+    * centroid-based silhouette every large-scale clustering dashboard
+    * uses, because the classic Rousseeuw silhouette is O(n²) pairwise):
+    * a(i) = distance to OWN centroid, b(i) = distance to the NEAREST
+    * OTHER centroid, s(i) = (b − a) / max(a, b) ∈ [−1, 1] — points near
+    * 1 sit deep inside their cluster, near 0 on a boundary, below 0 are
+    * likely mis-assigned. The point-level companion of qc6's
+    * cluster-level report (qc6 says whether k is right; qc7 says WHICH
+    * vectors to re-examine — the SemDeDup/pruning trust signal).
+    *
+    * Float parity: a² and b² are exact int64 (the qc1 E-step math);
+    * sqrt/subtract/divide/max on exactly-converted int64s are IEEE-exact
+    * (the qt25/qc6 discipline), round 6; the both-zero degenerate case
+    * pins to 0 on both engines.
+    *
+    * Scale shape: ONE extra map-only pass over the assignment (k centroid
+    * literals via native dot_i64, zero joins — the qc1 E-step shape);
+    * nothing shuffles beyond qc1's own chain.
+    *
+    * Output: (vec_id, cluster, a_dist, b_dist, silhouette).
+    */
+  def silhouette(spark: SparkSession, dir: String, k: Int = 8,
+      rounds: Int = 4): DataFrame = {
+    require(k >= 2, s"silhouette needs k >= 2, got $k")
+    val (m, cents) = lloydChain(spark, dir, k, rounds)
+    val candidates = array(cents.zipWithIndex.map { case (cv, cid) =>
+      val n2c = cv.foldLeft(0L)((acc, x) => acc + x * x)
+      struct(
+        (col("n2") - lit(2L) * GraftFunctions.dotI64(col("qv"), typedlit(cv.toSeq))
+          + lit(n2c)).as("dist"),
+        lit(cid).as("cid"))
+    }.toIndexedSeq: _*)
+    val aD = sqrt(col("dist_sq").cast("double"))
+    val bD = sqrt(col("b2").cast("double"))
+    m.withColumn("b2",
+      array_min(filter(candidates, c => c.getField("cid") =!= col("cluster")))
+        .getField("dist"))
+      .select(col("vec_id"), col("cluster"),
+        round(aD, 6).as("a_dist"), round(bD, 6).as("b_dist"),
+        when(greatest(aD, bD) === lit(0.0d), lit(0.0d))
+          .otherwise(round((bD - aD) / greatest(aD, bD), 6))
+          .as("silhouette"))
+  }
+
   /** qc3: density-based prototype pruning (Sorscher et al. 2022,
     * arXiv:2206.14486 — "Beyond neural scaling laws"): within each k-means
     * cluster, KEEP the ceil(keepFrac * size) members FARTHEST from their

@@ -268,6 +268,64 @@ class ClusteringSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.map(_._1).toSeq.sorted == Seq(3L, 3L, 4L))
   }
 
+  test("qc7: simplified silhouette equals the single-threaded replay; planted clusters read deep") {
+    val k = 3; val rounds = 3
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def halfAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    def code(v: Array[Float]): Array[Long] =
+      v.map(f => java.math.BigDecimal.valueOf(f.toDouble * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def vec(axis: Int, idx: Int): Array[Float] = {
+      val v = Array.fill(Dim)(0.0f); v(axis) = 10.0f
+      v((axis + 3) % Dim) = 0.1f * (idx % 5); v
+    }
+    val vecs: Map[Long, Array[Long]] =
+      ((0 until 9).map(i => i.toLong -> code(vec(i % 3, i / 3))) :+ {
+        val v = vec(0, 0); v(4) = 0.05f; 9L -> code(v)
+      }).toMap
+    var cents: Vector[Array[Long]] = (0L until k.toLong).map(vecs(_)).toVector
+    var assign: Map[Long, (Int, Long)] = Map.empty
+    for (r <- 1 to rounds) {
+      assign = vecs.map { case (id, qv) =>
+        val best = cents.zipWithIndex
+          .map { case (cv, cid) => (d2(qv, cv), cid) }.min
+        id -> ((best._2, best._1))
+      }
+      if (r < rounds) {
+        cents = cents.zipWithIndex.map { case (prev, cid) =>
+          val members = vecs.filter { case (id, _) => assign(id)._1 == cid }
+          if (members.isEmpty) prev
+          else (0 until Dim).map { p =>
+            halfAway(members.values.map(_(p)).sum.toDouble / members.size)
+          }.toArray
+        }
+      }
+    }
+    val want = vecs.keys.map { id =>
+      val (cid, a2) = assign(id)
+      val b2 = cents.indices.filter(_ != cid).map(j => d2(vecs(id), cents(j))).min
+      val aD = math.sqrt(a2.toDouble); val bD = math.sqrt(b2.toDouble)
+      val s = if (math.max(aD, bD) == 0.0) 0.0
+        else round6((bD - aD) / math.max(aD, bD))
+      id -> ((cid, round6(aD), round6(bD), s))
+    }.toMap
+    val got = Clustering.silhouette(spark, dir, k = k, rounds = rounds)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, v) =>
+      assert(got(id) == v, s"vec $id: spark ${got(id)} vs reference $v")
+    }
+    // the planted clusters are well separated: every point reads deep
+    // inside its cluster (b >> a), silhouette close to 1
+    assert(got.values.forall(_._4 > 0.9),
+      s"planted structure should read s ~ 1: ${got.values.map(_._4)}")
+  }
+
   test("qt20: gopher rules fire on the right boundary cases") {
     val ss = spark; import ss.implicits._
     val tdir = Files.createTempDirectory("graft-gopher").toString
