@@ -157,6 +157,8 @@ object SparkEntry {
     "qs9_mips" -> ((s: SparkSession, d: String) => Similarity.mipsTopK(s, d)),
     "qs10_recall_eval" -> ((s: SparkSession, d: String) =>
       Similarity.annRecallEval(s, d)),
+    "qs11_filtered_ann" -> ((s: SparkSession, d: String) =>
+      Similarity.filteredAnn(s, d)),
     // honestly approximate: IVF coarse quantization cannot guarantee exact
     // top-k on the synthetic corpus (near-uniform random vectors, the worst
     // case for coarse quantization) without probing every cell, so qs3 stays
@@ -3278,6 +3280,36 @@ object SparkEntry {
              CAST(list_sum([que.qv[i] * doc.qv[i]
                FOR i IN range(1, len(doc.qv)+1)]) AS BIGINT) AS qdot
            FROM q que JOIN q doc
+             ON que.vec_id < 5 AND doc.vec_id <> que.vec_id)
+         SELECT query_id, neighbor_id, rnk, qdot FROM (
+           SELECT query_id, neighbor_id, qdot,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY qdot DESC, neighbor_id ASC) AS rnk
+           FROM s) WHERE rnk <= 10""",
+    // qs11: qs5's SQ8 chain with the metadata predicate applied to the
+    // CORPUS side before scoring (queries unfiltered) — exact integer
+    // ranking, so the whole filtered result hash-matches
+    "qs11_filtered_ann" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               [CAST(v AS DOUBLE) * CAST(v AS DOUBLE) FOR v IN embedding]),
+               (a, b) -> a + b) AS n2
+           FROM embeddings),
+         q AS (
+           SELECT vec_id,
+             CASE WHEN n2 = 0 THEN [CAST(0 AS BIGINT) FOR v IN embedding]
+               ELSE [CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / sqrt(n2)) AS BIGINT)
+                 FOR i IN range(1, len(embedding)+1)] END AS qv
+           FROM e),
+         f AS (
+           SELECT q.vec_id, q.qv FROM q JOIN documents d ON q.vec_id = d.doc_id
+           WHERE d.lang = 'en'),
+         s AS (
+           SELECT que.vec_id AS query_id, doc.vec_id AS neighbor_id,
+             CAST(list_sum([que.qv[i] * doc.qv[i]
+               FOR i IN range(1, len(doc.qv)+1)]) AS BIGINT) AS qdot
+           FROM q que JOIN f doc
              ON que.vec_id < 5 AND doc.vec_id <> que.vec_id)
          SELECT query_id, neighbor_id, rnk, qdot FROM (
            SELECT query_id, neighbor_id, qdot,

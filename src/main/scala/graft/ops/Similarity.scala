@@ -250,8 +250,10 @@ object Similarity {
     * (sqrt, one divide, one multiply, round-half-away) are single IEEE
     * operations — bit-deterministic, the qs4 argument.
     */
-  def annInt8(spark: SparkSession, dir: String, nQueries: Int = 5,
-      k: Int = 10): DataFrame = {
+  /** (vec_id, q ARRAY<BIGINT>) global-scale normalized SQ8 codes — the
+    * annInt8 construction, shared with [[filteredAnn]].
+    */
+  private def sq8Codes(spark: SparkSession, dir: String): DataFrame = {
     val norm2 = aggregate(
       transform(col("embedding"), v => v.cast("double") * v.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
@@ -259,12 +261,51 @@ object Similarity {
         transform(col("embedding"), _ => lit(0L)))
       .otherwise(transform(col("embedding"),
         v => round(v.cast("double") * 127d / sqrt(col("n2"))).cast("long")))
-    val codes = embeddings(spark, dir)
+    embeddings(spark, dir)
       .withColumn("n2", norm2)
       .select(col("vec_id"), qcol.as("q"))
+  }
+
+  def annInt8(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val codes = sq8Codes(spark, dir)
     val queries = codes.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))
     val scored = codes.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("qdot", GraftFunctions.dotI64(col("qq"), col("q")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qdot").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("qdot"))
+  }
+
+  /** qs11: FILTERED ANN — the metadata-predicated search every RAG stack
+    * runs (top-k among vectors whose DOCUMENT satisfies a predicate; here
+    * lang = `lang`). The predicate applies BEFORE scoring, so the scan
+    * prunes to the qualifying slice instead of post-filtering a top-k
+    * that then underfills — the classic filtered-search bug this op's
+    * shape avoids. Corpus vectors pick up their metadata 1:1 on
+    * vec_id = doc_id (the fixture contract); at scale the predicate
+    * column lives denormalized beside the vector and this join is a
+    * pushed column read. Scoring is [[annInt8]]'s exact-integer SQ8 dot
+    * (native dot_i64, no float anywhere in the ranking), so the WHOLE
+    * filtered result hash-matches its oracle. Queries are not filtered —
+    * a query may come from any stratum.
+    *
+    * Output: (query_id, neighbor_id, rnk, qdot) — k rows per query over
+    * the filtered slice.
+    */
+  def filteredAnn(spark: SparkSession, dir: String, nQueries: Int = 5,
+      k: Int = 10, lang: String = "en"): DataFrame = {
+    val codes = sq8Codes(spark, dir)
+    val meta = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("vec_id"), col("lang"))
+    val corpus = codes.join(meta, "vec_id").filter(col("lang") === lang)
+    val queries = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val scored = corpus.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .withColumn("qdot", GraftFunctions.dotI64(col("qq"), col("q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("qdot").desc, col("vec_id").asc)

@@ -84,6 +84,47 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qs11: filtered ANN equals a driver-side filtered SQ8 replay") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val langs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sq8(v: Array[Float]): Array[Long] = {
+      var n2 = 0.0
+      v.foreach(x => n2 += x.toDouble * x.toDouble) // in-order fold
+      if (n2 == 0) Array.fill(v.length)(0L)
+      else v.map(x =>
+        java.math.BigDecimal.valueOf(x.toDouble * 127.0 / math.sqrt(n2))
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    }
+    val codes = emb.map { case (id, v) => id -> sq8(v) }
+    val enIds = codes.keys.filter(id => langs(id) == "en").toSet
+    val want = (0L until 5L).flatMap { qid =>
+      val qq = codes(qid)
+      enIds.filter(_ != qid).toSeq
+        .map { nid =>
+          (nid, qq.zip(codes(nid)).map { case (a, b) => a * b }.sum)
+        }
+        .sortBy { case (nid, dot) => (-dot, nid) }.take(10)
+        .zipWithIndex.map { case ((nid, dot), i) => (qid, nid, i + 1, dot) }
+    }.toSet
+    val got = Similarity.filteredAnn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+    // every neighbor satisfies the predicate; queries themselves need not
+    got.foreach { case (_, nid, _, _) => assert(langs(nid) == "en", nid) }
+    // the filtered result genuinely differs from post-filtering the
+    // unfiltered top-k (the underfill bug this shape avoids): some query's
+    // unfiltered top-10 contains a non-en neighbor
+    val unfiltered = Similarity.annInt8(spark, sf).collect()
+      .map(r => r.getLong(1))
+    assert(unfiltered.exists(langs(_) != "en"),
+      "fixture should have non-en vectors in some unfiltered top-10")
+  }
+
   test("qt41: near-dup contamination flags the paraphrase exact grams miss") {
     // dupDir: doc 0 is the eval doc (0 % 29 == 0); doc 1 is its exact dup
     // after normalization (case + whitespace — the "reformatted benchmark
