@@ -218,6 +218,8 @@ object SparkEntry {
       TextAnalysis.readability(s, d)),
     "qt41_near_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.nearContamination(s, d)),
+    "qt42_source_profile" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
       TextAnalysis.kmvSetOps(s, d)),
     "qt37_script_profile" -> ((s: SparkSession, d: String) =>
@@ -3327,6 +3329,29 @@ object SparkEntry {
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
          WHERE rnk <= 10""",
+    // qt42: aggregate-of-sums ratios — exact int64 sums per source (CAST
+    // out of HUGEINT), one pinned IEEE division per ratio, round 6
+    "qt42_source_profile" ->
+      """WITH c AS (
+           SELECT source,
+             CAST(length(text) AS BIGINT) AS c,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS w,
+             CAST(len(regexp_extract_all(text, '[\.,;:!\?]')) AS BIGINT) AS p,
+             CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS d,
+             CAST(len(regexp_extract_all(text, '\b(the|a|and|of|to|in|is|for|on|with)\b')) AS BIGINT) AS s
+           FROM documents),
+         g AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(c) AS BIGINT) AS n_chars, CAST(SUM(w) AS BIGINT) AS n_words,
+             CAST(SUM(p) AS BIGINT) AS n_punct, CAST(SUM(d) AS BIGINT) AS n_digits,
+             CAST(SUM(s) AS BIGINT) AS n_stop
+           FROM c GROUP BY 1)
+         SELECT source, n_docs, n_chars, n_words, n_punct, n_digits, n_stop,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS chars_per_word,
+           round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           round(CAST(n_digits AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS digit_ratio,
+           round(CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE), 6) AS stopword_ratio
+         FROM g""",
     "qt1_token_count" ->
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

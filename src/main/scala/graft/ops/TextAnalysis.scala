@@ -1542,6 +1542,48 @@ object TextAnalysis {
         round(sum(col("term")), 6).as("jsd"))
   }
 
+  /** qt42: per-SOURCE quality profile — the source-level dashboard crawl
+    * curation actually gates on (a bad source is dropped wholesale before
+    * any per-document filter runs). Every ratio is computed as
+    * AGGREGATE-OF-SUMS, not mean-of-ratios: per-source exact int64 sums of
+    * chars/words/punct/digits/stopword hits, then ONE pinned IEEE division
+    * per ratio (round 6) — no per-doc float ever enters an order-free
+    * aggregation, so the whole report hash-matches (the CLAUDE.md
+    * sum-doubles pitfall, solved structurally instead of with decimal
+    * factors).
+    *
+    * Scale shape: one map-only count pass + ONE hash aggregate to
+    * source-count rows with map-side partials; scan prunes to
+    * (source, text). Output: (source, n_docs, n_chars, n_words, n_punct,
+    * n_digits, n_stop, chars_per_word, punct_ratio, digit_ratio,
+    * stopword_ratio).
+    */
+  def sourceProfile(spark: SparkSession, dir: String): DataFrame = {
+    val words = size(split(trim(col("text")), "\\s+")).cast("long")
+    val chars = length(col("text")).cast("long")
+    val punct = regexp_count(col("text"), lit("[\\.,;:!\\?]")).cast("long")
+    val digits = regexp_count(col("text"), lit("[0-9]")).cast("long")
+    val stop = regexp_count(col("text"),
+      lit("\\b(the|a|and|of|to|in|is|for|on|with)\\b")).cast("long")
+    docs(spark, dir)
+      .select(col("source"), chars.as("c"), words.as("w"), punct.as("p"),
+        digits.as("d"), stop.as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_chars"),
+        sum(col("w")).as("n_words"), sum(col("p")).as("n_punct"),
+        sum(col("d")).as("n_digits"), sum(col("s")).as("n_stop"))
+      .select(col("source"), col("n_docs"), col("n_chars"), col("n_words"),
+        col("n_punct"), col("n_digits"), col("n_stop"),
+        round(col("n_chars").cast("double") / col("n_words").cast("double"), 6)
+          .as("chars_per_word"),
+        round(col("n_punct").cast("double") / col("n_chars").cast("double"), 6)
+          .as("punct_ratio"),
+        round(col("n_digits").cast("double") / col("n_chars").cast("double"), 6)
+          .as("digit_ratio"),
+        round(col("n_stop").cast("double") / col("n_words").cast("double"), 6)
+          .as("stopword_ratio"))
+  }
+
   /** qt41: NEAR-DUP contamination — the LSH leg of the decontamination
     * family: qt8/qt13 flag and qt38 cuts EXACT n-gram overlap, but a
     * benchmark dump that was reformatted, re-punctuated, or lightly

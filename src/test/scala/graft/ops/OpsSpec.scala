@@ -84,6 +84,41 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt42: source profile ratios are aggregate-of-sums, replayed exactly") {
+    def round6(v: Double) = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val texts = Seq(
+      ("src0", "the quick brown fox jumps over the lazy dog again and again today"),
+      ("src0", "The quick brown fox  jumps over the lazy dog again and again today"),
+      ("src1", "the quick brown fox jumps over the lazy dog again and again today extra tail words here"),
+      ("src1", "the quick brown fox jumps over the sleepy dog again and again today extra tail words here"),
+      ("src2", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      ("src2", "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      ("src3", "completely different content about spark catalyst optimizers"),
+      ("src3", "weather report sunny tomorrow with light winds expected"),
+      ("src4", "numerical columns one two three four five six seven eight"),
+      ("src4", "den Hund und die Katze und das Haus und der Baum ist mit"))
+    val want = texts.groupBy(_._1).map { case (src, ds) =>
+      val c = ds.map(_._2.length.toLong).sum
+      val w = ds.map(_._2.trim.split("\\s+").length.toLong).sum
+      val p = ds.map(d => "[.,;:!?]".r.findAllIn(d._2).length.toLong).sum
+      val dg = ds.map(d => "[0-9]".r.findAllIn(d._2).length.toLong).sum
+      val st = ds.map(d =>
+        "\\b(the|a|and|of|to|in|is|for|on|with)\\b".r.findAllIn(d._2).length.toLong).sum
+      src -> ((ds.size.toLong, c, w, p, dg, st,
+        round6(c.toDouble / w.toDouble), round6(p.toDouble / c.toDouble),
+        round6(dg.toDouble / c.toDouble), round6(st.toDouble / w.toDouble)))
+    }
+    val got = TextAnalysis.sourceProfile(spark, dupDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8), r.getDouble(9), r.getDouble(10)))).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (src, v) =>
+      assert(got(src) == v, s"source $src: spark ${got(src)} vs reference $v")
+    }
+  }
+
   test("qs11: filtered ANN equals a driver-side filtered SQ8 replay") {
     val sf = "/root/testdata/sf0.001"
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
