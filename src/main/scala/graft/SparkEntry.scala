@@ -130,6 +130,8 @@ object SparkEntry {
       UrlCuration.urlDedup(s, d)),
     "qu3_snapshot_dedup" -> ((s: SparkSession, d: String) =>
       UrlCuration.snapshotDedup(s, d)),
+    "qu4_url_features" -> ((s: SparkSession, d: String) =>
+      UrlCuration.urlFeatures(s, d)),
     // ---- link-graph centrality ----
     "qg1_host_pagerank" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostPagerank(s, d)),
@@ -1651,6 +1653,31 @@ object SparkEntry {
            MIN(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
            CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY canon_url) AS INTEGER) AS is_dup
          FROM cz"""),
+    // qu4: the planted raw URL replayed, then every feature as a Java∩RE2
+    // regex or plain length math — no canonicalization (classifiers see the
+    // frontier's raw form); types CAST to match Spark (length diffs INT,
+    // n_params/url_len BIGINT)
+    "qu4_url_features" -> (urlOracleCte +
+      """,
+         f AS (
+           SELECT doc_id, raw_url,
+             lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host,
+             regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path_s,
+             regexp_extract(raw_url, '\?([^#]*)', 1) AS query_s
+           FROM u)
+         SELECT doc_id, host,
+           CAST(length(host) - length(replace(host, '.', '')) AS INTEGER)
+             AS subdomain_depth,
+           CASE WHEN host LIKE '%.spam.example' THEN 1 ELSE 0 END AS is_spam_tld,
+           CAST(len(regexp_extract_all(host, '[0-9]')) AS INTEGER) AS host_digits,
+           CAST(len(regexp_extract_all(path_s, '/')) AS INTEGER) AS path_depth,
+           CASE WHEN query_s = '' THEN CAST(0 AS BIGINT)
+                ELSE CAST(len(regexp_extract_all(query_s, '&')) + 1 AS BIGINT)
+           END AS n_params,
+           CAST(len(regexp_extract_all(query_s, '(^|&)(utm_[A-Za-z]+|ref)='))
+             AS INTEGER) AS n_tracking_params,
+           CAST(length(raw_url) AS BIGINT) AS url_len
+         FROM f"""),
     // keeper key replayed arithmetically: shiftleft(epoch,20)+doc_id ==
     // epoch*1048576+doc_id; shiftright == //; both engines stay in int64
     "qu3_snapshot_dedup" -> (urlOracleCte + urlCanonCte +

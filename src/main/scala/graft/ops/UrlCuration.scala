@@ -167,4 +167,39 @@ object UrlCuration {
       .select(col("doc_id"), col("raw_url"), col("canon_url"), col("keeper_id"),
         (col("doc_id") =!= col("keeper_id")).cast("int").as("is_dup"))
   }
+
+  /** qu4: URL spam-FEATURE extraction — the per-URL feature vector frontier
+    * classifiers gate on (RefinedWeb §3.1 / FineWeb's URL filtering stage
+    * score hostnames and paths before fetching a byte): subdomain depth,
+    * spam-TLD membership, digit density in the host, path depth, tracking
+    * vs total query params, and raw length. Features come from the RAW url
+    * (classifiers run pre-canonicalization, on what the frontier sees);
+    * every extraction is a Java∩RE2 regex or plain string length math, so
+    * the oracle replays each feature bit-for-bit.
+    *
+    * Scale shape: ONE map-only pass, zero exchanges (the qt1/qt22 family).
+    *
+    * Output: (doc_id, host, subdomain_depth, is_spam_tld, host_digits,
+    * path_depth, n_params, n_tracking_params, url_len).
+    */
+  def urlFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val u = withRawUrl(docs(spark, dir))
+    val host = lower(regexp_extract(col("raw_url"), "^[A-Za-z]+://([^/?#]+)", 1))
+    val path = regexp_extract(col("raw_url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    val query = regexp_extract(col("raw_url"), "\\?([^#]*)", 1)
+    u.withColumn("host", host)
+      .withColumn("path_s", path)
+      .withColumn("query_s", query)
+      .select(col("doc_id"), col("host"),
+        (length(col("host")) -
+          length(regexp_replace(col("host"), "\\.", ""))).as("subdomain_depth"),
+        col("host").endsWith(".spam.example").cast("int").as("is_spam_tld"),
+        regexp_count(col("host"), lit("[0-9]")).as("host_digits"),
+        regexp_count(col("path_s"), lit("/")).as("path_depth"),
+        when(col("query_s") === "", 0L)
+          .otherwise(regexp_count(col("query_s"), lit("&")) + 1L).as("n_params"),
+        regexp_count(col("query_s"), lit("(^|&)(utm_[A-Za-z]+|ref)="))
+          .as("n_tracking_params"),
+        length(col("raw_url")).cast("long").as("url_len"))
+  }
 }

@@ -126,4 +126,31 @@ class UrlCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(rows(37L) == (("d37.example.com", 1L, 1, 0, 1)))
   }
+
+  test("qu4: URL features replay byte-for-byte on hand-built cases") {
+    val rows = UrlCuration.urlFeatures(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+          r.getLong(6), r.getInt(7), r.getLong(8)))).toMap
+    // doc 0: HTTPS://D0.SPAM.EXAMPLE/p/0/?utm_source=feed&v=2#sec1 (len 53)
+    // host lowered, 2 dots, spam TLD, 1 digit, path /p/0/ (3 slashes),
+    // 2 params of which 1 tracking
+    assert(rows(0L) == (("d0.spam.example", 2, 1, 1, 3, 2L, 1, 53L)),
+      rows(0L).toString)
+    // doc 1: https://d1.example.com/p/1?ref=rss (len 34) — 1 param, tracking
+    assert(rows(1L) == (("d1.example.com", 2, 0, 1, 2, 1L, 1, 34L)),
+      rows(1L).toString)
+    // doc 7: https://d7.spam.example/p/7/?ref=rss — trailing slash path
+    assert(rows(7L) == (("d7.spam.example", 2, 1, 1, 3, 1L, 1, 36L)),
+      rows(7L).toString)
+    // doc 37: two digits in host, clean com TLD
+    assert(rows(37L) == (("d37.example.com", 2, 0, 2, 2, 1L, 1, 36L)),
+      rows(37L).toString)
+    // every doc gets a row; lengths and depths are non-negative
+    assert(rows.size == 13)
+    rows.values.foreach { case (_, sd, sp, hd, pd, np, tp, ul) =>
+      assert(sd >= 0 && sp >= 0 && hd >= 0 && pd >= 1 && np >= 0 &&
+        tp >= 0 && tp <= np && ul > 0)
+    }
+  }
 }
