@@ -278,6 +278,8 @@ object SparkEntry {
       Multimodal.audioMeta(s, d).toDF()),
     "qm6_video_meta" -> ((s: SparkSession, d: String) =>
       Multimodal.videoMeta(s, d).toDF()),
+    "qm8_image_dhash" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageDhash(s, d)),
     "qm7_png_pixels" -> ((s: SparkSession, d: String) =>
       Multimodal.pngPixelStats(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
@@ -3493,6 +3495,51 @@ object SparkEntry {
     // CRC verify -> inflate -> unfilter -> aggregate); agreement means the
     // whole codec path is bit-exact. An error row ('' differs) would break
     // the hash — the alarm by construction.
+    // qm8: the dHash bits recomputed from the pixel closed form with no
+    // codec — integer floor binning to the 9x8 grid, a full block spine
+    // (empty blocks coalesce to 0 — a width-8 image leaves column 8
+    // empty), exact cross-multiplied mean compares, halves as uint32
+    "qm8_image_dhash" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h, unnest(range(0, w * h)) AS p FROM d),
+         v AS (
+           SELECT doc_id,
+             ((p % w) * 9) // w AS cx, ((p // w) * 8) // h AS ry,
+             (7 * doc_id + 13 * (p % w) + 31 * (p // w)) % 256
+               + (11 * doc_id + 17 * (p % w) + 5 * (p // w)) % 256
+               + (3 * doc_id + 29 * (p % w) + 23 * (p // w)) % 256 AS gray
+           FROM px),
+         bsum AS (
+           SELECT doc_id, ry, cx, CAST(SUM(gray) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM v GROUP BY 1, 2, 3),
+         spine AS (
+           SELECT d.doc_id, d.w, d.h, rr.ry, cc.cx
+           FROM d, (SELECT unnest(range(0, 8)) AS ry) rr,
+                (SELECT unnest(range(0, 9)) AS cx) cc),
+         g AS (
+           SELECT spine.doc_id, spine.w, spine.h, spine.ry, spine.cx,
+             COALESCE(bsum.s, 0) AS s, COALESCE(bsum.c, 0) AS c
+           FROM spine LEFT JOIN bsum
+             ON spine.doc_id = bsum.doc_id AND spine.ry = bsum.ry
+               AND spine.cx = bsum.cx),
+         bits AS (
+           SELECT a.doc_id, a.w, a.h, a.ry * 8 + a.cx AS i,
+             CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g b
+             ON a.doc_id = b.doc_id AND a.ry = b.ry AND b.cx = a.cx + 1
+           WHERE a.cx <= 7)
+         SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(SUM(CASE WHEN i >= 32
+             THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+             AS fp_hi,
+           CAST(SUM(CASE WHEN i < 32
+             THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+             AS fp_lo,
+           '' AS error
+         FROM bits GROUP BY 1, 2, 3""",
     "qm7_png_pixels" ->
       """WITH d AS (
            SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h

@@ -716,6 +716,64 @@ object Multimodal {
     * mismatch IS the alarm. This retires the round-4 "pixel decode remains
     * a stub" gap: the batch shape is unchanged, the codec is real.
     */
+  /** qm8: perceptual image fingerprint (dHash — the difference hash
+    * multimodal near-dup dedup keys on; a re-encoded/slightly-edited image
+    * keeps most bits, so image near-dup is 64-bit Hamming distance):
+    * decode the REAL PNG (qm7's codec), block-partition to a 9-column x
+    * 8-row grayscale grid with integer floor binning (pixel x maps to
+    * column x*9/w, y to row y*8/h — arbitrary sizes partition exactly,
+    * a width-8 image just leaves its 9th column empty), then each of the
+    * 64 bits compares horizontally adjacent block MEANS by exact integer
+    * cross-multiplication (s_next * c_this > s_this * c_next — no
+    * division, no float), gray = r+g+b (3x-scaled gray, monotone for
+    * comparisons). The DuckDB oracle recomputes every bit from the pixel
+    * closed form with NO codec, so the hash gate again covers the whole
+    * encode->inflate->unfilter->bin->compare path. The 64-bit key ships
+    * as two uint32 halves (fp_hi = bits 32..63, fp_lo = bits 0..31) to
+    * stay in portable positive int64; near-dup PAIRS over the key are
+    * qd17's Manku 64-bit Hamming blocking, unchanged.
+    */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pixelPngTable(spark, dir).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        MediaDecoder.PngCodec.decode(bytes) match {
+          case Right((w, h, px)) =>
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val ry = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cx = x * 9 / w
+                val o = (y * w + x) * 3
+                val gray = (px(o) & 0xff) + (px(o + 1) & 0xff) +
+                  (px(o + 2) & 0xff)
+                sums(ry)(cx) += gray
+                cnts(ry)(cx) += 1
+                x += 1
+              }
+              y += 1
+            }
+            var hi = 0L; var lo = 0L
+            var i = 0
+            while (i < 64) {
+              val row = i / 8; val c = i % 8
+              val bit = sums(row)(c + 1) * cnts(row)(c) >
+                sums(row)(c) * cnts(row)(c + 1)
+              if (bit) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            (id, w, h, hi, lo, "")
+          case Left(err) => (id, 0, 0, 0L, 0L, err)
+        }
+      }
+    }.toDF("doc_id", "width", "height", "fp_hi", "fp_lo", "error")
+  }
+
   def pngPixelStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     pixelPngTable(spark, dir).mapPartitions { it =>

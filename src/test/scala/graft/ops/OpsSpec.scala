@@ -84,6 +84,51 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qm8: dHash through the real codec equals the pixel-formula replay") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-dhash").toString
+    val ids = Seq(0L, 1L, 7L, 8L, 16L, 123L, 300L, 4096L)
+    ids.map(id => (id, s"img $id", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reference: the dHash from the pixel CLOSED FORM alone —
+    // the op goes through encode->zlib->decode->unfilter, so equality is
+    // the codec-vs-formula differential (the oracle's claim, in-process)
+    def ref(id: Long): (Int, Int, Long, Long) = {
+      val w = 8 + (id % 17).toInt; val h = 8 + ((id * 3) % 13).toInt
+      val sums = Array.ofDim[Long](8, 9); val cnts = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val gray = ((7 * id + 13 * x + 31 * y) % 256) +
+          ((11 * id + 17 * x + 5 * y) % 256) +
+          ((3 * id + 29 * x + 23 * y) % 256)
+        sums(y * 8 / h)(x * 9 / w) += gray
+        cnts(y * 8 / h)(x * 9 / w) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64) {
+        val r = i / 8; val c = i % 8
+        if (sums(r)(c + 1) * cnts(r)(c) > sums(r)(c) * cnts(r)(c + 1)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+      }
+      (w, h, hi, lo)
+    }
+    val got = Multimodal.imageDhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (w, h, hi, lo) = ref(id)
+      assert(got(id) == ((w, h, hi, lo, "")),
+        s"doc $id: ${got(id)} vs ($w,$h,$hi,$lo)")
+    }
+    // keys are non-trivial and halves stay inside uint32 (portability)
+    assert(got.values.map(v => (v._3, v._4)).toSet.size > 1)
+    got.values.foreach { v =>
+      assert(v._3 >= 0 && v._3 < (1L << 32) && v._4 >= 0 && v._4 < (1L << 32))
+    }
+  }
+
   test("qt42: source profile ratios are aggregate-of-sums, replayed exactly") {
     def round6(v: Double) = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
