@@ -280,6 +280,8 @@ object SparkEntry {
       Multimodal.videoMeta(s, d).toDF()),
     "qm8_image_dhash" -> ((s: SparkSession, d: String) =>
       Multimodal.imageDhash(s, d)),
+    "qm9_image_neardup" -> ((s: SparkSession, d: String) =>
+      Multimodal.imageNearDupPairs(s, d)),
     "qm7_png_pixels" -> ((s: SparkSession, d: String) =>
       Multimodal.pngPixelStats(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
@@ -3540,6 +3542,66 @@ object SparkEntry {
              AS fp_lo,
            '' AS error
          FROM bits GROUP BY 1, 2, 3""",
+    // qm9: the near-dup JOIN replayed with neither codec nor blocking —
+    // fingerprints recomputed per (doc, variant) from the closed form
+    // (variant 1 clamps LEAST(r+8, 255): the saturation that makes the
+    // re-export a NEAR dup), then ALL pairs brute-forced at Hamming <= 8.
+    // Matching the blocked Spark result proves the Manku 2-of-10-block
+    // bucket join lossless at the threshold on every run (qd17's claim,
+    // multimodal leg). Hamming = per-half bit_count(xor) — no signed
+    // 64-bit packing on either engine.
+    "qm9_image_neardup" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h
+           FROM documents),
+         imgs AS (
+           SELECT d.doc_id, d.w, d.h, d.doc_id * 2 + vv.var AS img_id, vv.var
+           FROM d, (SELECT unnest([0, 1]) AS var) vv),
+         px AS (SELECT img_id, doc_id, var, w, h,
+                  unnest(range(0, w * h)) AS p FROM imgs),
+         vals AS (
+           SELECT img_id,
+             ((p % w) * 9) // w AS cx, ((p // w) * 8) // h AS ry,
+             CASE WHEN var = 1
+               THEN LEAST((7 * doc_id + 13 * (p % w) + 31 * (p // w)) % 256 + 8, 255)
+               ELSE (7 * doc_id + 13 * (p % w) + 31 * (p // w)) % 256 END
+               + (11 * doc_id + 17 * (p % w) + 5 * (p // w)) % 256
+               + (3 * doc_id + 29 * (p % w) + 23 * (p // w)) % 256 AS gray
+           FROM px),
+         bsum AS (
+           SELECT img_id, ry, cx, CAST(SUM(gray) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM vals GROUP BY 1, 2, 3),
+         spine AS (
+           SELECT imgs.img_id, rr.ry, cc.cx
+           FROM imgs, (SELECT unnest(range(0, 8)) AS ry) rr,
+                (SELECT unnest(range(0, 9)) AS cx) cc),
+         g AS (
+           SELECT spine.img_id, spine.ry, spine.cx,
+             COALESCE(bsum.s, 0) AS s, COALESCE(bsum.c, 0) AS c
+           FROM spine LEFT JOIN bsum
+             ON spine.img_id = bsum.img_id AND spine.ry = bsum.ry
+               AND spine.cx = bsum.cx),
+         bits AS (
+           SELECT a.img_id, a.ry * 8 + a.cx AS i,
+             CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g b
+             ON a.img_id = b.img_id AND a.ry = b.ry AND b.cx = a.cx + 1
+           WHERE a.cx <= 7),
+         fp AS (
+           SELECT img_id,
+             CAST(SUM(CASE WHEN i >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT)
+               AS hi,
+             CAST(SUM(CASE WHEN i < 32
+               THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo
+           FROM bits GROUP BY 1)
+         SELECT a.img_id AS img_a, b.img_id AS img_b,
+           a.img_id // 2 AS doc_a, b.img_id // 2 AS doc_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS BIGINT) AS hamming
+         FROM fp a JOIN fp b ON a.img_id < b.img_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 8""",
     "qm7_png_pixels" ->
       """WITH d AS (
            SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: images/audio/video as opaque `binary` columns
@@ -739,39 +739,144 @@ object Multimodal {
       it.map { case (id, bytes) =>
         MediaDecoder.PngCodec.decode(bytes) match {
           case Right((w, h, px)) =>
-            val sums = Array.ofDim[Long](8, 9)
-            val cnts = Array.ofDim[Long](8, 9)
-            var y = 0
-            while (y < h) {
-              val ry = y * 8 / h
-              var x = 0
-              while (x < w) {
-                val cx = x * 9 / w
-                val o = (y * w + x) * 3
-                val gray = (px(o) & 0xff) + (px(o + 1) & 0xff) +
-                  (px(o + 2) & 0xff)
-                sums(ry)(cx) += gray
-                cnts(ry)(cx) += 1
-                x += 1
-              }
-              y += 1
-            }
-            var hi = 0L; var lo = 0L
-            var i = 0
-            while (i < 64) {
-              val row = i / 8; val c = i % 8
-              val bit = sums(row)(c + 1) * cnts(row)(c) >
-                sums(row)(c) * cnts(row)(c + 1)
-              if (bit) {
-                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-              }
-              i += 1
-            }
+            val (hi, lo) = dhashHalves(w, h, px)
             (id, w, h, hi, lo, "")
           case Left(err) => (id, 0, 0, 0L, 0L, err)
         }
       }
     }.toDF("doc_id", "width", "height", "fp_hi", "fp_lo", "error")
+  }
+
+  /** The qm8 dHash core over decoded RGB8 pixels: 9x8 integer-floor grid,
+    * adjacent block-mean compares by exact integer cross-multiplication,
+    * returned as (hi = bits 32..63, lo = bits 0..31), both inside uint32.
+    */
+  private[ops] def dhashHalves(w: Int, h: Int, px: Array[Byte]): (Long, Long) = {
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    var y = 0
+    while (y < h) {
+      val ry = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cx = x * 9 / w
+        val o = (y * w + x) * 3
+        val gray = (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+        sums(ry)(cx) += gray
+        cnts(ry)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      val row = i / 8; val c = i % 8
+      val bit = sums(row)(c + 1) * cnts(row)(c) >
+        sums(row)(c) * cnts(row)(c + 1)
+      if (bit) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Two complete PNGs per document for qm9: variant 0 is qm7's closed-form
+    * image; variant 1 is the "edited re-export" — the R channel brightened
+    * by +8 with saturation clamp at 255. The clamp is the point: an
+    * UNCLAMPED uniform shift cancels exactly in the cross-multiplied mean
+    * compare (every dHash bit provably unchanged), so saturation is what
+    * makes the pair a NEAR duplicate (a few bits flip where bright pixels
+    * hit the ceiling) instead of an identical key. img_id = doc_id*2 + v.
+    */
+  def variantPngTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .flatMap { id =>
+        val w = pxW(id); val h = pxH(id)
+        Seq(0, 1).map { v =>
+          val rgb = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val o = (y * w + x) * 3
+              val r = pxR(id, x, y)
+              rgb(o) = (if (v == 1) math.min(r + 8, 255) else r).toByte
+              rgb(o + 1) = pxG(id, x, y).toByte
+              rgb(o + 2) = pxB(id, x, y).toByte
+              x += 1
+            }
+            y += 1
+          }
+          (id * 2 + v, MediaDecoder.PngCodec.encode(w, h, rgb))
+        }
+      }
+  }
+
+  /** qm9: image NEAR-DUP pairs over the dHash keys — the multimodal dedup
+    * join itself, in qd17's lossless Manku shape. Each image's 64-bit key
+    * (qm8, two uint32 halves through the REAL codec) explodes into all
+    * C(10,2) two-block combination keys over a 10-block grid aligned on
+    * the uint32 split; a pair within Hamming 8 differs in at most 8 blocks,
+    * so at least 2 of 10 agree and some combination key collides — the
+    * bucket join is provably lossless at the threshold, and the DuckDB
+    * oracle PROVES it per run by brute-forcing all pairs at Hamming <= 8
+    * from closed-form fingerprints (no codec, no blocking). Hamming is
+    * computed as bit_count(xor) per half, so no signed 64-bit packing is
+    * ever needed on either engine. Fixture guarantee: every document's
+    * (original, re-export) pair lands within the threshold, so the result
+    * is corpus-sized, not empty. Scale shape: one explode (x45) + one
+    * bucket shuffle; like qd17, buckets are unbounded by construction of
+    * the key space (2^13 per combination) — a pathological corpus of
+    * near-identical images would need qd7's capBuckets guard.
+    */
+  def imageNearDupPairs(spark: SparkSession, dir: String, maxHamming: Int = 8): DataFrame = {
+    import spark.implicits._
+    val nBlocks = maxHamming + 2
+    val bounds = (0 to nBlocks).map(k => k * 64 / nBlocks)
+    require(bounds.contains(32),
+      s"block grid must align on the uint32 split, got $bounds")
+    val fps = variantPngTable(spark, dir).mapPartitions { it =>
+      it.map { case (img, bytes) =>
+        MediaDecoder.PngCodec.decode(bytes) match {
+          case Right((w, h, px)) =>
+            val (hi, lo) = dhashHalves(w, h, px)
+            (img, hi, lo)
+          // a decode failure poisons the key space the oracle never
+          // produces — the hash mismatch is the alarm, as in qm7/qm8
+          case Left(_) => (img, -1L, -1L)
+        }
+      }
+    }.toDF("img_id", "fp_hi", "fp_lo")
+    def blockVal(k: Int): Column = {
+      val off = bounds(k)
+      val len = bounds(k + 1) - off
+      if (off >= 32)
+        shiftrightunsigned(col("fp_hi"), off - 32).bitwiseAND(lit((1L << len) - 1L))
+      else
+        shiftrightunsigned(col("fp_lo"), off).bitwiseAND(lit((1L << len) - 1L))
+    }
+    // key = (blockPairIndex, bits_i, bits_j) packed into one long (block
+    // values < 2^7 at 10 blocks, pair index < 100 < 2^8) — the qd17 layout
+    val keys = for (i <- 0 until nBlocks; j <- i + 1 until nBlocks) yield
+      lit((i * nBlocks + j).toLong * (1L << 40)) +
+        blockVal(i) * lit(1L << 20) + blockVal(j)
+    val keyed = fps.select(col("img_id"), col("fp_hi"), col("fp_lo"),
+      explode(array(keys: _*)).as("bkey"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("img_a"), col("b.img_id").as("img_b"),
+        (bit_count(col("a.fp_hi").bitwiseXOR(col("b.fp_hi"))) +
+          bit_count(col("a.fp_lo").bitwiseXOR(col("b.fp_lo"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can agree on several block combinations
+      .select(col("img_a"), col("img_b"),
+        expr("img_a DIV 2").as("doc_a"), expr("img_b DIV 2").as("doc_b"),
+        col("hamming"))
   }
 
   def pngPixelStats(spark: SparkSession, dir: String): DataFrame = {

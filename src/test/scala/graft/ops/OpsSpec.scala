@@ -129,6 +129,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qm9: blocked near-dup pairs equal the brute-force closed form") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    val ids = Seq(0L, 1L, 7L, 8L, 16L, 123L, 300L, 4096L)
+    ids.map(id => (id, s"img $id", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // closed-form fingerprints for both variants (no codec, no Spark)
+    def fp(id: Long, variant: Int): (Long, Long) = {
+      val w = 8 + (id % 17).toInt; val h = 8 + ((id * 3) % 13).toInt
+      val sums = Array.ofDim[Long](8, 9); val cnts = Array.ofDim[Long](8, 9)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r0 = ((7 * id + 13 * x + 31 * y) % 256).toInt
+        val r = if (variant == 1) math.min(r0 + 8, 255) else r0
+        val gray = r + ((11 * id + 17 * x + 5 * y) % 256).toInt +
+          ((3 * id + 29 * x + 23 * y) % 256).toInt
+        sums(y * 8 / h)(x * 9 / w) += gray
+        cnts(y * 8 / h)(x * 9 / w) += 1
+      }
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64) {
+        val r = i / 8; val c = i % 8
+        if (sums(r)(c + 1) * cnts(r)(c) > sums(r)(c) * cnts(r)(c + 1)) {
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+      }
+      (hi, lo)
+    }
+    val fps = (for (id <- ids; v <- 0 to 1) yield (id * 2 + v) -> fp(id, v)).toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      ham = java.lang.Long.bitCount(fps(a)._1 ^ fps(b)._1) +
+        java.lang.Long.bitCount(fps(a)._2 ^ fps(b)._2)
+      if ham <= 8
+    } yield (a, b, a / 2, b / 2, ham.toLong)).toSet
+    val got = Multimodal.imageNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // the Manku 2-of-10-block bucket join is LOSSLESS at the threshold:
+    // exact set equality with the unblocked brute force through the codec
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // the fixture guarantee the op is useful for: every doc's clamped
+    // re-export stays within Hamming 8 of its original (an unclamped
+    // uniform shift would be Hamming 0 — the cross-multiply cancels it)
+    ids.foreach { id =>
+      assert(got.exists(p => p._1 == id * 2 && p._2 == id * 2 + 1),
+        s"doc $id: re-export pair not admitted")
+    }
+  }
+
   test("qt42: source profile ratios are aggregate-of-sums, replayed exactly") {
     def round6(v: Double) = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
