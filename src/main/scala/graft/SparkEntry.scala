@@ -141,6 +141,8 @@ object SparkEntry {
       LinkGraph.hostHyperball(s, d)),
     "qg4_host_harmonic" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostHarmonic(s, d)),
+    "qg10_neighborhood" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostNeighborhood(s, d)),
     "qg5_host_triangles" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostTriangles(s, d)),
     "qg7_host_kcore" -> ((s: SparkSession, d: String) =>
@@ -1335,6 +1337,84 @@ object SparkEntry {
           $joins"""
   }
 
+  /** qg10's oracle, generated: the qg3/qg4 register chain and per-round
+    * estimates, then the global per-round neighborhood function as the
+    * SORTED left fold of the 64 host estimates (the qt16 order-pinned f64
+    * discipline, list_sort + list_reduce == Spark's array_sort +
+    * aggregate), the q-crossing CASE in the same first-match order as the
+    * Spark when-chain, and the single pinned interpolation division.
+    */
+  private def neighborhoodOracleSql(k: Int, q: Double): String = {
+    val cNum = 0.709 * 64 * 64 * math.pow(2.0, 55)
+    val rounds = (1 to k).map { i =>
+      s"""b$i AS (
+            SELECT node, bucket, MAX(reg) AS reg FROM (
+              SELECT node, bucket, reg FROM b${i - 1}
+              UNION ALL
+              SELECT e.dst, p.bucket, p.reg
+              FROM edges e JOIN b${i - 1} p ON p.node = e.src)
+            GROUP BY node, bucket)"""
+    }.mkString(",\n        ")
+    val ests = (0 to k).map { i =>
+      s"""est$i AS (
+            SELECT node,
+              ROUND(CASE WHEN ($cNum / s2) <= 160.0 AND v > 0
+                THEN 64.0 * ln(64.0 / v) ELSE ($cNum / s2) END, 9) AS e
+            FROM (
+              SELECT h.ch AS node,
+                CAST(SUM(CASE WHEN COALESCE(b.reg, 0) = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v,
+                CAST(SUM(CAST(1 AS BIGINT) << (55 - COALESCE(b.reg, 0)))
+                  AS BIGINT) AS s2
+              FROM hosts h
+              CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) bk
+              LEFT JOIN b$i b ON b.node = h.ch AND b.bucket = bk.bucket
+              GROUP BY h.ch))"""
+    }.mkString(",\n        ")
+    val nfs = (0 to k).map { i =>
+      s"""(SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_sort(list(e))), (a, b) -> a + b) FROM est$i) AS nf$i"""
+    }.mkString(",\n            ")
+    val crossings = (1 to k).map { r =>
+      s"""WHEN nf${r - 1} < t AND nf$r >= t
+             THEN CAST(${r - 1} AS DOUBLE) + (t - nf${r - 1}) / (nf$r - nf${r - 1})"""
+    }.mkString("\n           ")
+    val nfCase = (0 to k).map(r => s"WHEN $r THEN nf$r").mkString(" ")
+    s"""WITH hosts AS (SELECT DISTINCT doc_id % 64 AS ch FROM documents),
+        e0 AS (
+          SELECT ch AS a,
+            CASE WHEN ch IN (8, 19, 44, 63) THEN ch ELSE ch + 1 END AS b
+          FROM hosts),
+        edges AS (
+          SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+        b0 AS (
+          SELECT ch AS node, h % 64 AS bucket,
+            CASE WHEN h // 64 = 0 THEN 55
+              ELSE 55 - length(ltrim(bin(h // 64), '0')) END AS reg
+          FROM (SELECT ch,
+              CAST('0x' || substr(md5(CAST(ch AS VARCHAR)), 1, 15) AS BIGINT) AS h
+            FROM hosts)),
+        $rounds,
+        $ests,
+        agg AS (
+          SELECT
+            $nfs),
+        ef AS (
+          SELECT agg.*, nf$k * CAST($q AS DOUBLE) AS t FROM agg),
+        ev AS (
+          SELECT ef.*,
+            CASE WHEN nf0 >= t THEN CAST(0 AS DOUBLE)
+           $crossings
+             ELSE CAST($k AS DOUBLE) END AS eff
+          FROM ef)
+        SELECT CAST(rr.r AS BIGINT) AS radius,
+          ROUND(CASE rr.r $nfCase END, 6) AS nf_est,
+          ROUND((CASE rr.r $nfCase END) / nf$k, 6) AS frac,
+          ROUND(eff, 6) AS eff_diameter
+        FROM ev, (SELECT unnest(range(0, ${k + 1})) AS r) rr"""
+  }
+
   /** Shared bigram-LM score CTE (qt16/qt28): add-one-smoothed bigram model,
     * per-instance logs rounded to 9 digits and summed in sorted order (the
     * order-pinned f64 fold both engines replay); ends in the per-doc table
@@ -1786,6 +1866,11 @@ object SparkEntry {
     // (exact int64 register sums, pinned f64 constants, 9-digit rounds) +
     // the ascending-radius harmonic fold — hash-matched end to end
     "qg4_host_harmonic" -> harmonicOracleSql(4),
+    // HyperANF neighborhood function + interpolated effective diameter:
+    // the same register chain, per-round global sums folded in sorted
+    // order (the qt16 pinned-f64 discipline), one pinned division for the
+    // q-crossing interpolation — NF, fractions, and diameter hash-match
+    "qg10_neighborhood" -> neighborhoodOracleSql(4, 0.9),
     // Morton/z-order layout: the 32-term bit interleave, radix file split,
     // and per-file min/max envelopes — all integer math, replayed exactly
     "q20_zorder_layout" -> zorderOracleSql(5),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Host-level link-graph centrality — the web-curation signal family.
@@ -187,6 +187,23 @@ object LinkGraph {
     */
   def hostHarmonic(spark: SparkSession, dir: String, rounds: Int = 4,
       m: Int = 64): DataFrame = {
+    val joined = hyperballRoundEstimates(spark, dir, rounds, m)
+    // ascending-radius left-associated fold, the order the oracle replays
+    val harmonic = (1 to rounds)
+      .map(r => (col(s"e$r") - col(s"e${r - 1}")) / lit(r.toDouble))
+      .reduce(_ + _)
+    joined.select(col("node").as("host_id"),
+      round(col(s"e$rounds"), 6).as("reach_est"),
+      round(harmonic, 6).as("harmonic"))
+  }
+
+  /** Shared qg4/qg10 chain: the qg3 register iteration with the pinned
+    * per-round HLL estimate applied after every merge round — returns one
+    * row per host with columns (node, e0..e`rounds`), each e_r the
+    * 9-digit-rounded estimate of |ball(node, r)|.
+    */
+  private def hyperballRoundEstimates(spark: SparkSession, dir: String,
+      rounds: Int, m: Int): DataFrame = {
     require(m == 64, "estimate constants are pinned for m = 64")
     import graft.functions.GraftFunctions
     val cNum = 0.709 * m * m * math.pow(2.0, 55) // alpha_64 * m^2 * 2^55
@@ -229,17 +246,59 @@ object LinkGraph {
         ball = next
       }
       ball.unpersist()
-      val joined = ests.reduce(_.join(_, Seq("node")))
-      // ascending-radius left-associated fold, the order the oracle replays
-      val harmonic = (1 to rounds)
-        .map(r => (col(s"e$r") - col(s"e${r - 1}")) / lit(r.toDouble))
-        .reduce(_ + _)
-      joined.select(col("node").as("host_id"),
-        round(col(s"e$rounds"), 6).as("reach_est"),
-        round(harmonic, 6).as("harmonic"))
+      ests.reduce(_.join(_, Seq("node")))
     } finally {
       edges.unpersist(); ()
     }
+  }
+
+  /** qg10: the graph-wide NEIGHBORHOOD FUNCTION and effective diameter —
+    * HyperANF's headline output (Boldi, Rosa & Vigna 2011; Palmer et al.
+    * 2002's ANF): NF(r) = sum_v |ball(v, r)| estimates the number of
+    * reachable pairs within distance r, and the effective diameter at
+    * q = 0.9 is the interpolated radius where the cumulative function
+    * first covers q * NF(rmax) — the statistic that put "the web is a
+    * small world" on one number, and the capacity-planning input for any
+    * BFS-bounded crawl frontier. Reuses the fully-oracled qg3/qg4 register
+    * chain; the global per-round sum folds the 64 9-digit host estimates
+    * in SORTED order (the qt16 order-pinned f64 discipline, collect_list →
+    * array_sort → left fold), the q-crossing is unique because the
+    * chain-graph estimates sit on the always-linear-counting branch
+    * (registers only grow ⇒ zero-count v only shrinks ⇒ e_r monotone),
+    * and the interpolation is one pinned f64 division — so NF, the
+    * per-radius fractions, AND the interpolated diameter all hash-match.
+    *
+    * Output: one row per radius 0..rounds: (radius, nf_est, frac of
+    * NF(rmax), eff_diameter as a constant column). The heavy work is the
+    * distributed register iteration; this summary is a 1-row reduction.
+    */
+  def hostNeighborhood(spark: SparkSession, dir: String, rounds: Int = 4,
+      m: Int = 64, q: Double = 0.9): DataFrame = {
+    val joined = hyperballRoundEstimates(spark, dir, rounds, m)
+    val nfCols = (0 to rounds).map { r =>
+      expr(s"aggregate(array_sort(collect_list(e$r)), CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + x)").as(s"nf$r")
+    }
+    val one = joined.agg(nfCols.head, nfCols.tail: _*)
+    val target = col(s"nf$rounds") * lit(q)
+    // smallest radius whose cumulative NF covers the target, linearly
+    // interpolated inside the crossing step (the HyperANF convention);
+    // rounds is a fixed parameter, so the when-chain depth is O(1)
+    var eff: Column = lit(rounds.toDouble)
+    for (r <- rounds to 1 by -1)
+      eff = when(col(s"nf${r - 1}") < target && col(s"nf$r") >= target,
+        lit((r - 1).toDouble) +
+          (target - col(s"nf${r - 1}")) / (col(s"nf$r") - col(s"nf${r - 1}")))
+        .otherwise(eff)
+    eff = when(col("nf0") >= target, lit(0.0)).otherwise(eff)
+    val rows = (0 to rounds).map(r =>
+      struct(lit(r.toLong).as("radius"), col(s"nf$r").as("nf")))
+    one.select(explode(array(rows: _*)).as("s"),
+        col(s"nf$rounds").as("nfmax"), eff.as("eff"))
+      .select(col("s.radius").as("radius"),
+        round(col("s.nf"), 6).as("nf_est"),
+        round(col("s.nf") / col("nfmax"), 6).as("frac"),
+        round(col("eff"), 6).as("eff_diameter"))
   }
 
   /** qg5: per-host triangle counts + local clustering coefficient via

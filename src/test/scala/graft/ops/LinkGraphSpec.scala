@@ -199,6 +199,70 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"interior 32 (${got(32L)._2}) should outrank endpoint 20 (${got(20L)._2})")
   }
 
+  test("qg10 neighborhood function and effective diameter replay exactly") {
+    val rounds = 4; val m = 64
+    val hosts = (0L until 64L).toVector
+    val e0 = hosts.map(h => (h, if (Set(8L, 19L, 44L, 63L)(h)) h else h + 1))
+    val adj = (e0 ++ e0.map(_.swap)).distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def ballMembers(v: Long, r: Int): Set[Long] = {
+      var cur = Set(v)
+      for (_ <- 1 to r) cur = cur ++ cur.flatMap(u => adj.getOrElse(u, Set.empty[Long]))
+      cur
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def registers(members: Set[Long]): Array[Int] = {
+      val regs = new Array[Int](m)
+      members.foreach { v =>
+        md.reset()
+        val h = graft.functions.GraftImpl.md5Halves(
+          md.digest(v.toString.getBytes("UTF-8")))._1
+        val bucket = (h & (m - 1)).toInt
+        val w = h >>> 6
+        val rank =
+          if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rank > regs(bucket)) regs(bucket) = rank
+      }
+      regs
+    }
+    def round9(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue
+    def round6(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    val cNum = 0.709 * m * m * math.pow(2.0, 55)
+    def estimate(regs: Array[Int]): Double = {
+      val v = regs.count(_ == 0).toLong
+      val s2 = regs.map(r => 1L << (55 - r)).sum
+      val raw = cNum / s2
+      round9(if (raw <= 2.5 * m && v > 0) m * math.log(m.toDouble / v) else raw)
+    }
+    // NF(r): per-host round-r estimates folded in SORTED order (the op's
+    // array_sort + left-fold pinning, replayed here from exact BFS balls)
+    val nf = (0 to rounds).map { r =>
+      hosts.map(h => estimate(registers(ballMembers(h, r))))
+        .sorted.foldLeft(0.0)(_ + _)
+    }
+    val target = nf(rounds) * 0.9
+    val eff =
+      if (nf(0) >= target) 0.0
+      else (1 to rounds).find(r => nf(r - 1) < target && nf(r) >= target)
+        .map(r => (r - 1).toDouble + (target - nf(r - 1)) / (nf(r) - nf(r - 1)))
+        .getOrElse(rounds.toDouble)
+    val got = LinkGraph.hostNeighborhood(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got.keySet == (0 to rounds).map(_.toLong).toSet)
+    (0 to rounds).foreach { r =>
+      val want = (round6(nf(r)), round6(nf(r) / nf(rounds)), round6(eff))
+      assert(got(r.toLong) == want, s"radius $r: got ${got(r.toLong)} want $want")
+    }
+    // the statistic means something: NF grows strictly until the chain
+    // diameters saturate, and the interpolated diameter is interior
+    assert(nf(0) < nf(1) && nf(1) < nf(rounds))
+    assert(eff > 0.0 && eff < rounds.toDouble, s"eff=$eff")
+  }
+
   test("qg5 triangle counts match a brute-force adjacency enumeration") {
     // independent reference: enumerate every neighbor pair per host over
     // the same planted edge set — no orientation, no joins
