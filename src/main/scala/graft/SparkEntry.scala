@@ -284,6 +284,8 @@ object SparkEntry {
       Multimodal.imageDhash(s, d)),
     "qm9_image_neardup" -> ((s: SparkSession, d: String) =>
       Multimodal.imageNearDupPairs(s, d)),
+    "qm10_audio_fingerprint" -> ((s: SparkSession, d: String) =>
+      Multimodal.audioFingerprint(s, d)),
     "qm7_png_pixels" -> ((s: SparkSession, d: String) =>
       Multimodal.pngPixelStats(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
@@ -3627,6 +3629,55 @@ object SparkEntry {
              AS fp_lo,
            '' AS error
          FROM bits GROUP BY 1, 2, 3""",
+    // qm10: the audio frame features recomputed from the sample closed
+    // form with NO parser — integer frame binning i*9//n, exact int64
+    // energies, cross-multiplied fingerprint bits, lag-join zero
+    // crossings. Parity covers the WAV write -> chunk scan -> LE PCM
+    // decode path end to end (the qm7 discipline, audio leg).
+    "qm10_audio_fingerprint" ->
+      """WITH d AS (
+           SELECT doc_id, 256 + doc_id % 257 AS n FROM documents),
+         sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+         s AS (
+           SELECT doc_id, n, i,
+             (137 * doc_id + 4099 * i) % 65536 - 32768 AS v
+           FROM sm),
+         fr AS (
+           SELECT doc_id, (i * 9) // n AS f,
+             CAST(SUM(v * v) AS BIGINT) AS e, CAST(COUNT(*) AS BIGINT) AS c
+           FROM s GROUP BY 1, 2),
+         spine AS (
+           SELECT d.doc_id, ff.f
+           FROM d, (SELECT unnest(range(0, 9)) AS f) ff),
+         g AS (
+           SELECT spine.doc_id, spine.f,
+             COALESCE(fr.e, 0) AS e, COALESCE(fr.c, 0) AS c
+           FROM spine LEFT JOIN fr
+             ON spine.doc_id = fr.doc_id AND spine.f = fr.f),
+         bits AS (
+           SELECT a.doc_id, a.f AS i,
+             CASE WHEN b.e * a.c > a.e * b.c THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+           WHERE a.f <= 7),
+         fp AS (
+           SELECT doc_id,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS fp
+           FROM bits GROUP BY 1),
+         zc AS (
+           SELECT a.doc_id,
+             CAST(SUM(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END)
+               AS BIGINT) AS z
+           FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i = a.i - 1
+           GROUP BY 1),
+         tot AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(v * v) AS BIGINT) AS energy
+           FROM s GROUP BY 1)
+         SELECT d.doc_id, tot.ns AS n_samples, zc.z AS zero_crossings,
+           tot.energy AS energy, fp.fp AS fp, '' AS error
+         FROM d JOIN tot ON tot.doc_id = d.doc_id
+           JOIN zc ON zc.doc_id = d.doc_id
+           JOIN fp ON fp.doc_id = d.doc_id""",
     // qm9: the near-dup JOIN replayed with neither codec nor blocking —
     // fingerprints recomputed per (doc, variant) from the closed form
     // (variant 1 clamps LEAST(r+8, 255): the saturation that makes the

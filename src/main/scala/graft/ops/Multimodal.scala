@@ -187,6 +187,48 @@ object Multimodal {
       None
     }
 
+    /** WAV PCM decode (qm10): the same chunk scan as [[wavMeta]], but the
+      * "data" chunk's payload is parsed as little-endian signed 16-bit
+      * samples (the flat interleaved stream; a ragged trailing byte is
+      * dropped, mirroring wavMeta's `avail / align` floor). Returns
+      * (channels, sample_rate, samples).
+      */
+    def wavPcm16(b: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+      if (b.length < 12 || fourcc(b, 0) != "RIFF" || fourcc(b, 8) != "WAVE")
+        return None
+      var i = 12
+      var fmt: Option[(Int, Int)] = None // ch, rate
+      while (i + 8 <= b.length) {
+        val id = fourcc(b, i)
+        val len = le4(b, i + 4)
+        if (len < 0 || len > Int.MaxValue) return None
+        val l = len.toInt
+        if (id == "fmt ") {
+          if (l < 16 || i + 8 + 16 > b.length) return None
+          val ch = le2(b, i + 10)
+          val rate = le4(b, i + 12).toInt
+          val bits = le2(b, i + 22)
+          if (ch <= 0 || rate <= 0 || bits != 16) return None
+          fmt = Some((ch, rate))
+        } else if (id == "data") {
+          return fmt.map { case (ch, rate) =>
+            val avail = math.min(l.toLong, (b.length - i - 8).toLong).toInt
+            val n = avail / 2
+            val out = new Array[Short](n)
+            var k = 0
+            while (k < n) {
+              out(k) = ((b(i + 8 + 2 * k) & 0xff) |
+                (b(i + 8 + 2 * k + 1) << 8)).toShort
+              k += 1
+            }
+            (ch, rate, out)
+          }
+        }
+        i += 8 + l + (l & 1) // chunks are word-aligned
+      }
+      None
+    }
+
     /** MP4 (ISO-BMFF): a box walk — size(4be) type(4be) payload — over the
       * top level to "moov", then over moov's children: "mvhd" (version 0)
       * yields timescale/duration at payload offsets 12/16, and the first
@@ -588,6 +630,107 @@ object Multimodal {
             n * 1000L / rate)
         }
       }
+  }
+
+  /** qm10 sample contract — every PCM sample of every generated WAV is a
+    * CLOSED FORM in (doc_id, i), so the DuckDB oracle recomputes the frame
+    * features from arithmetic alone, with no parser on its side (the qm7
+    * pixel discipline, audio leg): s(id, i) = (137*id + 4099*i) mod 65536
+    * - 32768, n(id) = 256 + id mod 257 samples.
+    */
+  private[ops] def pcmN(id: Long): Int = 256 + (id % 257).toInt
+  private[ops] def pcmS(id: Long, i: Int): Int =
+    ((137 * id + 4099 * i) % 65536).toInt - 32768
+
+  /** Complete valid 16-bit PCM WAVs, one per document, samples from the
+    * closed form above — mono, 8 kHz, a "LIST" filler chunk on odd doc_ids
+    * so qm10 exercises the parser's chunk scan, not just the happy path.
+    * Generation is a typed mapPartitions (byte work, like pixelPngTable).
+    */
+  def pcmWavTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = pcmN(id)
+          val data = new Array[Byte](2 * n)
+          var i = 0
+          while (i < n) {
+            val v = pcmS(id, i)
+            data(2 * i) = (v & 0xff).toByte
+            data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val bb = new java.io.ByteArrayOutputStream()
+          def cc(s: String): Unit = bb.write(s.getBytes("US-ASCII"))
+          def le4o(v: Int): Unit = {
+            bb.write(v & 0xff); bb.write((v >> 8) & 0xff)
+            bb.write((v >> 16) & 0xff); bb.write((v >> 24) & 0xff)
+          }
+          def le2o(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+          cc("WAVE")
+          if (id % 2 == 1) { // ODD-length filler chunk + word-align pad
+            cc("LIST"); le4o(5); cc("INFOg"); bb.write(0)
+          }
+          cc("fmt "); le4o(16)
+          le2o(1); le2o(1); le4o(8000); le4o(16000); le2o(2); le2o(16)
+          cc("data"); le4o(2 * n); bb.write(data)
+          val body = bb.toByteArray // "WAVE" + chunks = the RIFF payload
+          val out = new java.io.ByteArrayOutputStream()
+          out.write("RIFF".getBytes("US-ASCII"))
+          val len = body.length
+          out.write(len & 0xff); out.write((len >> 8) & 0xff)
+          out.write((len >> 16) & 0xff); out.write((len >> 24) & 0xff)
+          out.write(body)
+          (id, out.toByteArray)
+        }
+      }
+  }
+
+  /** qm10: audio frame-energy fingerprint over REAL decoded PCM — the
+    * audio analogue of qm8 (the Shazam-family shape reduced to its
+    * deterministic core): the sample stream bins into 9 frames by integer
+    * floor division, per-frame ENERGY is the exact int64 sum of s², the
+    * 8-bit fingerprint compares adjacent frame mean energies by integer
+    * cross-multiplication (bit f = e(f+1)·c(f) > e(f)·c(f+1) — no
+    * division, no float), and zero_crossings counts sign transitions (the
+    * classic voiced/unvoiced feature). The WAV is parsed by the REAL
+    * RIFF chunk scan + 16-bit LE PCM decode (wavPcm16), while the DuckDB
+    * oracle recomputes everything from the sample closed form with no
+    * parser — the hash gate covers the whole write→scan→decode→bin path.
+    * All integer math: s² ≤ 2³⁰, frames are corpus-bounded per doc, so
+    * energies stay far inside int64 at fixture sizes (a production 10⁹-
+    * sample file would carry energy in DECIMAL or per-frame f64).
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    pcmWavTable(spark, dir).mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        MediaDecoder.wavPcm16(bytes) match {
+          case Some((_, _, s)) if s.nonEmpty =>
+            val n = s.length
+            val e = new Array[Long](9); val c = new Array[Long](9)
+            var zc = 0L; var tot = 0L
+            var i = 0
+            while (i < n) {
+              val v = s(i).toLong
+              val f = i * 9 / n
+              e(f) += v * v; c(f) += 1; tot += v * v
+              if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+              i += 1
+            }
+            var fp = 0L
+            var f = 0
+            while (f < 8) {
+              if (e(f + 1) * c(f) > e(f) * c(f + 1)) fp |= 1L << f
+              f += 1
+            }
+            (id, n.toLong, zc, tot, fp, "")
+          case _ => (id, -1L, -1L, -1L, -1L, "decode_error")
+        }
+      }
+    }.toDF("doc_id", "n_samples", "zero_crossings", "energy", "fp", "error")
   }
 
   /** Typed metadata emitted by the video header stage. */

@@ -180,6 +180,44 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qm10: audio features through the real parser equal the sample formula") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-audiofp").toString
+    // even AND odd ids: odd ones carry the LIST filler chunk, so the
+    // parser's chunk scan is part of what the differential covers
+    val ids = Seq(0L, 1L, 2L, 3L, 256L, 257L, 1000L, 1001L)
+    ids.map(id => (id, s"doc $id", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def ref(id: Long): (Long, Long, Long, Long) = {
+      val n = 256 + (id % 257).toInt
+      def s(i: Int) = ((137 * id + 4099 * i) % 65536).toInt - 32768
+      val e = new Array[Long](9); val c = new Array[Long](9)
+      var zc = 0L; var tot = 0L
+      for (i <- 0 until n) {
+        val v = s(i).toLong
+        e(i * 9 / n) += v * v; c(i * 9 / n) += 1; tot += v * v
+        if (i > 0 && (s(i) < 0) != (s(i - 1) < 0)) zc += 1
+      }
+      var fp = 0L
+      for (f <- 0 until 8) if (e(f + 1) * c(f) > e(f) * c(f + 1)) fp |= 1L << f
+      (n.toLong, zc, tot, fp)
+    }
+    val got = Multimodal.audioFingerprint(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      val (n, zc, tot, fp) = ref(id)
+      assert(got(id) == ((n, zc, tot, fp, "")),
+        s"doc $id: ${got(id)} vs ($n,$zc,$tot,$fp)")
+    }
+    // features are non-degenerate: fingerprints differ across docs and
+    // the sawtooth stream actually crosses zero
+    assert(got.values.map(_._4).toSet.size > 1)
+    assert(got.values.forall(_._2 > 0))
+  }
+
   test("qt42: source profile ratios are aggregate-of-sums, replayed exactly") {
     def round6(v: Double) = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
