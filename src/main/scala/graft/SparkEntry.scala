@@ -222,6 +222,8 @@ object SparkEntry {
       TextAnalysis.readability(s, d)),
     "qt41_near_contamination" -> ((s: SparkSession, d: String) =>
       TextAnalysis.nearContamination(s, d)),
+    "qt43_token_budget" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenBudget(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -3449,6 +3451,65 @@ object SparkEntry {
          WHERE rnk <= 10""",
     // qt42: aggregate-of-sums ratios — exact int64 sums per source (CAST
     // out of HUGEINT), one pinned IEEE division per ratio, round 6
+    // qt43: the waterfilling replayed step for step — capacity order with
+    // the source tie-break, the prefix-fits predicate, the equal-share
+    // suffix with its remainder distributed to the lowest uncapped ranks.
+    // Window sums come back HUGEINT in DuckDB, so every emitted number is
+    // CAST to BIGINT (the qt31 pitfall).
+    "qt43_token_budget" ->
+      """WITH t AS (
+           SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS tokens
+           FROM documents GROUP BY 1),
+         c AS (
+           SELECT source, n_docs, tokens,
+             1 + CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 4
+               AS max_epochs,
+             tokens * (1 + CAST('0x' || substr(md5(source), 1, 15) AS BIGINT)
+               % 4) AS capacity
+           FROM t),
+         r AS (
+           SELECT c.*,
+             CAST(ROW_NUMBER() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
+             CAST(SUM(capacity) OVER (ORDER BY capacity, source) AS BIGINT)
+               AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             CAST(SUM(capacity) OVER () AS BIGINT) AS total_cap
+           FROM c),
+         r1 AS (SELECT r.*, total_cap * 55 // 100 AS budget FROM r),
+         r2 AS (
+           SELECT r1.*,
+             CASE WHEN capacity * (k - i + 1) <= budget - (cum - capacity)
+               THEN 1 ELSE 0 END AS fits
+           FROM r1),
+         pp AS (
+           SELECT COALESCE(MIN(CASE WHEN fits = 0 THEN i END) - 1, MAX(i))
+             AS p
+           FROM r2),
+         cp AS (
+           SELECT COALESCE(CAST(MAX(CASE WHEN r2.i <= pp.p THEN r2.cum END)
+             AS BIGINT), 0) AS cum_p
+           FROM r2, pp),
+         fin AS (
+           SELECT r2.*, pp.p, cp.cum_p,
+             CASE WHEN k > p THEN (budget - cum_p) // (k - p)
+               ELSE CAST(0 AS BIGINT) END AS share,
+             CASE WHEN k > p THEN (budget - cum_p) % (k - p)
+               ELSE CAST(0 AS BIGINT) END AS rem
+           FROM r2, pp, cp),
+         al AS (
+           SELECT source, n_docs, tokens, max_epochs, capacity,
+             CASE WHEN i <= p THEN capacity
+               ELSE share + CASE WHEN i - p <= rem THEN 1 ELSE 0 END END
+               AS alloc_tokens
+           FROM fin)
+         SELECT source, n_docs, tokens,
+           CAST(max_epochs AS BIGINT) AS max_epochs,
+           CAST(capacity AS BIGINT) AS capacity,
+           CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST(alloc_tokens * 1000 // tokens AS BIGINT) AS epochs_milli
+         FROM al""",
     "qt42_source_profile" ->
       """WITH c AS (
            SELECT source,

@@ -1736,4 +1736,70 @@ object TextAnalysis {
       .orderBy(col("es_key").desc, col("doc_id").asc)
       .limit(k)
   }
+
+  /** qt43: TOKEN-BUDGET allocation across sources under per-source repeat
+    * caps — the data-constrained mixing planner (Muennighoff et al. 2022,
+    * "Scaling Data-Constrained Language Models": repeating data has
+    * diminishing returns, and different source types tolerate different
+    * epoch counts). Each source's CAPACITY is its token count times its
+    * max-epoch tolerance (here 1–4 epochs from the portable md5 lane of
+    * the source name — the stand-in for a per-source policy table); the
+    * training budget B = 55% of total capacity is then WATERFILLED: walk
+    * sources in ascending capacity order, a source whose full capacity
+    * fits under an equal split of the remaining budget takes it all, and
+    * the first source that doesn't starts the equal-share suffix (the
+    * capped set is provably a prefix of the capacity order). All integer
+    * math — levels are floor divisions, the leftover r tokens go to the r
+    * lowest-ranked uncapped sources — so the whole plan replays exactly.
+    *
+    * Scale shape: one hash aggregate to source granularity (map-side
+    * partials over the corpus), then every window runs on the
+    * SOURCE-count-sized table — model-sized, like qc1's centroid state;
+    * no corpus-sized window anywhere.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("tokens"))
+      .withColumn("max_epochs",
+        lit(1L) + conv(substring(md5(col("source")), 1, 15), 16, 10)
+          .cast("long") % 4)
+      .withColumn("capacity", col("tokens") * col("max_epochs"))
+    val byCap = Window.orderBy(col("capacity").asc, col("source").asc)
+    val ranked = perSource
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("cum", sum(col("capacity")).over(byCap))
+      .withColumn("k", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("total_cap", sum(col("capacity")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("budget", expr("total_cap * 55 DIV 100"))
+      // source i fits iff cap_i <= equal split of what's left before it
+      .withColumn("fits",
+        col("capacity") * (col("k") - col("i") + 1) <=
+          col("budget") - (col("cum") - col("capacity")))
+    // the capped PREFIX ends before the first source that doesn't fit
+    val p = ranked.agg(
+      coalesce(min(when(!col("fits"), col("i"))) - 1, max(col("i")))
+        .as("p")).select(col("p"))
+    val withP = ranked.crossJoin(broadcast(p))
+      .withColumn("cum_p", coalesce(max(when(col("i") <= col("p"),
+        col("cum"))).over(Window.partitionBy(lit(1))), lit(0L)))
+      .withColumn("share", when(col("k") > col("p"),
+        expr("(budget - cum_p) DIV (k - p)")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("k") > col("p"),
+        expr("(budget - cum_p) % (k - p)")).otherwise(lit(0L)))
+    withP.select(
+      col("source"), col("n_docs"), col("tokens"), col("max_epochs"),
+      col("capacity"),
+      when(col("i") <= col("p"), col("capacity"))
+        .otherwise(col("share") +
+          when(col("i") - col("p") <= col("rem"), lit(1L)).otherwise(lit(0L)))
+        .as("alloc_tokens"))
+      .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV tokens"))
+  }
 }

@@ -218,6 +218,65 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.forall(_._2 > 0))
   }
 
+  test("qt43: waterfilled token budget replays and conserves the budget") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-budget").toString
+    // uneven sources: token mass varies ~6x, so capacity order is real
+    val rows = for {
+      (src, reps) <- Seq(("alpha", 2), ("beta", 5), ("gamma", 12),
+        ("delta", 3), ("epsilon", 8))
+      i <- 0 until reps
+    } yield (src.hashCode.toLong * 100 + i,
+      Seq.fill(4 + i)("w").mkString(" "), "en", src, 5L)
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // independent reference: the sequential waterfilling from first
+    // principles (no windows, no Spark)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def lane(s: String): Long = {
+      md.reset()
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_))
+          .mkString.take(15), 16)
+    }
+    val toks = rows.groupBy(_._4).map { case (s, rs) =>
+      s -> rs.map(_._2.split("\\s+").length.toLong).sum
+    }
+    val caps = toks.map { case (s, t) => (s, t, 1 + lane(s) % 4) }
+      .map { case (s, t, e) => (s, t, e, t * e) }.toVector
+      .sortBy(c => (c._4, c._1))
+    val total = caps.map(_._4).sum
+    val budget = total * 55 / 100
+    var left = budget; var k = caps.length
+    val alloc = scala.collection.mutable.Map[String, Long]()
+    var idx = 0
+    while (idx < caps.length && caps(idx)._4 * (k - idx) <= left) {
+      alloc(caps(idx)._1) = caps(idx)._4; left -= caps(idx)._4; idx += 1
+    }
+    if (idx < k) {
+      val share = left / (k - idx); val rem = left % (k - idx)
+      for (j <- idx until k)
+        alloc(caps(j)._1) = share + (if (j - idx < rem) 1L else 0L)
+    }
+    val out = TextAnalysis.tokenBudget(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.keySet == toks.keySet)
+    caps.foreach { case (s, t, e, cap) =>
+      val (_, tk, me, cp, al, em) = out(s)
+      assert((tk, me, cp) == ((t, e, cap)), s"$s meta: ${out(s)}")
+      assert(al == alloc(s), s"$s alloc: got $al want ${alloc(s)}")
+      assert(em == al * 1000 / t)
+      assert(al <= cap, s"$s exceeds its epoch cap")
+    }
+    // the plan SPENDS the budget exactly (some source was uncapped here)
+    assert(out.values.map(_._5).sum == budget,
+      s"allocated ${out.values.map(_._5).sum} of $budget")
+    // both regimes present: at least one capped, at least one uncapped
+    assert(caps.exists { case (s, _, _, cap) => out(s)._5 == cap })
+    assert(caps.exists { case (s, _, _, cap) => out(s)._5 < cap })
+  }
+
   test("qt42: source profile ratios are aggregate-of-sums, replayed exactly") {
     def round6(v: Double) = java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
