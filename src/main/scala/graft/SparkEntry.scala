@@ -153,6 +153,8 @@ object SparkEntry {
       LinkGraph.hostMixing(s, d)),
     "qg6_host_communities" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostCommunities(s, d)),
+    "qg11_seed_pagerank" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostSeedPagerank(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
       Relational.q20ZorderLayout(s, d)),
     // ---- similarity search ----
@@ -224,6 +226,8 @@ object SparkEntry {
       TextAnalysis.nearContamination(s, d)),
     "qt43_token_budget" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenBudget(s, d)),
+    "qt44_bm25" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.bm25Retrieval(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -1205,6 +1209,37 @@ object SparkEntry {
         FROM r$k JOIN deg ON deg.src = r$k.node"""
   }
 
+  /** DuckDB replay of [[graft.ops.LinkGraph.hostSeedPagerank]]: the qg1
+    * unrolled integer fixed-point chain with the teleport term restricted
+    * to the seed set — each round references its predecessor exactly once,
+    * so the plain CTE chain stays linear (the qg7 MATERIALIZED caveat does
+    * not bite here).
+    */
+  private def seedPagerankOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""r$i AS (SELECT n.node,
+            CASE WHEN n.is_seed THEN CAST(150000000000 AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END
+              + COALESCE((85 * s.m) // 100, 0) AS r
+          FROM n LEFT JOIN (
+            SELECT e.dst AS node, CAST(SUM(p.r // deg.od) AS BIGINT) AS m
+            FROM e JOIN deg USING (src) JOIN r${i - 1} p ON p.node = e.src
+            GROUP BY e.dst) s USING (node))"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT DISTINCT doc_id % 32 AS src,
+            ((doc_id % 32) * 5 + 1 + doc_id % 3) % 32 AS dst
+          FROM documents),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM e GROUP BY src),
+        n AS (SELECT src AS node, src IN (1, 9, 17) AS is_seed FROM deg),
+        r0 AS (SELECT node,
+          CASE WHEN is_seed THEN CAST(1000000000000 AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS r FROM n),
+        $rounds
+        SELECT r$k.node AS host_id, n.is_seed, CAST(r$k.r AS BIGINT) AS rank_fp
+        FROM r$k JOIN n ON n.node = r$k.node"""
+  }
+
   /** DuckDB replay of [[graft.ops.LinkGraph.hostHyperball]]: the planted
     * chain graph, each host's single-item HLL registers (the qt27 md5
     * bucket/rank lane on CAST(host AS VARCHAR)), then k UNROLLED rounds of
@@ -1875,6 +1910,9 @@ object SparkEntry {
     // order (the qt16 pinned-f64 discipline), one pinned division for the
     // q-crossing interpolation — NF, fractions, and diameter hash-match
     "qg10_neighborhood" -> neighborhoodOracleSql(4, 0.9),
+    // personalized PageRank: the qg1 integer fixed-point chain with the
+    // teleport restricted to seeds {1,9,17} — unrolled, bit-for-bit
+    "qg11_seed_pagerank" -> seedPagerankOracleSql(5),
     // Morton/z-order layout: the 32-term bit interleave, radix file split,
     // and per-file min/max envelopes — all integer math, replayed exactly
     "q20_zorder_layout" -> zorderOracleSql(5),
@@ -3510,6 +3548,50 @@ object SparkEntry {
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            CAST(alloc_tokens * 1000 // tokens AS BIGINT) AS epochs_milli
          FROM al""",
+    // BM25 retrieval (Lucene +1-idf variant): the per-term score in the
+    // identical pinned f64 tree (every int CAST out, constants as double
+    // CASTs), per-(query,doc) sum as the qt16 sorted left fold, and the
+    // WINDOW-form ranking the Spark side's bounded top_k_rank aggregate
+    // must equal (the q19 equivalence discipline)
+    "qt44_bm25" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, COUNT(*) AS tf FROM (
+             SELECT doc_id, unnest(words) AS term FROM w) GROUP BY 1, 2),
+         dl AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM w),
+         dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS sdl FROM dl),
+         q AS (
+           SELECT doc_id AS query_id, unnest(list_distinct(words[1:3])) AS term
+           FROM w WHERE doc_id % 97 = 0),
+         ts AS (
+           SELECT q.query_id, tf.doc_id,
+             ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE))
+             * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE))
+             / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+                   * (CAST(dl AS DOUBLE)
+                      / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
+           FROM q JOIN tf USING (term)
+             JOIN dl ON dl.doc_id = tf.doc_id
+             JOIN dfreq USING (term) CROSS JOIN st),
+         sc AS (
+           SELECT query_id, doc_id,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(s))),
+               (a, b) -> a + b) AS score
+           FROM ts GROUP BY 1, 2),
+         r AS (
+           SELECT query_id, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id ASC) AS rnk
+           FROM sc)
+         SELECT query_id, doc_id, ROUND(score, 6) AS score,
+           CAST(rnk AS INT) AS rnk
+         FROM r WHERE rnk <= 5""",
     "qt42_source_profile" ->
       """WITH c AS (
            SELECT source,

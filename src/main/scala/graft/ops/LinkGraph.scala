@@ -623,6 +623,69 @@ object LinkGraph {
     }
   }
 
+  /** qg11: PERSONALIZED PageRank from a seed host set (Haveliwala 2002;
+    * the push-style topic-sensitive variant webtext curation runs to
+    * expand a curated seed list — "rank every host by its link proximity
+    * to the seeds", the signal behind seed-based quality corpora like
+    * OH-LTR/marginalia whitelist expansion). Same planted directed host
+    * graph and EXACT int64 fixed-point as qg1, but the teleport mass
+    * lands ONLY on the seeds: seeds S = {1, 9, 17} ∩ observed hosts,
+    *   r_0(v)  = [v ∈ S] * 10^12
+    *   r_t(v)  = [v ∈ S] * 15e10
+    *           + floor(85 * sum_{u->v} floor(r_{t-1}(u) / outdeg(u)) / 100)
+    * — every division an integer floor on positives (Spark DIV == DuckDB
+    * //), so the unrolled oracle replays each round bit for bit. After k
+    * rounds, hosts unreachable from the seeds hold rank 0 (the measurable
+    * "outside the seed neighborhood" class).
+    *
+    * Scale shape is qg1's verbatim: one rank-against-edges join ON src
+    * per round (exchange reuse), hash aggregate on dst with map-side
+    * partials, node table re-attach so contribution-free hosts keep
+    * their teleport term; per-round localCheckpoint(true) with
+    * predecessor release, reused edge list persisted once and released
+    * in finally (the qd6 iterative-dataflow invariant).
+    *
+    * Output: (host_id, is_seed, rank_fp).
+    */
+  def hostSeedPagerank(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val edges = docs(spark, dir)
+      .select((col("doc_id") % 32).as("src"),
+        ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
+      .distinct()
+      .persist()
+    try {
+      edges.count() // materialize the reused edge list once
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val nodes = deg.select(col("src").as("node"),
+        col("src").isin(1L, 9L, 17L).as("is_seed")).persist()
+      nodes.count()
+      val withDeg = edges.join(deg, "src")
+      val teleport = when(col("is_seed"), lit(150000000000L)).otherwise(lit(0L))
+      var ranks = nodes.select(col("node"),
+        when(col("is_seed"), lit(1000000000000L)).otherwise(lit(0L)).as("r"))
+        .localCheckpoint(true)
+      for (_ <- 1 to k) {
+        val contrib = withDeg
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst"))
+          .agg(sum(expr("r DIV od")).as("m"))
+        val next = nodes
+          .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+          .select(col("node"),
+            (teleport + coalesce(expr("85 * m DIV 100"), lit(0L))).as("r"))
+          .localCheckpoint(true)
+        ranks.unpersist()
+        ranks = next
+      }
+      val out = ranks.join(nodes, "node")
+        .select(col("node").as("host_id"), col("is_seed"), col("r").as("rank_fp"))
+      nodes.unpersist() // plain persist: lineage intact, recompute is cheap
+      out
+    } finally {
+      edges.unpersist(); ()
+    }
+  }
+
   /** qg9: host-graph MIXING metrics — edge reciprocity and degree
     * assortativity (Newman 2002, PRL 89.208701), the two structural-health
     * numbers crawl curation reads before trusting a link graph: organic

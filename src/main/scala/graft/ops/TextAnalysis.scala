@@ -1802,4 +1802,68 @@ object TextAnalysis {
         .as("alloc_tokens"))
       .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV tokens"))
   }
+
+  /** qt44: BM25 top-k retrieval (Robertson & Zaragoza 2009; the Lucene
+    * +1-idf variant, k1 = 1.2, b = 0.75) — the ranked-retrieval primitive a
+    * training-data pipeline runs for retrieval-based decontamination
+    * ("which corpus docs does this eval query retrieve") and seed-query
+    * quality mining. Queries are drawn FROM the corpus (the qt8 eval-set
+    * discipline): every doc with doc_id % 97 == 0 issues its first three
+    * distinct tokens as a query; score(q, d) = sum over matched terms of
+    *   idf(t) * tf * (k1+1) / (tf + k1 * (0.25 + 0.75 * dl / avgdl)),
+    *   idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+    * and the top k = 5 docs per query are kept, ties broken doc_id asc.
+    *
+    * Float parity: the per-term score is ONE pinned f64 tree (every int
+    * CAST out explicitly, constants written as the same double literals in
+    * the DuckDB oracle), the per-(query, doc) sum folds the <= 3 term
+    * scores in SORTED order (array_sort + left fold == list_sort +
+    * list_reduce, the qt16 discipline), and rounding happens only on
+    * output — so the oracle's window-form replay hash-matches.
+    *
+    * Scale shape: tf/df/dl are the qt9 aggregates (map-side partials); the
+    * df join is vocabulary-sized and AQE-gated, never hinted; the 1-row
+    * (N, sum dl) scalar attaches by broadcast crossJoin; the ranking is
+    * the q19 bounded top_k_rank aggregate grouped by query_id — at most k
+    * heap entries per query cross the shuffle, no corpus-sized window
+    * partitions anywhere (query count grows with the corpus, so groups
+    * stay fine-grained).
+    */
+  def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5,
+      qmod: Int = 97): DataFrame = {
+    val words = docs(spark, dir)
+      .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+    val tokens = words.select(col("doc_id"), explode(col("w")).as("term"))
+    val tf = tokens.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = words.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))
+    val queries = words.filter(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("w"), 1, 3))).as("term"))
+    val nD = col("n").cast("double")
+    val idf = log((nD - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val avgdl = col("sdl").cast("double") / nD
+    val denom = col("tf").cast("double") +
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
+    val termScore = idf * (col("tf").cast("double") * lit(2.2)) / denom
+    val scored = queries
+      .join(tf, Seq("term")) // vocab-keyed; AQE size-gates, never hinted
+      .join(dl, Seq("doc_id"))
+      .join(dfT, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), termScore.as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(expr("aggregate(array_sort(collect_list(s)), CAST(0 AS DOUBLE), " +
+        "(acc, x) -> acc + x)").as("score"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.GraftFunctions
+        .topKRank(col("score"), col("doc_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "e")))
+      .select(col("query_id"), col("e.payload").as("doc_id"),
+        round(col("e.sort_key"), 6).as("score"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

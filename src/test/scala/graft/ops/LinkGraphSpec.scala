@@ -76,6 +76,44 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(orphanRanks.nonEmpty && orphanRanks.forall(_ == 150000000000L))
   }
 
+  test("qg11: personalized ranks equal the single-threaded recurrence, exactly") {
+    val seeds = Set(1L, 9L, 17L)
+    // first-principles replay of the seeded fixed point over the planted graph
+    val edges = ids.map(id => (id % 32, ((id % 32) * 5 + 1 + id % 3) % 32)).distinct
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    val nodes = deg.keySet
+    var r: Map[Long, Long] =
+      nodes.map(n => n -> (if (seeds(n)) 1000000000000L else 0L)).toMap
+    for (_ <- 1 to 5) {
+      val in = edges.filter { case (_, d) => nodes.contains(d) }
+        .groupBy(_._2).map { case (d, es) =>
+          d -> es.map { case (s, _) => r(s) / deg(s) }.sum
+        }
+      r = nodes.map(n => n ->
+        ((if (seeds(n)) 150000000000L else 0L) +
+          in.get(n).map(85L * _ / 100).getOrElse(0L))).toMap
+    }
+    val out = LinkGraph.hostSeedPagerank(spark, dir).collect()
+      .map(x => x.getAs[Long]("host_id") ->
+        ((x.getAs[Boolean]("is_seed"), x.getAs[Long]("rank_fp")))).toMap
+    assert(out.keySet == nodes)
+    nodes.foreach { n =>
+      assert(out(n) == ((seeds(n), r(n))), s"host $n: spark ${out(n)} vs reference ${(seeds(n), r(n))}")
+    }
+    // a host with positive rank must be BFS-reachable from a seed
+    var reach = seeds.filter(nodes.contains)
+    var grew = true
+    while (grew) {
+      val next = reach ++ edges.collect { case (s, d) if reach(s) => d }
+      grew = next.size > reach.size; reach = next
+    }
+    out.foreach { case (n, (_, rank)) =>
+      if (rank > 0L) assert(reach(n), s"host $n has rank $rank but is not seed-reachable")
+    }
+    // mass actually leaves the seeds: some non-seed host ranks positive
+    assert(out.exists { case (n, (_, rank)) => !seeds(n) && rank > 0L })
+  }
+
   test("qg1: re-running produces identical ranks (determinism)") {
     val a = LinkGraph.hostPagerank(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq

@@ -1358,6 +1358,48 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(win.nonEmpty)
   }
 
+  test("qt44 BM25 equals a first-principles single-threaded reference") {
+    val sf = "/root/testdata/sf0.001"
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.split(r.getString(1).trim.toLowerCase, -1).toSeq)
+    val n = corpus.length
+    val dl = corpus.map { case (id, w) => id -> w.length.toLong }.toMap
+    val tf = corpus.map { case (id, w) =>
+      id -> w.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    }.toMap
+    val df = corpus.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    def termScore(t: String, d: Long): Option[Double] = tf(d).get(t).map { f =>
+      val idf = math.log((n.toDouble - df(t).toDouble + 0.5) / (df(t).toDouble + 0.5) + 1.0)
+      idf * (f.toDouble * 2.2) /
+        (f.toDouble + 1.2 * (0.25 + 0.75 * (dl(d).toDouble / avgdl)))
+    }
+    val expected = corpus.collect { case (qid, w) if qid % 97 == 0 =>
+      val terms = w.take(3).distinct
+      val scored = corpus.map(_._1).flatMap { d =>
+        val ss = terms.flatMap(termScore(_, d))
+        if (ss.isEmpty) None
+        else Some(d -> ss.sorted.foldLeft(0.0)(_ + _)) // the pinned sorted fold
+      }
+      qid -> scored.sortBy { case (d, s) => (-s, d) }.take(5)
+    }.toMap
+    val got = TextAnalysis.bm25Retrieval(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    assert(got.keySet == expected.keySet && expected.nonEmpty)
+    expected.foreach { case (qid, exp) =>
+      val rows = got(qid).sortBy(_._4)
+      assert(rows.map(_._4).toSeq == (1 to exp.length), s"query $qid ranks")
+      rows.zip(exp).foreach { case ((_, d, s, _), (ed, es)) =>
+        assert(d == ed, s"query $qid: doc $d vs expected $ed")
+        assert(math.abs(s - es) <= 5e-7, s"query $qid doc $d: $s vs $es")
+      }
+    }
+  }
+
   test("top_k_rank keeps duplicate (key, payload) rows like the window form") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions.{col, posexplode}

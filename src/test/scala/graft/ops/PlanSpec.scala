@@ -424,6 +424,23 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qt44 BM25: bounded top-k aggregate — no window, no corpus sort, no udf") {
+    val plan = planOf(TextAnalysis.bm25Retrieval(spark, sf))
+    // the scale claim: ranking is the q19 bounded heap per query_id, never a
+    // query-partitioned window over the scored candidate stream
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("top_k_rank"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qg11 seed pagerank rounds leave no cartesian and no window") {
+    val plan = planOf(LinkGraph.hostSeedPagerank(spark, sf, k = 2))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qt31 char entropy is map-only: zero exchanges, native expression") {
     val plan = planOf(TextAnalysis.charEntropyProfile(spark, sf))
     assert(!plan.contains("Exchange"), plan)
