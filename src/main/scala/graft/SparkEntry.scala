@@ -97,6 +97,8 @@ object SparkEntry {
       Dedup.lshDedupClosure(s, d)),
     "qd11_ppjoin_pairs" -> ((s: SparkSession, d: String) =>
       Dedup.ppjoinPairs(s, d)),
+    "qd22_dedup_weights" -> ((s: SparkSession, d: String) =>
+      Dedup.dedupWeights(s, d)),
     "qd12_passage_dedup" -> ((s: SparkSession, d: String) =>
       Dedup.passageDedup(s, d)),
     "qd13_dup_ngrams" -> ((s: SparkSession, d: String) =>
@@ -294,6 +296,8 @@ object SparkEntry {
       Multimodal.audioFingerprint(s, d)),
     "qm7_png_pixels" -> ((s: SparkSession, d: String) =>
       Multimodal.pngPixelStats(s, d)),
+    "qm11_scene_cuts" -> ((s: SparkSession, d: String) =>
+      Multimodal.sceneCuts(s, d)),
     // ---- extraction engine (goldens are the oracle; rows-only here) ----
     "qx1_extract_text" -> ((s: SparkSession, _: String) =>
       extractedCorpus(s).select(col("url"), col("extracted_text"), col("n_blocks"))),
@@ -2960,6 +2964,23 @@ object SparkEntry {
            ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
              ORDER BY q.quality_score DESC, comp.doc_id ASC) = 1 AS survivor
          FROM comp JOIN sizes USING (cluster_id) JOIN q USING (doc_id)"""),
+    // soft-dedup sampling weights: the qd10 component chain, singletons
+    // represent themselves (the qd19 spine), weight = 1/|cluster| as exact
+    // integer milli-weights plus one pinned double division
+    "qd22_dedup_weights" -> (lshCompCte + """,
+         spine AS (SELECT doc_id FROM documents),
+         rep AS (
+           SELECT spine.doc_id,
+             COALESCE(comp.cluster_id, spine.doc_id) AS cluster_rep
+           FROM spine LEFT JOIN comp USING (doc_id)),
+         sizes AS (
+           SELECT cluster_rep, COUNT(*) AS cluster_size FROM rep GROUP BY 1)
+         SELECT rep.doc_id, rep.cluster_rep,
+           CAST(sizes.cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000 // sizes.cluster_size AS BIGINT) AS weight_milli,
+           ROUND(CAST(1.0 AS DOUBLE) / CAST(sizes.cluster_size AS DOUBLE), 6)
+             AS weight
+         FROM rep JOIN sizes USING (cluster_rep)"""),
     // leakage-free split: the qd10 component chain, then the split hash on
     // the cluster representative (singletons represent themselves)
     "qd19_cluster_split" -> (lshCompCte + """,
@@ -3772,6 +3793,65 @@ object SparkEntry {
              AS fp_lo,
            '' AS error
          FROM bits GROUP BY 1, 2, 3""",
+    // qm11: scene cuts — the qm8 dHash bit replay extended with a frame
+    // dimension (pid = doc_id*1009 + content run index), consecutive
+    // frames lag-joined, distance = per-half bit_count(xor); the oracle
+    // recomputes every bit from the pixel closed form with NO codec, so
+    // the hash gate covers the per-frame encode->decode->dHash round trip
+    "qm11_scene_cuts" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h,
+             3 + doc_id % 4 AS nf
+           FROM documents),
+         fr AS (
+           SELECT doc_id, w, h, f,
+             doc_id * 1009 + (f + doc_id % 2) // 2 AS pid
+           FROM (SELECT doc_id, w, h, unnest(range(0, nf)) AS f FROM d)),
+         px AS (SELECT doc_id, f, pid, w, h, unnest(range(0, w * h)) AS p
+                FROM fr),
+         v AS (
+           SELECT doc_id, f,
+             ((p % w) * 9) // w AS cx, ((p // w) * 8) // h AS ry,
+             (7 * pid + 13 * (p % w) + 31 * (p // w)) % 256
+               + (11 * pid + 17 * (p % w) + 5 * (p // w)) % 256
+               + (3 * pid + 29 * (p % w) + 23 * (p // w)) % 256 AS gray
+           FROM px),
+         bsum AS (
+           SELECT doc_id, f, ry, cx, CAST(SUM(gray) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM v GROUP BY 1, 2, 3, 4),
+         spine AS (
+           SELECT fr.doc_id, fr.f, rr.ry, cc.cx
+           FROM fr, (SELECT unnest(range(0, 8)) AS ry) rr,
+                (SELECT unnest(range(0, 9)) AS cx) cc),
+         g AS (
+           SELECT spine.doc_id, spine.f, spine.ry, spine.cx,
+             COALESCE(bsum.s, 0) AS s, COALESCE(bsum.c, 0) AS c
+           FROM spine LEFT JOIN bsum
+             ON spine.doc_id = bsum.doc_id AND spine.f = bsum.f
+               AND spine.ry = bsum.ry AND spine.cx = bsum.cx),
+         bits AS (
+           SELECT a.doc_id, a.f, a.ry * 8 + a.cx AS i,
+             CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+           FROM g a JOIN g b
+             ON a.doc_id = b.doc_id AND a.f = b.f AND a.ry = b.ry
+               AND b.cx = a.cx + 1
+           WHERE a.cx <= 7),
+         fp AS (
+           SELECT doc_id, f,
+             CAST(SUM(CASE WHEN i >= 32
+               THEN bit * (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END)
+               AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN i < 32
+               THEN bit * (CAST(1 AS BIGINT) << i) ELSE 0 END)
+               AS BIGINT) AS lo
+           FROM bits GROUP BY 1, 2)
+         SELECT a.doc_id, CAST(a.f AS INT) AS frame_idx,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+             AS BIGINT) AS dist,
+           (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))) >= 16
+             AS is_cut
+         FROM fp a JOIN fp b ON a.doc_id = b.doc_id AND b.f = a.f - 1""",
     // qm10: the audio frame features recomputed from the sample closed
     // form with NO parser — integer frame binning i*9//n, exact int64
     // energies, cross-multiplied fingerprint bits, lag-join zero

@@ -769,6 +769,41 @@ object Dedup {
         .select(col("doc_id"), col("quality_score")))
   }
 
+  /** qd22: SOFT-dedup sampling weights — instead of dropping near-dup
+    * cluster losers (qd8/qd10's survivorship), every document gets a
+    * training-sampling weight 1/|cluster| so each near-dup FAMILY
+    * contributes one document's worth of expected mass per epoch (the
+    * downweight-don't-delete alternative the dedup literature reports
+    * preserves tail knowledge better than hard removal when duplicates
+    * carry variant content; SlimPajama-style pipelines expose both knobs).
+    * Singletons (docs in no LSH cluster) weigh 1. Weights come out twice:
+    * exact integer milli-weights (1000 DIV size — the training sampler's
+    * fixed-point form) and the rounded double.
+    *
+    * Chain = qd10's banded-LSH pairs -> pointer-jumping CC (the qd19 spine
+    * + left join for singleton representatives), then one size aggregate
+    * and a size re-join keyed on cluster_rep — all hash joins/aggregates
+    * with map-side partials, no windows; scale-safe end to end like qd10.
+    */
+  def dedupWeights(spark: SparkSession, dir: String, shingleSize: Int = 2,
+      bands: Int = 4, rowsPerBand: Int = 2, threshold: Double = 0.2,
+      maxRounds: Int = 16): DataFrame = {
+    val edges = minhashLshPairsPortable(spark, dir, shingleSize, bands,
+        rowsPerBand, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(edges, maxRounds)
+    val rep = docs(spark, dir).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_rep"))
+    val sizes = rep.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("cluster_size"))
+    rep.join(sizes, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("cluster_size"),
+        expr("1000 DIV cluster_size").as("weight_milli"),
+        round(lit(1.0) / col("cluster_size").cast("double"), 6).as("weight"))
+  }
+
   /** Composable half of [[clusterSurvivors]] for pipelines that already hold
     * a clusters frame (doc_id, cluster_id, cluster_size, ...) and a quality
     * frame (doc_id, quality_score) — re-deriving the cluster graph just to

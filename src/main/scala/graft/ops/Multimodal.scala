@@ -1046,4 +1046,78 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "n_px", "sum_r", "sum_g", "sum_b",
       "pix_fp", "error")
   }
+
+  /** qm11: video SCENE-CUT detection over perceptual frame fingerprints —
+    * the shot-boundary pass a video-training pipeline runs before keyframe
+    * selection (sample frames, fingerprint each, and a cut is a consecutive
+    * pair whose dHash Hamming distance clears a threshold; PySceneDetect's
+    * content detector is this shape with a histogram instead of a dHash).
+    *
+    * Each document is a synthetic clip: 3 + doc_id % 4 frames at the doc's
+    * qm7 dimensions, frame f's pixels drawn from the qm7 closed form at
+    * pid = doc_id * 1009 + (f + doc_id % 2) / 2 — consecutive frames share
+    * content in runs of two (the same-shot case, distance 0) and the run
+    * phase varies by doc parity, so both the cut and the no-cut branch are
+    * exercised on every doc. Every frame round-trips the REAL PNG codec
+    * (encode -> inflate -> unfilter -> dHash, the qm7/qm8 discipline; a
+    * decode failure poisons the fingerprint and the oracle hash catches
+    * it), then consecutive frames join per (doc_id, frame) and the
+    * distance is per-half bit_count(xor) in plain positive int64.
+    *
+    * Scale shape: frame generation/fingerprinting is MAP-ONLY typed
+    * mapPartitions (the frame fan-out stays in its stage); the
+    * consecutive-pair join is one hash shuffle of the fingerprint table
+    * against itself keyed (doc_id, frame_idx) — both sides identically
+    * partitioned (exchange reuse), groups bounded by the per-doc frame
+    * count. The DuckDB oracle recomputes every dHash bit from the pixel
+    * closed form with NO codec.
+    *
+    * Output: one row per consecutive pair, (doc_id, frame_idx of the later
+    * frame, dist, is_cut at >= 16 bits).
+    */
+  def sceneCuts(spark: SparkSession, dir: String, cutBits: Int = 16): DataFrame = {
+    import spark.implicits._
+    val frames = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val w = pxW(id); val h = pxH(id)
+          val nf = 3 + (id % 4).toInt
+          (0 until nf).iterator.map { f =>
+            val pid = id * 1009L + (f + (id % 2).toInt) / 2
+            val rgb = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val o = (y * w + x) * 3
+                rgb(o) = pxR(pid, x, y).toByte
+                rgb(o + 1) = pxG(pid, x, y).toByte
+                rgb(o + 2) = pxB(pid, x, y).toByte
+                x += 1
+              }
+              y += 1
+            }
+            val png = MediaDecoder.PngCodec.encode(w, h, rgb)
+            MediaDecoder.PngCodec.decode(png) match {
+              case Right((dw, dh, px)) =>
+                val (hi, lo) = dhashHalves(dw, dh, px)
+                (id, f, hi, lo)
+              case Left(_) => (id, f, -1L, -1L) // poison: oracle hash alarms
+            }
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "fp_hi", "fp_lo")
+    val cur = frames.select(col("doc_id"), col("frame_idx"),
+      col("fp_hi").as("hi1"), col("fp_lo").as("lo1"))
+    val prev = frames.select(col("doc_id"),
+      (col("frame_idx") + 1).as("frame_idx"),
+      col("fp_hi").as("hi0"), col("fp_lo").as("lo0"))
+    cur.join(prev, Seq("doc_id", "frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (bit_count(col("hi1").bitwiseXOR(col("hi0"))) +
+          bit_count(col("lo1").bitwiseXOR(col("lo0"))))
+          .cast("long").as("dist"))
+      .withColumn("is_cut", col("dist") >= cutBits)
+  }
 }

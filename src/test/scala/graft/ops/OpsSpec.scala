@@ -1459,6 +1459,54 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qd22 soft-dedup weights: 1/|cluster| over the pair graph, singletons at 1") {
+    val pairs = Dedup.minhashLshPairsPortable(spark, dupDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val rows = Dedup.dedupWeights(spark, dupDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val all = spark.read.parquet(s"$dupDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == all) // exactly one weight row per doc
+    val rep = rows.map(r => r._1 -> r._2).toMap
+    pairs.foreach { case (a, b) => assert(rep(a) == rep(b), s"($a,$b)") }
+    rows.foreach { case (d, _, cs, wm, wt) =>
+      assert(wm == 1000L / cs, s"doc $d milli")
+      assert(math.abs(wt - 1.0 / cs) < 1e-9, s"doc $d weight")
+    }
+    // reported sizes agree with the actual rep-group sizes
+    rows.groupBy(_._2).foreach { case (cr, ms) =>
+      assert(ms.forall(_._3 == ms.length.toLong), s"cluster $cr")
+    }
+    // docs in no pair are singletons at full weight
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    rows.filter(r => !paired.contains(r._1)).foreach { r =>
+      assert(r._3 == 1L && r._4 == 1000L && r._5 == 1.0, s"doc ${r._1}")
+    }
+    // soft-dedup conservation: total expected mass = one unit per family
+    val units = rows.map(_._2).distinct.length
+    assert(math.abs(rows.map(_._5).sum - units) < 1e-6)
+  }
+
+  test("qm11 scene cuts: same-shot runs at distance 0, cuts only at run bounds") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = Multimodal.sceneCuts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      val nf = 3 + (id % 4).toInt
+      assert(rs.length == nf - 1, s"doc $id pair count")
+      assert(rs.map(_._2).sorted.toSeq == (1 until nf), s"doc $id frames")
+    }
+    rows.foreach { case (id, f, dist, cut) =>
+      assert(cut == (dist >= 16L), s"doc $id frame $f flag")
+      // content runs in pairs phased by doc parity: (f + id%2) odd means
+      // frame f repeats frame f-1's pixels — distance must be exactly 0
+      if ((f + (id % 2).toInt) % 2 == 1)
+        assert(dist == 0L && !cut, s"doc $id frame $f same-shot")
+    }
+    assert(rows.exists(_._4) && rows.exists(r => !r._4))
+  }
+
   test("int8-code ANN tracks exact f32 cosine ANN (recall@10 >= 0.8)") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annBruteForce(spark, sf).collect()

@@ -441,6 +441,19 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qd22 weights: CC chain + hash aggregates — no window, no cartesian") {
+    val plan = planOf(Dedup.dedupWeights(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
+  test("qm11 scene cuts: typed frame fan-out + one keyed self-join, no window") {
+    val plan = planOf(Multimodal.sceneCuts(spark, sf))
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("qt31 char entropy is map-only: zero exchanges, native expression") {
     val plan = planOf(TextAnalysis.charEntropyProfile(spark, sf))
     assert(!plan.contains("Exchange"), plan)
