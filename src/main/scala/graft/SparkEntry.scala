@@ -167,6 +167,8 @@ object SparkEntry {
       Similarity.annRecallEval(s, d)),
     "qs11_filtered_ann" -> ((s: SparkSession, d: String) =>
       Similarity.filteredAnn(s, d)),
+    "qs12_range_search" -> ((s: SparkSession, d: String) =>
+      Similarity.rangeSearch(s, d)),
     // honestly approximate: IVF coarse quantization cannot guarantee exact
     // top-k on the synthetic corpus (near-uniform random vectors, the worst
     // case for coarse quantization) without probing every cell, so qs3 stays
@@ -3497,6 +3499,16 @@ object SparkEntry {
              ROW_NUMBER() OVER (PARTITION BY query_id
                ORDER BY qdot DESC, neighbor_id ASC) AS rnk
            FROM s) WHERE rnk <= 10""",
+    // radius search: the same engine-parity cosine as qs1, but an
+    // unranked >= tau predicate on the unrounded score (map-only op)
+    "qs12_range_search" ->
+      """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+           AND list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+             CAST(e.embedding AS DOUBLE[])) >= CAST(0.25 AS DOUBLE)""",
     "qs1_ann_brute" ->
       """SELECT query_id, neighbor_id, rnk, cosine FROM (
            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

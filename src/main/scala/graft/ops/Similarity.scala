@@ -733,4 +733,34 @@ object Similarity {
         round(coalesce(col("n_hits"), lit(0L)).cast("double") / k, 6)
           .as("recall_at_k"))
   }
+
+  /** qs12: RANGE (radius) similarity search — every corpus vector within
+    * cosine >= tau of each query, the "all semantic near-neighbors" shape
+    * behind SemDeDup-style pruning and near-duplicate retrieval, where
+    * top-k is the wrong contract because the neighbor COUNT is the
+    * unknown (a query may have 0 or 10^4 in-radius neighbors).
+    *
+    * tau = 0.25 on this corpus (exact-binary constant; the synthetic
+    * embeddings peak near cosine 0.4, so the radius set is a real subset,
+    * neither empty nor the whole corpus).
+    *
+    * Scale shape: the tightest of the ANN family — broadcast the
+    * fixed-size query set, stream the corpus through the codegen'd native
+    * cosine, filter: MAP-ONLY, zero exchanges, zero aggregates; output
+    * size is the answer size. The threshold compares the UNROUNDED score
+    * (rounding only on output), and the DuckDB oracle applies the same
+    * f64 predicate via list_cosine_similarity — the qs1-established
+    * engine parity.
+    */
+  def rangeSearch(spark: SparkSession, dir: String, nQueries: Int = 5,
+      tau: Double = 0.25): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    emb.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", GraftFunctions.cosineFF(col("qvec"), col("embedding")))
+      .filter(col("cosine") >= lit(tau))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
 }

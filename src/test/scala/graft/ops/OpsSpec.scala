@@ -1507,6 +1507,23 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.exists(_._4) && rows.exists(r => !r._4))
   }
 
+  test("qs12 range search agrees with brute-force top-k where they overlap") {
+    val sf = "/root/testdata/sf0.001"
+    val range = Similarity.rangeSearch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(range.nonEmpty)
+    range.values.foreach(c => assert(c >= 0.249999, s"cosine $c below tau"))
+    // every brute top-k neighbor safely inside the radius must be in the
+    // range set with the identical rounded score (same native cosine core)
+    val brute = Similarity.annBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+    val inside = brute.filter(_._2 >= 0.251)
+    assert(inside.nonEmpty)
+    inside.foreach { case (key, c) =>
+      assert(range.get(key).contains(c), s"$key: brute $c vs range ${range.get(key)}")
+    }
+  }
+
   test("int8-code ANN tracks exact f32 cosine ANN (recall@10 >= 0.8)") {
     val sf = "/root/testdata/sf0.001"
     val exact = Similarity.annBruteForce(spark, sf).collect()

@@ -441,6 +441,17 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toLowerCase.contains("udf"), plan)
   }
 
+  test("qs12 range search is map-only: broadcast queries, zero aggregates") {
+    val plan = planOf(Similarity.rangeSearch(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("cosine_ff"), plan)
+    assert(!plan.toLowerCase.contains("udf"), plan)
+  }
+
   test("qd22 weights: CC chain + hash aggregates — no window, no cartesian") {
     val plan = planOf(Dedup.dedupWeights(spark, sf))
     assert(!plan.contains("Window"), plan)
