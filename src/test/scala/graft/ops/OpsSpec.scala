@@ -1400,6 +1400,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt44 BM25 survives degenerate documents (empty, whitespace, one-word)") {
+    val ss = spark; import ss.implicits._
+    val dir = Files.createTempDirectory("graft-bm25edge").toString
+    // doc 0 is a query doc (0 % 97 == 0) and is EMPTY; 97 is a one-word
+    // query doc; the rest exercise whitespace-only and normal text
+    Seq(
+      (0L, "", "en", "s0", 0L),
+      (1L, "   ", "en", "s0", 3L),
+      (2L, "fox", "en", "s1", 3L),
+      (3L, "the quick brown fox jumps", "en", "s1", 25L),
+      (97L, "fox", "en", "s2", 3L),
+      (98L, "the quick brown fox jumps over the fox again", "en", "s2", 45L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.bm25Retrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // query 97 ("fox") must retrieve exactly the fox-bearing docs (the
+    // query doc itself included — corpus-drawn queries are corpus members);
+    // docs 2 and 97 tie on identical text, doc_id asc puts 2 first
+    val q97 = rows.filter(_._1 == 97L).sortBy(_._4)
+    assert(q97.nonEmpty && q97.head._2 == 2L, q97.mkString(","))
+    assert(q97.map(_._2).toSeq == Seq(2L, 97L, 98L, 3L), q97.mkString(","))
+    // ranks are 1..n per query, scores non-increasing, all finite
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to rs.length), s"query $q")
+      val scores = sorted.map(_._3).toSeq
+      assert(scores == scores.sorted.reverse, s"query $q order")
+      scores.foreach(s => assert(!s.isNaN && !s.isInfinite, s"query $q score $s"))
+    }
+    // deterministic: a second run is row-identical
+    val again = TextAnalysis.bm25Retrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(again.sortBy(x => (x._1, x._4)).toSeq == rows.sortBy(x => (x._1, x._4)).toSeq)
+  }
+
   test("top_k_rank keeps duplicate (key, payload) rows like the window form") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.functions.{col, posexplode}
