@@ -3599,8 +3599,8 @@ object SparkEntry {
          q AS (
            SELECT doc_id AS query_id, unnest(list_distinct(words[1:3])) AS term
            FROM w WHERE doc_id % 97 = 0),
-         ts AS (
-           SELECT q.query_id, tf.doc_id,
+         ps AS (
+           SELECT tf.term, tf.doc_id,
              ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
                 / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
                 + CAST(1.0 AS DOUBLE))
@@ -3609,9 +3609,16 @@ object SparkEntry {
                 * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
                    * (CAST(dl AS DOUBLE)
                       / (CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))))) AS s
-           FROM q JOIN tf USING (term)
-             JOIN dl ON dl.doc_id = tf.doc_id
+           FROM tf JOIN dl ON dl.doc_id = tf.doc_id
              JOIN dfreq USING (term) CROSS JOIN st),
+         pt AS (
+           SELECT term, doc_id, s FROM (
+             SELECT term, doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY term
+                 ORDER BY s DESC, doc_id ASC) AS pr
+             FROM ps) WHERE pr <= 1000),
+         ts AS (
+           SELECT q.query_id, pt.doc_id, pt.s FROM q JOIN pt USING (term)),
          sc AS (
            SELECT query_id, doc_id,
              list_reduce(list_prepend(CAST(0 AS DOUBLE), list_sort(list(s))),

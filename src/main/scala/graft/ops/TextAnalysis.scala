@@ -1828,9 +1828,26 @@ object TextAnalysis {
     * heap entries per query cross the shuffle, no corpus-sized window
     * partitions anywhere (query count grows with the corpus, so groups
     * stay fine-grained).
+    *
+    * THE join-explosion guard (found by the 500k-doc QueryProbe, not by
+    * hashing — the CLAUDE.md time-at-scale discipline): a query term that
+    * behaves like a stopword joins its ENTIRE posting list, and on a
+    * small-vocabulary corpus every term does (500k docs x 64-word vocab →
+    * billions of scored rows; the probe ran >600 s before the fix).
+    * Production BM25 never scores full stopword postings — impact-ordered
+    * indexes truncate each term's posting list to its top-M highest-impact
+    * documents offline (the WAND / Anh-Moffat impact-ordering family). So
+    * the per-term (doc, score) postings are truncated to the top
+    * `postingsPerTerm` docs by (score DESC, doc_id ASC) with the SAME
+    * bounded top_k_rank heap (vocabulary-keyed groups, map-side partials)
+    * BEFORE the query join. A doc outside every query term's top-M cannot
+    * be retrieved — exactly the impact-truncation contract — and the
+    * DuckDB oracle REPLAYS the truncation (window form), so parity is
+    * unconditional at any corpus/vocabulary ratio. Probe after the fix:
+    * the same 500k-doc corpus completes in seconds (BASELINE.md).
     */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5,
-      qmod: Int = 97): DataFrame = {
+      qmod: Int = 97, postingsPerTerm: Int = 1000): DataFrame = {
     val words = docs(spark, dir)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
     val tokens = words.select(col("doc_id"), explode(col("w")).as("term"))
@@ -1849,12 +1866,21 @@ object TextAnalysis {
     val denom = col("tf").cast("double") +
       lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))
     val termScore = idf * (col("tf").cast("double") * lit(2.2)) / denom
-    val scored = queries
-      .join(tf, Seq("term")) // vocab-keyed; AQE size-gates, never hinted
+    // impact-ordered posting truncation: per term, keep the top-M docs by
+    // per-term score — the heap is bounded, groups are vocabulary-keyed
+    val postings = tf
       .join(dl, Seq("doc_id"))
-      .join(dfT, Seq("term"))
+      .join(dfT, Seq("term")) // vocab-keyed; AQE size-gates, never hinted
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), termScore.as("s"))
+      .select(col("term"), col("doc_id"), termScore.as("s"))
+      .groupBy(col("term"))
+      .agg(graft.functions.GraftFunctions
+        .topKRank(col("s"), col("doc_id"), postingsPerTerm).as("top"))
+      .select(col("term"), explode(col("top")).as("e"))
+      .select(col("term"), col("e.payload").as("doc_id"),
+        col("e.sort_key").as("s"))
+    val scored = queries
+      .join(postings, Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(expr("aggregate(array_sort(collect_list(s)), CAST(0 AS DOUBLE), " +
         "(acc, x) -> acc + x)").as("score"))
