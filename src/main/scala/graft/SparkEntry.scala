@@ -232,6 +232,8 @@ object SparkEntry {
       TextAnalysis.tokenBudget(s, d)),
     "qt44_bm25" -> ((s: SparkSession, d: String) =>
       TextAnalysis.bm25Retrieval(s, d)),
+    "qt45_heaps_curve" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heapsCurve(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -3581,6 +3583,37 @@ object SparkEntry {
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            CAST(alloc_tokens * 1000 // tokens AS BIGINT) AS epochs_milli
          FROM al""",
+    // Heaps'-law vocabulary growth: first-bucket min-aggregate per term,
+    // running sums over the B-row spine, ln/ln ratio pinned and rounded
+    "qt45_heaps_curve" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+           FROM documents),
+         mi AS (SELECT MAX(doc_id) AS max_id FROM documents),
+         tk AS (
+           SELECT term, CAST(doc_id * 10 // (max_id + 1) AS INT) AS b
+           FROM (SELECT doc_id, unnest(words) AS term FROM w) CROSS JOIN mi),
+         fb AS (
+           SELECT fb AS b, COUNT(*) AS new_types FROM (
+             SELECT term, MIN(b) AS fb FROM tk GROUP BY term) GROUP BY 1),
+         tc AS (SELECT b, COUNT(*) AS toks FROM tk GROUP BY 1),
+         spine AS (SELECT unnest(range(0, 10)) AS b),
+         j AS (
+           SELECT CAST(spine.b AS INT) AS b,
+             CAST(COALESCE(tc.toks, 0) AS BIGINT) AS toks,
+             CAST(COALESCE(fb.new_types, 0) AS BIGINT) AS new_types
+           FROM spine LEFT JOIN tc ON tc.b = spine.b
+             LEFT JOIN fb ON fb.b = spine.b),
+         c AS (
+           SELECT b, new_types,
+             CAST(SUM(toks) OVER (ORDER BY b) AS BIGINT) AS cum_tokens,
+             CAST(SUM(new_types) OVER (ORDER BY b) AS BIGINT) AS cum_vocab
+           FROM j)
+         SELECT b AS bucket, new_types, cum_tokens, cum_vocab,
+           CASE WHEN cum_tokens > 1 AND cum_vocab > 0
+             THEN ROUND(ln(CAST(cum_vocab AS DOUBLE))
+               / ln(CAST(cum_tokens AS DOUBLE)), 6) END AS heaps_ratio
+         FROM c""",
     // BM25 retrieval (Lucene +1-idf variant): the per-term score in the
     // identical pinned f64 tree (every int CAST out, constants as double
     // CASTs), per-(query,doc) sum as the qt16 sorted left fold, and the

@@ -1803,6 +1803,52 @@ object TextAnalysis {
       .withColumn("epochs_milli", expr("alloc_tokens * 1000 DIV tokens"))
   }
 
+  /** qt45: Heaps'-law vocabulary-growth curve (Heaps 1978) — distinct
+    * vocabulary size as a function of cumulative token count across B
+    * equal doc_id-range prefixes of the corpus. The statistic behind two
+    * planning decisions a training-data pipeline makes: tokenizer
+    * vocabulary sizing (where does type growth flatten) and duplication
+    * health (an over-duplicated corpus grows vocabulary SUBLINEARLY vs
+    * the Heaps exponent its clean prefix established).
+    *
+    * bucket(doc) = doc_id * B / (max_id + 1) (exact integer floor; max_id
+    * is the 1-row broadcast scalar, the qt32 discipline). A term's FIRST
+    * bucket is a min-aggregate over its occurrences (vocabulary-keyed,
+    * map-side partials — never a corpus-sized window); cum_vocab(b) then
+    * counts terms with first_bucket <= b and cum_tokens(b) sums bucket
+    * token counts, both via one running sum over the B-row summary (the
+    * qt43 model-sized-window discipline). heaps_ratio = ln(V)/ln(T) — the
+    * empirical Heaps exponent estimate at each prefix — is two lns and
+    * one IEEE division on exactly-agreed int64s, round 6.
+    */
+  def heapsCurve(spark: SparkSession, dir: String, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val maxId = toks.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = toks.crossJoin(broadcast(maxId))
+      .select(col("term"),
+        (col("doc_id") * buckets / (col("max_id") + 1)).cast("int").as("b"))
+    val firstB = bucketed.groupBy(col("term")).agg(min(col("b")).as("fb"))
+      .groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
+    val tokCnt = bucketed.groupBy(col("b")).agg(count(lit(1)).as("toks"))
+    val spine = spark.range(0, buckets).select(col("id").cast("int").as("b"))
+    val byB = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(tokCnt, Seq("b"), "left")
+      .join(firstB.withColumnRenamed("fb", "b"), Seq("b"), "left")
+      .select(col("b"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum(col("toks")).over(byB))
+      .withColumn("cum_vocab", sum(col("new_types")).over(byB))
+      .select(col("b").as("bucket"), col("new_types"), col("cum_tokens"),
+        col("cum_vocab"),
+        when(col("cum_tokens") > 1L && col("cum_vocab") > 0L,
+          round(log(col("cum_vocab").cast("double")) /
+            log(col("cum_tokens").cast("double")), 6)).as("heaps_ratio"))
+  }
+
   /** qt44: BM25 top-k retrieval (Robertson & Zaragoza 2009; the Lucene
     * +1-idf variant, k1 = 1.2, b = 0.75) — the ranked-retrieval primitive a
     * training-data pipeline runs for retrieval-based decontamination

@@ -1400,6 +1400,39 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt45 Heaps curve equals a first-principles single-threaded replay") {
+    val sf = "/root/testdata/sf0.001"
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ws.split(r.getString(1).trim.toLowerCase, -1).toSeq)
+    val maxId = corpus.map(_._1).max
+    def bucket(id: Long): Int = (id * 10 / (maxId + 1)).toInt
+    val firstB = corpus.flatMap { case (id, w) => w.map(_ -> bucket(id)) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    val toks = corpus.flatMap { case (id, w) => w.map(_ => bucket(id)) }
+      .groupBy(identity).map { case (b, xs) => b -> xs.size.toLong }
+    var (ct, cv) = (0L, 0L)
+    val expected = (0 until 10).map { b =>
+      ct += toks.getOrElse(b, 0L); cv += firstB.getOrElse(b, 0L)
+      (b, firstB.getOrElse(b, 0L), ct, cv,
+        math.log(cv.toDouble) / math.log(ct.toDouble))
+    }
+    val got = TextAnalysis.heapsCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(got.length == 10)
+    got.zip(expected).foreach { case ((b, nt, t, v, hr), (eb, ent, et, ev, ehr)) =>
+      assert((b, nt, t, v) == ((eb, ent, et, ev)), s"bucket $b counts")
+      assert(math.abs(hr - ehr) < 5e-7, s"bucket $b ratio $hr vs $ehr")
+    }
+    // the curve is a growth curve: cumulative vocabulary never decreases
+    // and ends at the full vocabulary size
+    assert(got.map(_._4).toSeq == got.map(_._4).sorted.toSeq)
+    assert(got.last._4 == corpus.flatMap(_._2).distinct.size.toLong)
+  }
+
   test("qt44 BM25 survives degenerate documents (empty, whitespace, one-word)") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-bm25edge").toString
