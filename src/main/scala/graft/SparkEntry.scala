@@ -234,6 +234,8 @@ object SparkEntry {
       TextAnalysis.bm25Retrieval(s, d)),
     "qt45_heaps_curve" -> ((s: SparkSession, d: String) =>
       TextAnalysis.heapsCurve(s, d)),
+    "qt46_zipf_curve" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.zipfCurve(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -3583,6 +3585,24 @@ object SparkEntry {
            CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
            CAST(alloc_tokens * 1000 // tokens AS BIGINT) AS epochs_milli
          FROM al""",
+    // Zipf head: count aggregate, ORDER/LIMIT head, rank window on the
+    // 32-row head, pinned ln/ln exponent estimates
+    "qt46_zipf_curve" ->
+      """WITH w AS (
+           SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+           FROM documents),
+         c AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1),
+         s AS (SELECT MAX(cnt) AS c1, CAST(SUM(cnt) AS BIGINT) AS tot FROM c),
+         h AS (
+           SELECT term, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC) AS rank
+           FROM c ORDER BY cnt DESC, term ASC LIMIT 32)
+         SELECT CAST(rank AS INT) AS rank, term, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS freq_share,
+           CASE WHEN rank >= 2 THEN
+             ROUND((ln(CAST(c1 AS DOUBLE)) - ln(CAST(cnt AS DOUBLE)))
+               / ln(CAST(rank AS DOUBLE)), 6) END AS zipf_exp
+         FROM h CROSS JOIN s""",
     // Heaps'-law vocabulary growth: first-bucket min-aggregate per term,
     // running sums over the B-row spine, ln/ln ratio pinned and rounded
     "qt45_heaps_curve" ->

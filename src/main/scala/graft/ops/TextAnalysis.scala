@@ -1849,6 +1849,40 @@ object TextAnalysis {
             log(col("cum_tokens").cast("double")), 6)).as("heaps_ratio"))
   }
 
+  /** qt46: Zipf rank-frequency curve (Zipf 1949) — the top-32 corpus terms
+    * by occurrence count with the empirical Zipf-exponent estimate at each
+    * rank, the companion statistic to qt45's Heaps curve (the two are
+    * mathematically linked; together they are the corpus-health dashboard
+    * a curation pipeline reads before tokenizer training: a crawl whose
+    * head deviates from the Zipf line is template/boilerplate-dominated).
+    *
+    * Scale shape: term counts are one vocabulary-keyed hash aggregate
+    * with map-side partials; the head selection is orderBy+limit, which
+    * Spark plans as TakeOrderedAndProject — per-partition 32-entry heaps,
+    * NO global sort (the qt34-pinned shape, and string payloads ride
+    * free); the 1-row (max count, total tokens) scalar attaches by
+    * broadcast crossJoin; the rank window runs on the 32-row head only.
+    * zipf_exp(r) = (ln c_1 - ln c_r) / ln r for r >= 2 — three lns and
+    * one IEEE division on exactly-agreed int64s, round 6.
+    */
+  def zipfCurve(spark: SparkSession, dir: String, k: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cnt = docs(spark, dir).select(
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val scal = cnt.agg(max(col("cnt")).as("c1"), sum(col("cnt")).as("tot"))
+    val head = cnt.orderBy(col("cnt").desc, col("term").asc).limit(k)
+    head.crossJoin(broadcast(scal))
+      .withColumn("rank", row_number().over( // k-row head only, never corpus
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .select(col("rank"), col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("tot").cast("double"), 6)
+          .as("freq_share"),
+        when(col("rank") >= 2,
+          round((log(col("c1").cast("double")) - log(col("cnt").cast("double")))
+            / log(col("rank").cast("double")), 6)).as("zipf_exp"))
+  }
+
   /** qt44: BM25 top-k retrieval (Robertson & Zaragoza 2009; the Lucene
     * +1-idf variant, k1 = 1.2, b = 0.75) — the ranked-retrieval primitive a
     * training-data pipeline runs for retrieval-based decontamination

@@ -1433,6 +1433,31 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.last._4 == corpus.flatMap(_._2).distinct.size.toLong)
   }
 
+  test("qt46 Zipf head equals a first-principles single-threaded replay") {
+    val sf = "/root/testdata/sf0.001"
+    val ws = java.util.regex.Pattern.compile("\\s+")
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => ws.split(r.getString(0).trim.toLowerCase, -1))
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val tot = counts.values.sum
+    val head = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(32)
+    val c1 = head.head._2
+    val got = TextAnalysis.zipfCurve(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4))).sortBy(_._1)
+    assert(got.length == head.length)
+    got.zip(head.zipWithIndex).foreach { case ((r, t, c, fs, ze), ((et, ec), i)) =>
+      assert(r == i + 1 && t == et && c == ec, s"rank ${i + 1}: ($r,$t,$c) vs ($et,$ec)")
+      assert(math.abs(fs - ec.toDouble / tot) < 5e-7, s"rank $r share")
+      if (r == 1) assert(ze.isNaN, "rank 1 has no exponent")
+      else {
+        val exp = (math.log(c1.toDouble) - math.log(ec.toDouble)) / math.log((i + 1).toDouble)
+        assert(math.abs(ze - exp) < 5e-7, s"rank $r exp $ze vs $exp")
+      }
+    }
+  }
+
   test("qt44 BM25 survives degenerate documents (empty, whitespace, one-word)") {
     val ss = spark; import ss.implicits._
     val dir = Files.createTempDirectory("graft-bm25edge").toString
