@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-level curation verdict — the composed admission decision a
+  * training-data pipeline renders per document, end to end, under one
+  * oracle. qd10 put the dedup COMPOSITION (LSH pairs → CC → survivorship)
+  * under the hash gate; this op does the same for the gating side of the
+  * pipeline: every stage below is an already-oracled primitive's exact
+  * semantics, re-composed into the final keep/drop/weight table that a
+  * data loader would actually consume.
+  *
+  * Gate order (first failing gate names the drop reason — the triage
+  * convention curation dashboards use):
+  *   1. `eval_holdout`  — the doc IS benchmark material (qt8's carve-out:
+  *      doc_id % evalMod == 0); it must never train.
+  *   2. `duplicate`     — not the canonical (min doc_id) member of its
+  *      exact normalized-fingerprint family (qd1 keep-first semantics).
+  *   3. `lang`          — outside the language allowlist (en/fr/de/es).
+  *   4. `quality`       — fails the Gopher-style battery subset (qt20's
+  *      rounded-before-compare discipline): word count >= 30, mean word
+  *      length in [3,10], alphabetic-word ratio >= 0.8. The stopword rule
+  *      is omitted deliberately — it is English-specific and the corpus is
+  *      multilingual; language-conditional rules belong downstream.
+  *   5. `contaminated`  — shares any `gramWords`-gram with the eval set
+  *      (qt8's broadcast-eval-grams decontamination, existence form).
+  *   6. `over_budget`   — survived every gate but lost the token-budget
+  *      draw: the global budget (budgetPct% of all admitted tokens) is
+  *      water-filled across sources by qt43's exact integer allocation,
+  *      and each doc is admitted iff its salted hash bucket (qt7's
+  *      sampling form) falls under its source's alloc-derived milli-rate.
+  *   else `kept`, with a soft survivorship weight 1/family_size (the
+  *   qd22 soft-dedup convention) for loss re-weighting downstream.
+  *
+  * Scale shape, stage by stage: the fingerprint family is ONE hash
+  * shuffle on md5 (qd1); eval grams broadcast (the eval suite is tiny by
+  * definition) and the contamination probe is an explode + broadcast hash
+  * join + ids-only distinct (qt8); the water-fill runs entirely on the
+  * S-row per-source summary (qt43's model-sized-window discipline — S is
+  * bounded metadata cardinality, never corpus-sized); the rate table
+  * joins back AQE size-gated (the qt9/qt11 policy — never hinted); and
+  * the admission itself is a map-only hash-bucket comparison. That last
+  * choice is THE 100-TB property: an exact per-source prefix-sum cutoff
+  * would need a corpus-sized ordered window per source — hash-rate
+  * admission needs zero extra shuffles, is deterministic, and lands
+  * within quantization of the same allocation (production samplers make
+  * the same trade). Everything downstream of md5 is integer or
+  * round-before-compare math, so the DuckDB oracle replays the entire
+  * verdict bit-for-bit.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def curationVerdict(spark: SparkSession, dir: String, budgetPct: Int = 55,
+      gramWords: Int = 4, evalMod: Int = 29): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir)
+
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = size(words).cast("long")
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val base = d.select(
+      col("doc_id"), col("source"), col("lang"),
+      nWords.as("tokens"),
+      round(wordChars.cast("double") / nWords, 4).as("mean_word_len"),
+      round(alphaWords.cast("double") / nWords, 6).as("alpha_word_ratio"),
+      Dedup.fingerprintCol(col("text")).as("fp"))
+
+    // Gate 2 feeder: exact families, one md5-keyed shuffle (qd1 shape).
+    val fam = base.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canon_id"), count(lit(1)).as("n_dups"))
+
+    // Gate 5 feeder: qt8's decontamination, existence form.
+    val grams = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("g")).distinct()
+    val contamIds = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+
+    val gated = base.join(fam, Seq("fp"))
+      .join(contamIds, Seq("doc_id"), "left")
+      .withColumn("is_eval", col("doc_id") % evalMod === 0)
+      .withColumn("is_dup", col("doc_id") =!= col("canon_id"))
+      .withColumn("lang_ok", col("lang").isin("en", "fr", "de", "es"))
+      .withColumn("quality_ok",
+        col("tokens") >= 30L && col("mean_word_len").between(3d, 10d) &&
+          col("alpha_word_ratio") >= 0.8d)
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+      .withColumn("pass",
+        !col("is_eval") && !col("is_dup") && col("lang_ok") &&
+          col("quality_ok") && !col("contaminated"))
+
+    // Gate 6: qt43's water-filling over per-source ADMITTED token
+    // capacities — S-row summary windows only.
+    val caps = gated.filter(col("pass"))
+      .groupBy(col("source")).agg(sum(col("tokens")).as("capacity"))
+    val byCap = Window.orderBy(col("capacity").asc, col("source").asc)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = caps
+      .withColumn("i", row_number().over(byCap).cast("long"))
+      .withColumn("cum", sum(col("capacity")).over(byCap))
+      .withColumn("k", count(lit(1)).over(all).cast("long"))
+      .withColumn("total_cap", sum(col("capacity")).over(all))
+      .withColumn("budget", expr(s"total_cap * $budgetPct DIV 100"))
+      .withColumn("fits",
+        col("capacity") * (col("k") - col("i") + 1) <=
+          col("budget") - (col("cum") - col("capacity")))
+    val p = ranked.agg(
+      coalesce(min(when(!col("fits"), col("i"))) - 1, max(col("i"))).as("p"))
+    val rates = ranked.crossJoin(broadcast(p))
+      .withColumn("cum_p", coalesce(max(when(col("i") <= col("p"),
+        col("cum"))).over(Window.partitionBy(lit(1))), lit(0L)))
+      .withColumn("share", when(col("k") > col("p"),
+        expr("(budget - cum_p) DIV (k - p)")).otherwise(lit(0L)))
+      .withColumn("rem", when(col("k") > col("p"),
+        expr("(budget - cum_p) % (k - p)")).otherwise(lit(0L)))
+      .withColumn("alloc", when(col("i") <= col("p"), col("capacity"))
+        .otherwise(col("share") +
+          when(col("i") - col("p") <= col("rem"), lit(1L)).otherwise(lit(0L))))
+      .select(col("source"), expr("alloc * 1000 DIV capacity").as("rate_milli"))
+
+    // Admission draw: qt7's salted md5 bucket — map-only, zero shuffles.
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit("#curation"))), 1, 15), 16, 10).cast("long") % 1000
+
+    gated.join(rates, Seq("source"), "left")
+      .withColumn("bucket", bucket)
+      .select(
+        col("doc_id"), col("source"), col("lang"), col("tokens"),
+        col("n_dups"),
+        round(lit(1.0) / col("n_dups"), 6).as("weight"),
+        when(col("is_eval"), "eval_holdout")
+          .when(col("is_dup"), "duplicate")
+          .when(!col("lang_ok"), "lang")
+          .when(!col("quality_ok"), "quality")
+          .when(col("contaminated"), "contaminated")
+          .when(col("bucket") >= col("rate_milli"), "over_budget")
+          .otherwise("kept").as("drop_reason"),
+        (col("pass") && col("bucket") < col("rate_milli"))
+          .cast("int").as("kept"))
+  }
+}

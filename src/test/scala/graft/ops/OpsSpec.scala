@@ -1433,6 +1433,86 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.last._4 == corpus.flatMap(_._2).distinct.size.toLong)
   }
 
+  test("qp1 curation verdict equals a first-principles single-threaded replay") {
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def bucket(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(s"$id#curation").take(15), 16) % 1000
+    def rnd(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val alpha = java.util.regex.Pattern.compile("[A-Za-z]")
+    case class D(id: Long, src: String, lang: String, tokens: Long,
+      mwl: Double, awr: Double, fp: String, sh: Set[String])
+    val ds = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "lang", "text").collect().map { r =>
+        val (id, src, lang, text) =
+          (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+        val ws = text.trim.split("\\s+", -1)
+        val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+        val nw = norm.split(" ", -1)
+        val sh = (0 until math.max(nw.length - 3, 1))
+          .map(i => nw.slice(i, i + 4).mkString(" ")).filter(_.nonEmpty).toSet
+        D(id, src, lang, ws.length.toLong,
+          rnd(ws.map(_.length.toLong).sum.toDouble / ws.length, 4),
+          rnd(ws.count(w => alpha.matcher(w).find).toDouble / ws.length, 6),
+          md5hex(norm), sh)
+      }
+    val fam = ds.groupBy(_.fp)
+      .map { case (fp, xs) => fp -> (xs.map(_.id).min, xs.length.toLong) }
+    val evalG = ds.filter(_.id % 29 == 0).flatMap(_.sh).toSet
+    val gated = ds.map { d =>
+      val (canon, nd) = fam(d.fp)
+      val isEval = d.id % 29 == 0
+      val isDup = d.id != canon
+      val langOk = Set("en", "fr", "de", "es")(d.lang)
+      val qOk = d.tokens >= 30 && d.mwl >= 3 && d.mwl <= 10 && d.awr >= 0.8
+      val contam = !isEval && d.sh.exists(evalG)
+      (d, nd, isEval, isDup, langOk, qOk, contam,
+        !isEval && !isDup && langOk && qOk && !contam)
+    }
+    // qt43-form water-fill over per-source admitted tokens (55% budget)
+    val order = gated.filter(_._8).groupBy(_._1.src)
+      .map { case (s, xs) => s -> xs.map(_._1.tokens).sum }
+      .toSeq.sortBy { case (s, c) => (c, s) }
+    val k = order.length.toLong
+    val budget = order.map(_._2).sum * 55 / 100
+    val cums = order.scanLeft(0L)(_ + _._2).tail
+    val fits = order.zipWithIndex.map { case ((_, c), idx) =>
+      c * (k - idx) <= budget - (cums(idx) - c) }
+    val p = fits.indexWhere(!_) match { case -1 => k; case i => i.toLong }
+    val cumP = if (p == 0) 0L else cums((p - 1).toInt)
+    val share = if (k > p) (budget - cumP) / (k - p) else 0L
+    val rem = if (k > p) (budget - cumP) % (k - p) else 0L
+    val rate = order.zipWithIndex.map { case ((s, c), idx) =>
+      val i = idx + 1L
+      val alloc = if (i <= p) c else share + (if (i - p <= rem) 1L else 0L)
+      s -> alloc * 1000 / c
+    }.toMap
+    val exp = gated.map { case (d, nd, isEval, isDup, langOk, qOk, contam, pass) =>
+      val b = bucket(d.id)
+      val rm = rate.getOrElse(d.src, 0L)
+      val reason =
+        if (isEval) "eval_holdout" else if (isDup) "duplicate"
+        else if (!langOk) "lang" else if (!qOk) "quality"
+        else if (contam) "contaminated"
+        else if (b >= rm) "over_budget" else "kept"
+      (d.id, d.src, d.lang, d.tokens, nd, rnd(1.0 / nd, 6), reason,
+        if (pass && b < rm) 1 else 0)
+    }.sortBy(_._1)
+    val got = Curation.curationVerdict(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getString(6), r.getInt(7)))
+      .sortBy(_._1)
+    assert(got.length == exp.length)
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"\n got=$g\n exp=$e") }
+    // every gate except `duplicate` binds at sf0.001 (no exact dups there)
+    val reasons = got.map(_._7).toSet
+    assert(Set("kept", "over_budget", "quality", "lang", "contaminated",
+      "eval_holdout").subsetOf(reasons), reasons.toString)
+  }
+
   test("qt46 Zipf head equals a first-principles single-threaded replay") {
     val sf = "/root/testdata/sf0.001"
     val ws = java.util.regex.Pattern.compile("\\s+")
