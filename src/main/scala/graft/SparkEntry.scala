@@ -239,6 +239,8 @@ object SparkEntry {
       TextAnalysis.heapsCurve(s, d)),
     "qt46_zipf_curve" -> ((s: SparkSession, d: String) =>
       TextAnalysis.zipfCurve(s, d)),
+    "qt47_source_overlap" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sourceOverlap(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -3686,6 +3688,37 @@ object SparkEntry {
            CAST(CASE WHEN pass AND CAST('0x' || substr(md5(CAST(gp.doc_id AS VARCHAR) || '#curation'), 1, 15) AS BIGINT) % 1000 < rr.rate_milli
              THEN 1 ELSE 0 END AS INT) AS kept
          FROM gp LEFT JOIN rr USING (source)""",
+    // Source-overlap matrix: distinct (source, 3-gram) sets, shingle-keyed
+    // pair intersections, complete S x S skeleton with explicit zeros
+    "qt47_source_overlap" ->
+      """WITH w AS (
+           SELECT source,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT source, list_distinct(list_filter(
+             [list_aggregate(words[i:i+2], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-2, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         ss AS (SELECT DISTINCT source, unnest(sh) AS g FROM sh),
+         sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+         inter AS (
+           SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT a.source AS src_a, a.n AS n_a, b.source AS src_b, b.n AS n_b
+           FROM sizes a JOIN sizes b ON a.source < b.source)
+         SELECT src_a, src_b, n_a, n_b,
+           COALESCE(n_inter, 0) AS n_inter,
+           ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE)
+             / CAST(n_a + n_b - COALESCE(n_inter, 0) AS DOUBLE), 6) AS jaccard,
+           ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+             AS containment_a,
+           ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+             AS containment_b
+         FROM pairs LEFT JOIN inter USING (src_a, src_b)""",
     // Zipf head: count aggregate, ORDER/LIMIT head, rank window on the
     // 32-row head, pinned ln/ln exponent estimates
     "qt46_zipf_curve" ->

@@ -1883,6 +1883,52 @@ object TextAnalysis {
             / log(col("rank").cast("double")), 6)).as("zipf_exp"))
   }
 
+  /** qt47: pairwise source-overlap matrix — distinct-shingle Jaccard and
+    * BOTH directed containments for every source pair, the statistic a
+    * curation team reads to decide whether a new crawl snapshot or vendor
+    * feed adds data or re-sells what the corpus already holds (containment,
+    * not resemblance, answers that: a small feed fully inside CommonCrawl
+    * has containment ~1 at negligible Jaccard).
+    *
+    * Scale shape: distinct (source, shingle) is one hash aggregate; the
+    * pairwise intersection is a shingle-KEYED self-join (the standard
+    * equi-join shape — never source-pair-enumerated against the corpus),
+    * and a gram shared by s sources contributes C(s,2) <= S^2/2 pair rows,
+    * bounded because source cardinality is metadata-bounded (the qt43
+    * assumption). The complete matrix skeleton (including zero-overlap
+    * pairs) builds from the S-row size table, so absent intersections
+    * surface as explicit zeros. At true web scale the exact self-join is
+    * what you'd REPLACE with per-source KMV sketches (qt36's machinery,
+    * union/intersection estimates at fixed memory); this exact form is the
+    * ground truth that calibrates that sketch, and is itself the 100-GB-
+    * tier tool. All ratios are int64-over-int64, round 6.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String, w: Int = 3): DataFrame = {
+    val ss = docs(spark, dir)
+      .select(col("source"), explode(Dedup.shingles(col("text"), w)).as("g"))
+      .distinct()
+    val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = ss.as("a")
+      .join(ss.as("b"),
+        col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_inter"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6)
+          .as("jaccard"),
+        round(col("n_inter").cast("double") / col("n_a").cast("double"), 6)
+          .as("containment_a"),
+        round(col("n_inter").cast("double") / col("n_b").cast("double"), 6)
+          .as("containment_b"))
+  }
+
   /** qt44: BM25 top-k retrieval (Robertson & Zaragoza 2009; the Lucene
     * +1-idf variant, k1 = 1.2, b = 0.75) — the ranked-retrieval primitive a
     * training-data pipeline runs for retrieval-based decontamination

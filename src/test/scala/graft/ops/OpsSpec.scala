@@ -1513,6 +1513,35 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eval_holdout").subsetOf(reasons), reasons.toString)
   }
 
+  test("qt47 source-overlap matrix equals a first-principles replay") {
+    val sf = "/root/testdata/sf0.001"
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (src, xs) =>
+        src -> xs.flatMap { case (_, text) =>
+          val nw = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ", -1)
+          (0 until math.max(nw.length - 2, 1))
+            .map(i => nw.slice(i, i + 3).mkString(" ")).filter(_.nonEmpty)
+        }.toSet
+      }
+    val srcs = sets.keys.toSeq.sorted
+    val exp = (for {
+      a <- srcs; b <- srcs if a < b
+      na = sets(a).size.toLong; nb = sets(b).size.toLong
+      ni = (sets(a) intersect sets(b)).size.toLong
+    } yield (a, b, na, nb, ni, rnd(ni.toDouble / (na + nb - ni)),
+      rnd(ni.toDouble / na), rnd(ni.toDouble / nb))).sortBy(t => (t._1, t._2))
+    val got = TextAnalysis.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.length == exp.length) // complete matrix incl. zero-overlap
+    got.zip(exp).foreach { case (g, e) => assert(g == e, s"\n got=$g\n exp=$e") }
+  }
+
   test("qt46 Zipf head equals a first-principles single-threaded replay") {
     val sf = "/root/testdata/sf0.001"
     val ws = java.util.regex.Pattern.compile("\\s+")
