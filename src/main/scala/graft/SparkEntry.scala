@@ -241,6 +241,8 @@ object SparkEntry {
       TextAnalysis.zipfCurve(s, d)),
     "qt47_source_overlap" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceOverlap(s, d)),
+    "qt48_blocklist" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.blocklistScan(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -3719,6 +3721,33 @@ object SparkEntry {
            ROUND(CAST(COALESCE(n_inter, 0) AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
              AS containment_b
          FROM pairs LEFT JOIN inter USING (src_a, src_b)""",
+    // Blocklist scan: per-phrase overlapping-occurrence counts replayed
+    // with a position comprehension (range end < start => empty list, so
+    // docs shorter than a phrase contribute zero); rate/flag in integer
+    // math. Spark runs the same semantics in one Aho-Corasick pass.
+    "qt48_blocklist" ->
+      """WITH p AS (
+           SELECT unnest(['slow scan', 'hash join', 'a a', 'an', 'merge'])
+             AS ph),
+         t AS (
+           SELECT doc_id, lower(text) AS lt,
+             CAST(length(text) AS BIGINT) AS n
+           FROM documents),
+         h AS (
+           SELECT t.doc_id, p.ph,
+             CAST(len([i FOR i IN range(1, t.n - length(p.ph) + 2)
+               IF substr(t.lt, i, length(p.ph)) = p.ph]) AS BIGINT) AS c
+           FROM t CROSS JOIN p),
+         a AS (
+           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_hits,
+             CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_phrases
+           FROM h GROUP BY 1)
+         SELECT t.doc_id, a.n_hits, a.n_phrases,
+           a.n_hits * 10000 // GREATEST(t.n, 1) AS hits_per_10k,
+           CAST(CASE WHEN a.n_hits * 10000 // GREATEST(t.n, 1) >= 150
+             THEN 1 ELSE 0 END AS INT) AS flagged
+         FROM t JOIN a USING (doc_id)""",
     // Zipf head: count aggregate, ORDER/LIMIT head, rank window on the
     // 32-row head, pinned ln/ln exponent estimates
     "qt46_zipf_curve" ->

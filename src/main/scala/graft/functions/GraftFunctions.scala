@@ -667,6 +667,120 @@ object GraftImpl {
     org.apache.spark.sql.catalyst.InternalRow(
       n, lat, cyr, grk, ara, heb, cjk, han, dig, spc, oth)
   }
+
+  /** ac_scan(text, automaton): one-pass multi-phrase substring scan.
+    * Returns (n_hits, n_phrases) — total occurrence positions over all
+    * phrases (overlaps included) and the count of distinct phrases hit.
+    * Always non-null (a no-hit doc is (0, 0)), so defineCodeGen's
+    * non-null-result contract holds.
+    */
+  def acScan(text: UTF8String,
+      ac: AcAutomaton): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    var state = 0
+    var hits = 0L
+    val seen = new Array[Boolean](ac.nPhrases)
+    var nSeen = 0L
+    var i = 0
+    while (i < s.length) {
+      state = ac.step(state, s.charAt(i))
+      val ids = ac.out(state)
+      var j = 0
+      while (j < ids.length) {
+        hits += 1
+        if (!seen(ids(j))) { seen(ids(j)) = true; nSeen += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(hits, nSeen)
+  }
+}
+
+/** Aho–Corasick automaton over UTF-16 chars for multi-phrase substring
+  * scanning (Aho & Corasick 1975, CACM 18(6) — "Efficient string matching:
+  * an aid to bibliographic search"). Built once on the driver from the
+  * literal phrase list and shipped to executors inside the plan's
+  * reference array (ctx.addReferenceObj), so the per-row scan has zero
+  * setup and runs O(|text| + matches) regardless of how many phrases the
+  * blocklist holds — the reason production badword/contamination filters
+  * use an automaton instead of |P| independent contains() passes. Each
+  * node's output set is precomputed as own endings + fail-chain endings,
+  * so the scan never walks suffix links at match time.
+  */
+final class AcAutomaton(val phrases: Array[String]) extends Serializable {
+  require(phrases.nonEmpty && phrases.forall(_.nonEmpty) &&
+    phrases.distinct.length == phrases.length,
+    "ac_scan needs a non-empty list of distinct, non-empty phrases")
+
+  val nPhrases: Int = phrases.length
+
+  private val (children, fail, outIds) = AcAutomaton.build(phrases)
+
+  /** goto with fail-link fallback; root absorbs unknown chars. */
+  def step(state0: Int, c: Char): Int = {
+    var s = state0
+    var nxt = children(s).get(c)
+    while (s != 0 && nxt == null) {
+      s = fail(s)
+      nxt = children(s).get(c)
+    }
+    if (nxt == null) 0 else nxt.intValue
+  }
+
+  /** phrase ids ending at this state (own + every fail-chain suffix). */
+  def out(state: Int): Array[Int] = outIds(state)
+}
+
+object AcAutomaton {
+  private def build(phrases: Array[String]): (
+      Array[java.util.HashMap[Character, Integer]], Array[Int],
+      Array[Array[Int]]) = {
+    val ch = scala.collection.mutable.ArrayBuffer
+      .empty[java.util.HashMap[Character, Integer]]
+    val own = scala.collection.mutable.ArrayBuffer
+      .empty[scala.collection.mutable.ArrayBuffer[Int]]
+    def node(): Int = {
+      ch += new java.util.HashMap[Character, Integer]()
+      own += scala.collection.mutable.ArrayBuffer.empty[Int]
+      ch.length - 1
+    }
+    node() // root = 0
+    var p = 0
+    while (p < phrases.length) {
+      var s = 0
+      var i = 0
+      val ph = phrases(p)
+      while (i < ph.length) {
+        val c = ph.charAt(i)
+        val nxt = ch(s).get(c)
+        s = if (nxt == null) { val t = node(); ch(s).put(c, t); t }
+        else nxt.intValue
+        i += 1
+      }
+      own(s) += p
+      p += 1
+    }
+    val n = ch.length
+    val fail = new Array[Int](n)
+    val out = new Array[Array[Int]](n)
+    out(0) = own(0).toArray // empty: phrases are non-empty
+    val q = new java.util.ArrayDeque[Integer]()
+    ch(0).forEach { (_, v) => fail(v) = 0; q.add(v) }
+    while (!q.isEmpty) {
+      val u = q.poll().intValue
+      out(u) = (own(u) ++ out(fail(u))).toArray
+      ch(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && ch(f).get(c) == null) f = fail(f)
+        val t = ch(f).get(c)
+        fail(v.intValue) =
+          if (t != null && t.intValue != v.intValue) t.intValue else 0
+        q.add(v)
+      }
+    }
+    (ch.toArray, fail, out)
+  }
 }
 
 /** cms_sketch(item, depth, width): Count-Min Sketch aggregate (Cormode &
@@ -1328,6 +1442,30 @@ case class SrpSigs(child: Expression, tables: Int, bits: Int) extends UnaryExpre
   override def prettyName: String = "srp_sigs"
 }
 
+/** ac_scan(text, phrases): Aho–Corasick multi-phrase substring scan —
+  * STRUCT(n_hits, n_phrases) per row in one O(|text| + matches) pass.
+  * The automaton is built once from the literal phrase list and rides the
+  * plan's reference array to executors. SQL form takes the phrases as one
+  * '|'-joined string literal.
+  */
+case class AcScan(child: Expression, phrases: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hits", LongType, nullable = false),
+    StructField("n_phrases", LongType, nullable = false)))
+  @transient private lazy val ac = new AcAutomaton(phrases.toArray)
+  override protected def nullSafeEval(input: Any): Any =
+    GraftImpl.acScan(input.asInstanceOf[UTF8String], ac)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac,
+      "graft.functions.AcAutomaton")
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftImpl.acScan($c, $acRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AcScan =
+    copy(child = newChild)
+  override def prettyName: String = "ac_scan"
+}
+
 /** Column-level entry points. Functions register themselves in the active
   * session's registry on first use (temp functions, also callable from SQL).
   */
@@ -1380,12 +1518,24 @@ object GraftFunctions {
       exprs => WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2))), "built-in")
     reg.createOrReplaceTempFunction("bpe_merge",
       exprs => BpeMerge(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("ac_scan",
+      exprs => AcScan(exprs(0), splitPhrases(strLit(exprs(1)))), "built-in")
   }
 
   private[graft] def intLit(e: Expression): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"expected int literal, got $other")
   }
+
+  private[graft] def strLit(e: Expression): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: UTF8String, _) =>
+      v.toString
+    case other =>
+      throw new IllegalArgumentException(s"expected string literal, got $other")
+  }
+
+  private[graft] def splitPhrases(joined: String): Seq[String] =
+    joined.split('|').toSeq
 
   private def ensureRegistered(): Unit = register(SparkSession.active)
 
@@ -1483,5 +1633,16 @@ object GraftFunctions {
     ensureRegistered()
     call_function("top_k_rank", sortKey.cast("double"), payload.cast("long"),
       org.apache.spark.sql.functions.lit(k))
+  }
+
+  /** Multi-phrase blocklist scan; phrases must not contain '|' (the SQL
+    * form's join separator).
+    */
+  def acScan(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.forall(!_.contains('|')),
+      "ac_scan phrases must not contain '|'")
+    ensureRegistered()
+    call_function("ac_scan", text,
+      org.apache.spark.sql.functions.lit(phrases.mkString("|")))
   }
 }

@@ -2018,4 +2018,45 @@ object TextAnalysis {
         round(col("e.sort_key"), 6).as("score"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  /** qt48: BLOCKLIST SCAN — the multi-phrase substring filter every web
+    * pipeline runs before training (C4's badwords gate, contamination
+    * phrase lists, policy blocklists): per document, the total occurrence
+    * count and distinct-phrase count over a fixed phrase list, plus a
+    * length-normalized rate and the flag decision. Matching is SUBSTRING
+    * matching on the lowercased text (the automaton primitive; a
+    * word-boundary variant is one anchor-char away), with overlapping
+    * occurrences counted — both engines count every (position, phrase)
+    * match pair.
+    *
+    * The scan is the native `ac_scan` Aho–Corasick expression: ONE pass
+    * per document regardless of blocklist size, vs the |P| contains()
+    * scans (each O(n·m)) the naive plan would run — at a 100-TB corpus
+    * with real blocklists (hundreds to thousands of phrases) that is the
+    * difference between one streaming read of each doc and thousands.
+    * The automaton is built once from the literal list and rides the
+    * plan's reference array; the whole op is map-only inside whole-stage
+    * codegen (zero exchanges — PlanSpec asserts it).
+    *
+    * The rate is integer math (hits·10⁴ DIV chars) so the flag replays
+    * exactly in DuckDB; the oracle counts the same overlapping matches
+    * with a per-phrase position comprehension.
+    */
+  def blocklistScan(spark: SparkSession, dir: String,
+      phrases: Seq[String] =
+        Seq("slow scan", "hash join", "a a", "an", "merge"),
+      flagPerTenK: Int = 150): DataFrame = {
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_t"),
+        graft.functions.GraftFunctions
+          .acScan(lower(col("text")), phrases).as("s"))
+      .select(col("doc_id"),
+        col("s.n_hits").as("n_hits"),
+        col("s.n_phrases").as("n_phrases"),
+        expr("s.n_hits * 10000 DIV greatest(n_chars_t, 1)")
+          .as("hits_per_10k"))
+      .withColumn("flagged",
+        (col("hits_per_10k") >= flagPerTenK).cast("int"))
+  }
 }

@@ -3,10 +3,11 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeMerge, CharEntropy, CmsSketch, CosineSimilarity,
-  DotFF, DotI64, GopherRepetition, GraftFunctions, HllMerge, HllSketch,
-  JaccardSorted, KmvSketch, MinHashAffine, MinHashSig, RepetitionProfile,
-  ScriptProfile, SimHash64, SrpSigs, TopKRankAgg, WinnowFps, WordShingles}
+import graft.functions.{AcScan, BpeMerge, CharEntropy, CmsSketch,
+  CosineSimilarity, DotFF, DotI64, GopherRepetition, GraftFunctions,
+  HllMerge, HllSketch, JaccardSorted, KmvSketch, MinHashAffine, MinHashSig,
+  RepetitionProfile, ScriptProfile, SimHash64, SrpSigs, TopKRankAgg,
+  WinnowFps, WordShingles}
 
 /** Catalyst extension point: register the engine's native expressions at
   * session build time so plain SQL can use them —
@@ -67,5 +68,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => WinnowFps(exprs(0), intLit(exprs(1)), intLit(exprs(2))))
     inject("bpe_merge", classOf[BpeMerge],
       exprs => BpeMerge(exprs(0), exprs(1), exprs(2)))
+    inject("ac_scan", classOf[AcScan],
+      exprs => AcScan(exprs(0),
+        GraftFunctions.splitPhrases(GraftFunctions.strLit(exprs(1)))))
   }
 }

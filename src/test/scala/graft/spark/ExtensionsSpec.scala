@@ -117,6 +117,10 @@ class ExtensionsSpec extends AnyFunSuite {
       val poss = wf.map(_.getLong(0))
       assert(poss.nonEmpty && poss.length <= 3 && poss == poss.sorted &&
         poss.forall(p => p >= 0 && p <= 5), wf.toString)
+      // ac_scan: '|'-joined phrase list; "ushers" hits she/he/hers
+      val ac = spark.sql(
+        "SELECT ac_scan('ushers', 'he|she|his|hers') AS a").head.getStruct(0)
+      assert(ac.getLong(0) == 3L && ac.getLong(1) == 3L, ac.toString)
     } finally spark.stop()
   }
 }
