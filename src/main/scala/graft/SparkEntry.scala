@@ -134,9 +134,11 @@ object SparkEntry {
       UrlCuration.snapshotDedup(s, d)),
     "qu4_url_features" -> ((s: SparkSession, d: String) =>
       UrlCuration.urlFeatures(s, d)),
-    // ---- composed per-document admission verdict ----
+    // ---- composed per-document admission verdict + release manifest ----
     "qp1_curation_verdict" -> ((s: SparkSession, d: String) =>
       Curation.curationVerdict(s, d)),
+    "qp2_release_manifest" -> ((s: SparkSession, d: String) =>
+      Curation.releaseManifest(s, d)),
     // ---- link-graph centrality ----
     "qg1_host_pagerank" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostPagerank(s, d)),
@@ -1656,6 +1658,95 @@ object SparkEntry {
           sz.community_size
         FROM l$k JOIN sz ON sz.label = l$k.label"""
   }
+
+  /** qp1/qp2 shared DuckDB CTE chain: the composed admission pipeline
+    * (qd1 families + qt20-subset quality + qt8 gram contamination + qt43
+    * water-fill), ending at the per-source rate table `rr` and the gated
+    * document table `gp`. qp1 appends the verdict SELECT; qp2 appends the
+    * kept-set filter + shard manifest aggregation.
+    */
+  private val curationChain: String =
+    """WITH w AS (
+           SELECT doc_id, source, lang, text,
+             string_split_regex(trim(text), '\s+') AS words
+           FROM documents),
+         base AS (
+           SELECT doc_id, source, lang,
+             CAST(len(words) AS BIGINT) AS tokens,
+             round(CAST(list_sum([length(x) FOR x IN words]) AS DOUBLE)
+               / len(words), 4) AS mwl,
+             round(len([x FOR x IN words IF regexp_matches(x, '[A-Za-z]')])
+               / CAST(len(words) AS DOUBLE), 6) AS awr,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM w),
+         fam AS (
+           SELECT fp, MIN(doc_id) AS canon_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dups
+           FROM base GROUP BY 1),
+         shw AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+3], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-3, 1)+1)], x -> x <> '')) AS sh
+           FROM shw),
+         ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 29 = 0),
+         cont AS (
+           SELECT DISTINCT co.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 <> 0) co
+           JOIN ev USING (g)),
+         g AS (
+           SELECT b.doc_id, b.source, b.lang, b.tokens, f.n_dups,
+             (b.doc_id % 29 = 0) AS is_eval,
+             (b.doc_id <> f.canon_id) AS is_dup,
+             (b.lang IN ('en', 'fr', 'de', 'es')) AS lang_ok,
+             (b.tokens >= 30 AND b.mwl BETWEEN 3 AND 10 AND b.awr >= 0.8)
+               AS quality_ok,
+             (cont.doc_id IS NOT NULL) AS contaminated
+           FROM base b JOIN fam f USING (fp)
+           LEFT JOIN cont ON b.doc_id = cont.doc_id),
+         gp AS (
+           SELECT g.*, (NOT is_eval AND NOT is_dup AND lang_ok AND quality_ok
+             AND NOT contaminated) AS pass
+           FROM g),
+         caps AS (
+           SELECT source, CAST(SUM(tokens) AS BIGINT) AS capacity
+           FROM gp WHERE pass GROUP BY 1),
+         r AS (
+           SELECT caps.*,
+             CAST(ROW_NUMBER() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
+             CAST(SUM(capacity) OVER (ORDER BY capacity, source) AS BIGINT) AS cum,
+             CAST(COUNT(*) OVER () AS BIGINT) AS k,
+             CAST(SUM(capacity) OVER () AS BIGINT) AS total_cap
+           FROM caps),
+         r1 AS (SELECT r.*, total_cap * 55 // 100 AS budget FROM r),
+         r2 AS (
+           SELECT r1.*,
+             CASE WHEN capacity * (k - i + 1) <= budget - (cum - capacity)
+               THEN 1 ELSE 0 END AS fits
+           FROM r1),
+         pp AS (
+           SELECT COALESCE(MIN(CASE WHEN fits = 0 THEN i END) - 1, MAX(i)) AS p
+           FROM r2),
+         cp AS (
+           SELECT COALESCE(CAST(MAX(CASE WHEN r2.i <= pp.p THEN r2.cum END)
+             AS BIGINT), 0) AS cum_p
+           FROM r2, pp),
+         fin AS (
+           SELECT r2.*, pp.p, cp.cum_p,
+             CASE WHEN k > p THEN (budget - cum_p) // (k - p)
+               ELSE CAST(0 AS BIGINT) END AS share,
+             CASE WHEN k > p THEN (budget - cum_p) % (k - p)
+               ELSE CAST(0 AS BIGINT) END AS rem
+           FROM r2, pp, cp),
+         rr AS (
+           SELECT source,
+             (CASE WHEN i <= p THEN capacity
+               ELSE share + CASE WHEN i - p <= rem THEN 1 ELSE 0 END END)
+               * 1000 // capacity AS rate_milli
+           FROM fin)"""
 
   /** DuckDB-runnable oracles, column-aligned with the Spark results. */
   def oracleSql: Map[String, String] = Map(
@@ -3595,88 +3686,7 @@ object SparkEntry {
     // Composed admission verdict: qd1 families + qt20-subset quality +
     // qt8 gram contamination + qt43 water-fill + qt7 hash-rate admission,
     // all replayed in one CTE chain; reason CASE mirrors the gate order
-    "qp1_curation_verdict" ->
-      """WITH w AS (
-           SELECT doc_id, source, lang, text,
-             string_split_regex(trim(text), '\s+') AS words
-           FROM documents),
-         base AS (
-           SELECT doc_id, source, lang,
-             CAST(len(words) AS BIGINT) AS tokens,
-             round(CAST(list_sum([length(x) FOR x IN words]) AS DOUBLE)
-               / len(words), 4) AS mwl,
-             round(len([x FOR x IN words IF regexp_matches(x, '[A-Za-z]')])
-               / CAST(len(words) AS DOUBLE), 6) AS awr,
-             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-           FROM w),
-         fam AS (
-           SELECT fp, MIN(doc_id) AS canon_id,
-             CAST(COUNT(*) AS BIGINT) AS n_dups
-           FROM base GROUP BY 1),
-         shw AS (
-           SELECT doc_id,
-             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
-           FROM documents),
-         sh AS (
-           SELECT doc_id, list_distinct(list_filter(
-             [list_aggregate(words[i:i+3], 'string_agg', ' ')
-              FOR i IN range(1, GREATEST(len(words)-3, 1)+1)], x -> x <> '')) AS sh
-           FROM shw),
-         ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 29 = 0),
-         cont AS (
-           SELECT DISTINCT co.doc_id
-           FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 <> 0) co
-           JOIN ev USING (g)),
-         g AS (
-           SELECT b.doc_id, b.source, b.lang, b.tokens, f.n_dups,
-             (b.doc_id % 29 = 0) AS is_eval,
-             (b.doc_id <> f.canon_id) AS is_dup,
-             (b.lang IN ('en', 'fr', 'de', 'es')) AS lang_ok,
-             (b.tokens >= 30 AND b.mwl BETWEEN 3 AND 10 AND b.awr >= 0.8)
-               AS quality_ok,
-             (cont.doc_id IS NOT NULL) AS contaminated
-           FROM base b JOIN fam f USING (fp)
-           LEFT JOIN cont ON b.doc_id = cont.doc_id),
-         gp AS (
-           SELECT g.*, (NOT is_eval AND NOT is_dup AND lang_ok AND quality_ok
-             AND NOT contaminated) AS pass
-           FROM g),
-         caps AS (
-           SELECT source, CAST(SUM(tokens) AS BIGINT) AS capacity
-           FROM gp WHERE pass GROUP BY 1),
-         r AS (
-           SELECT caps.*,
-             CAST(ROW_NUMBER() OVER (ORDER BY capacity, source) AS BIGINT) AS i,
-             CAST(SUM(capacity) OVER (ORDER BY capacity, source) AS BIGINT) AS cum,
-             CAST(COUNT(*) OVER () AS BIGINT) AS k,
-             CAST(SUM(capacity) OVER () AS BIGINT) AS total_cap
-           FROM caps),
-         r1 AS (SELECT r.*, total_cap * 55 // 100 AS budget FROM r),
-         r2 AS (
-           SELECT r1.*,
-             CASE WHEN capacity * (k - i + 1) <= budget - (cum - capacity)
-               THEN 1 ELSE 0 END AS fits
-           FROM r1),
-         pp AS (
-           SELECT COALESCE(MIN(CASE WHEN fits = 0 THEN i END) - 1, MAX(i)) AS p
-           FROM r2),
-         cp AS (
-           SELECT COALESCE(CAST(MAX(CASE WHEN r2.i <= pp.p THEN r2.cum END)
-             AS BIGINT), 0) AS cum_p
-           FROM r2, pp),
-         fin AS (
-           SELECT r2.*, pp.p, cp.cum_p,
-             CASE WHEN k > p THEN (budget - cum_p) // (k - p)
-               ELSE CAST(0 AS BIGINT) END AS share,
-             CASE WHEN k > p THEN (budget - cum_p) % (k - p)
-               ELSE CAST(0 AS BIGINT) END AS rem
-           FROM r2, pp, cp),
-         rr AS (
-           SELECT source,
-             (CASE WHEN i <= p THEN capacity
-               ELSE share + CASE WHEN i - p <= rem THEN 1 ELSE 0 END END)
-               * 1000 // capacity AS rate_milli
-           FROM fin)
+    "qp1_curation_verdict" -> (curationChain + """
          SELECT gp.doc_id, gp.source, gp.lang, gp.tokens, gp.n_dups,
            ROUND(CAST(1 AS DOUBLE) / gp.n_dups, 6) AS weight,
            CASE WHEN is_eval THEN 'eval_holdout'
@@ -3689,7 +3699,29 @@ object SparkEntry {
                 ELSE 'kept' END AS drop_reason,
            CAST(CASE WHEN pass AND CAST('0x' || substr(md5(CAST(gp.doc_id AS VARCHAR) || '#curation'), 1, 15) AS BIGINT) % 1000 < rr.rate_milli
              THEN 1 ELSE 0 END AS INT) AS kept
-         FROM gp LEFT JOIN rr USING (source)""",
+         FROM gp LEFT JOIN rr USING (source)"""),
+    // Release manifest over the kept set: qt32's salted shard hash, exact
+    // integer micro-weights ((2e6 + n) DIV 2n = round(1e6 / n)), and the
+    // order-independent affine content fingerprint mod 2^61-1
+    "qp2_release_manifest" -> (curationChain + """,
+         kk AS (
+           SELECT gp.doc_id, gp.source, gp.tokens, gp.n_dups
+           FROM gp LEFT JOIN rr USING (source)
+           WHERE gp.pass AND CAST('0x' || substr(md5(CAST(gp.doc_id AS VARCHAR) || '#curation'), 1, 15) AS BIGINT) % 1000 < rr.rate_milli),
+         m AS (
+           SELECT CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 16 AS shard_id,
+             doc_id, source, tokens,
+             (2000000 + n_dups) // (2 * n_dups) AS w_micro,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(tokens AS VARCHAR)), 1, 15) AS BIGINT)
+               % 2305843009213693951 AS fp
+           FROM kk)
+         SELECT shard_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tokens) AS BIGINT) AS token_sum,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(w_micro) AS BIGINT) AS w_micro_sum,
+           CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS content_fp
+         FROM m GROUP BY 1"""),
     // Source-overlap matrix: distinct (source, 3-gram) sets, shingle-keyed
     // pair intersections, complete S x S skeleton with explicit zeros
     "qt47_source_overlap" ->

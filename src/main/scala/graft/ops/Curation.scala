@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document-level curation verdict — the composed admission decision a
@@ -147,5 +147,55 @@ object Curation {
           .otherwise("kept").as("drop_reason"),
         (col("pass") && col("bucket") < col("rate_milli"))
           .cast("int").as("kept"))
+  }
+
+  /** qp2: RELEASE MANIFEST — the artifact a data loader actually mounts:
+    * qp1's admitted documents, deterministically placed into training
+    * shards (qt32's salted-md5 shard hash — placement is a pure function
+    * of doc_id, so a re-run of the whole pipeline, or of one shard,
+    * reproduces byte-identical membership), with the per-shard summary a
+    * release consumer needs to validate a download: doc count, token sum,
+    * source breadth, id range, summed soft-dedup weight, and an
+    * order-independent content fingerprint (sum of per-doc affine
+    * fingerprints mod 2^61-1 — the qt32 convention, commutative so shard
+    * hash equality survives any partitioning).
+    *
+    * The soft weights ride as integer MICRO-weights computed directly
+    * from the family size — w_micro = round(10^6 / n_dups) carried as
+    * (2·10^6 + n) DIV 2n — rather than re-scaling qp1's rounded f64
+    * weight, so the manifest column is exact integer math end to end
+    * (scaling the rounded double would diverge from the directly-rounded
+    * value at e.g. n_dups = 6: 166667 vs 166666).
+    *
+    * Scale shape: everything qp1 already is, plus ONE shard-keyed hash
+    * aggregate with map-side partials (shards is a fixed small constant;
+    * each partial is shards-sized). The COUNT(DISTINCT source) expands to
+    * a two-level aggregate on (shard, source) — bounded by shards × S.
+    */
+  def releaseManifest(spark: SparkSession, dir: String, shards: Int = 16,
+      budgetPct: Int = 55, gramWords: Int = 4, evalMod: Int = 29): DataFrame = {
+    require(shards >= 1, s"need shards >= 1, got $shards")
+    val mers = lit(2305843009213693951L) // 2^61 - 1
+    val h = (s: Column) =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    val dec = (c: Column) => c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    curationVerdict(spark, dir, budgetPct, gramWords, evalMod)
+      .filter(col("kept") === 1)
+      .select(
+        (h(concat(lit("shard:"), col("doc_id").cast("string"))) % shards)
+          .as("shard_id"),
+        col("doc_id"), col("source"), col("tokens"),
+        expr("(2000000 + n_dups) DIV (2 * n_dups)").as("w_micro"),
+        (h(concat(col("doc_id").cast("string"), lit(":"),
+          col("tokens").cast("string"))) % mers).as("fp"))
+      .groupBy(col("shard_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("token_sum"),
+        countDistinct(col("source")).as("n_sources"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("w_micro")).as("w_micro_sum"),
+        (sum(dec(col("fp"))) % dec(mers)).cast("long").as("content_fp"))
   }
 }

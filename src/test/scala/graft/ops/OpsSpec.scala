@@ -1513,6 +1513,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "eval_holdout").subsetOf(reasons), reasons.toString)
   }
 
+  test("qp2 release manifest equals a single-threaded replay over qp1's kept set") {
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def h15(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val mers = 2305843009213693951L
+    // the integer micro-weight identity: (2e6 + n) DIV 2n == round(1e6 / n)
+    (1L to 1000L).foreach { n =>
+      val viaInt = (2000000L + n) / (2L * n)
+      val viaRound = BigDecimal(1000000)./(BigDecimal(n))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      assert(viaInt == viaRound, s"n=$n: $viaInt vs $viaRound")
+    }
+    val kept = Curation.curationVerdict(spark, sf).collect()
+      .filter(_.getInt(7) == 1)
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(kept.nonEmpty)
+    val exp = kept.map { case (id, src, toks, nd) =>
+      (h15(s"shard:$id") % 16, id, src, toks, (2000000L + nd) / (2L * nd),
+        h15(s"$id:$toks") % mers)
+    }.groupBy(_._1).map { case (shard, xs) =>
+      val fpSum = xs.map(x => BigInt(x._6)).sum % mers
+      (shard, xs.length.toLong, xs.map(_._4).sum,
+        xs.map(_._3).distinct.length.toLong,
+        xs.map(_._2).min, xs.map(_._2).max, xs.map(_._5).sum, fpSum.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Curation.releaseManifest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+      .sortBy(_._1)
+    assert(got.toSeq == exp, s"\n got=${got.toSeq}\n exp=$exp")
+    // shard placement is total: every kept doc landed in exactly one shard
+    assert(got.map(_._2).sum == kept.length.toLong)
+  }
+
   test("qt47 source-overlap matrix equals a first-principles replay") {
     val sf = "/root/testdata/sf0.001"
     def rnd(x: Double): Double =
