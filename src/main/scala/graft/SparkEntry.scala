@@ -245,6 +245,8 @@ object SparkEntry {
       TextAnalysis.sourceOverlap(s, d)),
     "qt48_blocklist" -> ((s: SparkSession, d: String) =>
       TextAnalysis.blocklistScan(s, d)),
+    "qt49_fertility" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tokenizerFertility(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -396,6 +398,29 @@ object SparkEntry {
              AS chars_per_token
          FROM dw JOIN w$k USING (word)
          GROUP BY doc_id"""
+
+  /** qt49's oracle: qt23's per-doc encode totals re-aggregated per
+    * language — exact integer sums, one pinned f64 division per ratio.
+    */
+  private def fertilityOracleSql(k: Int): String =
+    bpeOracleBlocks(k) +
+      s""",
+         enc AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(word)) AS BIGINT) AS n_chars
+           FROM dw JOIN w$k USING (word)
+           GROUP BY doc_id)
+         SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS words,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(enc.n_chars) AS BIGINT) AS chars,
+           round(CAST(SUM(enc.n_tokens) AS DOUBLE)
+             / CAST(SUM(enc.n_words) AS DOUBLE), 6) AS tokens_per_word,
+           round(CAST(SUM(enc.n_chars) AS DOUBLE)
+             / CAST(SUM(enc.n_tokens) AS DOUBLE), 6) AS chars_per_token
+         FROM enc JOIN documents d USING (doc_id)
+         GROUP BY d.lang"""
 
   /** qc1/qc2's oracle scaffolding, generated: the Lloyd loop UNROLLED as a
     * CTE chain over int64 fixed-point codes — per round, an exact integer
@@ -2051,6 +2076,7 @@ object SparkEntry {
          FROM comp JOIN sizes USING (component_id)""",
     "qt19_bpe_merges" -> bpeOracleSql(8),
     "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
+    "qt49_fertility" -> fertilityOracleSql(8),
     "qt22_pii_redact" ->
       """WITH d AS (
            SELECT doc_id,

@@ -2059,4 +2059,36 @@ object TextAnalysis {
       .withColumn("flagged",
         (col("hits_per_10k") >= flagPerTenK).cast("int"))
   }
+
+  /** qt49: TOKENIZER FERTILITY per language — the multilingual-tokenizer
+    * acceptance metric (tokens/word "fertility" and chars/token
+    * compression; a vocabulary that over-fragments one language trains
+    * that language at a fraction of the effective context): qt23's BPE
+    * encoding (qt19's trained merge table applied in rank order over word
+    * TYPES) re-aggregated per language.
+    *
+    * Float discipline is qt42's aggregate-of-sums: per-language EXACT
+    * int64 sums of words/tokens/chars, then one pinned f64 division per
+    * ratio — no per-doc float ever meets an order-sensitive aggregation,
+    * so the report hash-matches unconditionally.
+    *
+    * Scale shape: everything qt23 already is (word-type encode + vocab-
+    * sized AQE-gated join), plus a lang-keyed hash aggregate with
+    * map-side partials over the per-doc integer rows. |lang| is bounded
+    * metadata cardinality — the output is a dashboard-sized table at any
+    * corpus size.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    bpeEncode(spark, dir, k)
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .withColumn("tokens_per_word",
+        round(col("tokens").cast("double") / col("words").cast("double"), 6))
+      .withColumn("chars_per_token",
+        round(col("chars").cast("double") / col("tokens").cast("double"), 6))
 }

@@ -2353,6 +2353,32 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("qt49: per-language fertility equals the per-doc encode re-aggregated") {
+    val sf = "/root/testdata/sf0.001"
+    def rnd(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val langOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = TextAnalysis.bpeEncode(spark, sf).collect()
+      .map(r => (langOf(r.getLong(0)), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_chars")))
+    val exp = perDoc.groupBy(_._1).map { case (lang, xs) =>
+      val (w, t, c) = (xs.map(_._2).sum, xs.map(_._3).sum, xs.map(_._4).sum)
+      (lang, xs.length.toLong, w, t, c,
+        rnd(t.toDouble / w.toDouble), rnd(c.toDouble / t.toDouble))
+    }.toSeq.sortBy(_._1)
+    val got = TextAnalysis.tokenizerFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6))).toSeq.sortBy(_._1)
+    assert(got == exp, s"\n got=$got\n exp=$exp")
+    assert(got.length > 1) // multiple languages actually present
+    // fertility is a ratio >= 1: BPE never makes more than 1 token/char
+    got.foreach { case (lang, _, _, _, _, tpw, cpt) =>
+      assert(tpw >= 1.0 && cpt >= 1.0, s"$lang: $tpw/$cpt")
+    }
+  }
+
   test("qd13: cross-doc duplicated-trigram fractions are exact") {
     val out = Dedup.dupNgramProfile(spark, dupDir).collect()
       .map(r => r.getLong(0) ->
