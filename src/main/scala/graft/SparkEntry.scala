@@ -162,6 +162,8 @@ object SparkEntry {
       LinkGraph.hostCommunities(s, d)),
     "qg11_seed_pagerank" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostSeedPagerank(s, d)),
+    "qg12_host_scc" -> ((s: SparkSession, d: String) =>
+      LinkGraph.hostScc(s, d)),
     "q20_zorder_layout" -> ((s: SparkSession, d: String) =>
       Relational.q20ZorderLayout(s, d)),
     // ---- similarity search ----
@@ -2077,6 +2079,55 @@ object SparkEntry {
     "qt19_bpe_merges" -> bpeOracleSql(8),
     "qt23_bpe_encode" -> bpeEncodeOracleSql(8),
     "qt49_fertility" -> fertilityOracleSql(8),
+    // SCC bow-tie: ground-truth mutual reachability via a recursive CTE,
+    // fully independent of the Spark side's FW-BW coloring (qg2 style);
+    // scc_id = min mutual-reach partner, roles from the same closure
+    "qg12_host_scc" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT
+             [0,1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,
+              15,20,21,22,23,23,24,25,26,15,28,29,30,33,35,34]
+               [1 + doc_id % 32] AS src,
+             [1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,8,
+              20,21,22,23,20,24,25,26,27,24,29,28,30,32,34,31]
+               [1 + doc_id % 32] AS dst
+           FROM documents),
+         n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         reach(a, b) AS (
+           SELECT src, dst FROM e
+           UNION
+           SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+         mutual AS (
+           SELECT r1.a AS v, r1.b AS u
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+         scc AS (
+           SELECT CAST(n.node AS BIGINT) AS host_id,
+             CAST(LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS BIGINT)
+               AS scc_id
+           FROM n LEFT JOIN mutual m ON m.v = n.node
+           GROUP BY n.node),
+         sizes AS (
+           SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+           FROM scc GROUP BY 1),
+         big AS (
+           SELECT scc_id AS core_scc FROM sizes
+           ORDER BY scc_size DESC, scc_id ASC LIMIT 1),
+         core AS (
+           SELECT host_id FROM scc JOIN big ON scc.scc_id = big.core_scc),
+         tc AS (
+           SELECT DISTINCT r.a AS host_id
+           FROM reach r JOIN core c ON r.b = c.host_id),
+         fc AS (
+           SELECT DISTINCT r.b AS host_id
+           FROM reach r JOIN core c ON r.a = c.host_id)
+         SELECT s.host_id, s.scc_id, z.scc_size,
+           CASE WHEN s.scc_id = big.core_scc THEN 'core'
+                WHEN tc.host_id IS NOT NULL THEN 'in'
+                WHEN fc.host_id IS NOT NULL THEN 'out'
+                ELSE 'other' END AS role
+         FROM scc s JOIN sizes z USING (scc_id) CROSS JOIN big
+         LEFT JOIN tc ON s.host_id = tc.host_id
+         LEFT JOIN fc ON s.host_id = fc.host_id""",
     "qt22_pii_redact" ->
       """WITH d AS (
            SELECT doc_id,

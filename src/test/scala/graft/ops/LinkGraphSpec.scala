@@ -495,4 +495,32 @@ class LinkGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("qg12: FW-BW coloring recovers the planted bow-tie exactly") {
+    val got = LinkGraph.hostScc(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    val exp =
+      (0L to 7L).map(i => (i, i, 1L, "in")) ++
+        (8L to 15L).map(i => (i, 8L, 8L, "core")) ++
+        (20L to 23L).map(i => (i, 20L, 4L, "out")) ++
+        (24L to 27L).map(i => (i, i, 1L, "out")) ++
+        Seq((28L, 28L, 2L, "other"), (29L, 28L, 2L, "other")) ++
+        (30L to 35L).map(i => (i, i, 1L, "other"))
+    assert(got.toSeq == exp, got.mkString("\n"))
+  }
+
+  test("qg12: the descending chains genuinely force a third peel iteration") {
+    // 35->34->31 peels one node per iteration under max-coloring: a
+    // 2-iteration budget must throw, proving the loop is not a single
+    // pass in disguise
+    intercept[IllegalArgumentException](
+      LinkGraph.hostScc(spark, dir, maxIters = 2))
+  }
+
+  test("qg12: re-running produces the identical decomposition") {
+    val a = LinkGraph.hostScc(spark, dir).collect().map(_.toString).sorted.toSeq
+    val b = LinkGraph.hostScc(spark, dir).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
 }
