@@ -249,6 +249,8 @@ object SparkEntry {
       TextAnalysis.blocklistScan(s, d)),
     "qt49_fertility" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tokenizerFertility(s, d)),
+    "qt50_heavy_hitters" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.heavyHitters(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -2763,6 +2765,26 @@ object SparkEntry {
     "qt7_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#graft'), 1, 15) AS BIGINT) % 1000 < 100""",
+    // Heavy hitters: the CMS runtime filter is exact-output-preserving
+    // (over-count-only => no false negatives; false positives die on the
+    // exact count filter), so the oracle is the PLAIN exact HAVING query
+    // over the same bigram stream — the qt13 shared-oracle argument
+    "qt50_heavy_hitters" ->
+      """WITH w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         b AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         e AS (SELECT unnest(sh) AS item FROM b),
+         t AS (SELECT GREATEST(CAST(COUNT(*) AS BIGINT) // 1000, 1) AS th
+               FROM e)
+         SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM e GROUP BY item
+         HAVING COUNT(*) >= (SELECT th FROM t)""",
     "qt8_contamination" ->
       """WITH w AS (
            SELECT doc_id,

@@ -2078,6 +2078,58 @@ object TextAnalysis {
     * metadata cardinality — the output is a dashboard-sized table at any
     * corpus size.
     */
+  /** qt50: HEAVY HITTERS — exact frequent-item counts (bigram doc
+    * frequency >= a phi-fraction of the stream) computed the way a 100-TB
+    * corpus has to: the qt13 sketch-as-runtime-filter pattern applied to
+    * aggregation. A plain `GROUP BY item HAVING count >= T` shuffles the
+    * ENTIRE vocabulary; here pass 1 folds the stream into qt6's fixed-size
+    * Count-Min sketch (one TypedImperativeAggregate with map-side
+    * partials, d*w longs of state regardless of vocabulary size) plus the
+    * exact stream length, and pass 2 re-aggregates ONLY items whose CMS
+    * estimate clears the threshold — the tail dies in a map-side filter
+    * against the broadcast sketch literal BEFORE the exchange, so shuffle
+    * volume drops from |vocab| to |candidates|.
+    *
+    * Correctness is UNCONDITIONAL (the qt13 argument): CMS only
+    * over-counts, so est(x) >= count(x) and no true heavy hitter is ever
+    * filtered out; false positives die on the exact post-aggregation
+    * count filter. The output therefore equals the plain exact HAVING
+    * query — which IS the DuckDB oracle, no sketch replay needed.
+    * Threshold T = max(N DIV phiInv, 1) is exact integer math from the
+    * pass-1 stream length.
+    *
+    * The estimate recomputes the two 60-bit md5 halves per lane under
+    * CollapseProject inlining — 2·depth scalar md5 calls per item, a
+    * deliberate trade (cheap scalar, no array binding — the qd15 hazard
+    * does not apply) for keeping the probe map-only and codegen'd.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, depth: Int = 4,
+      width: Int = 4096, phiInv: Long = 1000): DataFrame = {
+    val mers = 2305843009213693951L
+    val items = docs(spark, dir)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("item"))
+    // fixed-size driver collect: d*w longs + one count (the bloom-bitset /
+    // IVF-quantizer precedent, Similarity.scala:98)
+    val pass1 = items.agg(
+      graft.functions.GraftFunctions.cmsSketch(col("item"), depth, width)
+        .as("sk"),
+      count(lit(1)).as("n")).head()
+    val sk = pass1.getSeq[Long](0)
+    val threshold = math.max(pass1.getLong(1) / phiInv, 1L)
+    val skLit = typedlit(sk)
+    val a = conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long")
+    val b = conv(substring(md5(col("item")), 16, 15), 16, 10).cast("long")
+    val est = (0 until depth).map { d =>
+      element_at(skLit,
+        (lit(d.toLong * width) +
+          (a + lit(d.toLong) * b) % lit(mers) % lit(width.toLong))
+          .cast("int") + 1)
+    }.reduce(least(_, _))
+    items.filter(est >= threshold)
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
   def tokenizerFertility(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
     bpeEncode(spark, dir, k)
       .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))

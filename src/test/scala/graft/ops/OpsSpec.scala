@@ -2379,6 +2379,42 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt50: CMS-filtered heavy hitters equal a first-principles exact count") {
+    val sf = "/root/testdata/sf0.001"
+    // single-threaded replay of the exact semantics the CMS filter must
+    // preserve: per-doc distinct bigrams, global counts, T = max(N/1000, 1)
+    val perDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map { r =>
+        val nw = r.getString(0).toLowerCase.replaceAll("\\s+", " ").trim
+          .split(" ", -1)
+        (0 until math.max(nw.length - 1, 0))
+          .map(i => s"${nw(i)} ${nw(i + 1)}").filter(_.nonEmpty).distinct
+      }
+    val n = perDoc.map(_.size.toLong).sum
+    val t = math.max(n / 1000, 1L)
+    val exp = perDoc.flatten.groupBy(identity)
+      .map { case (item, xs) => item -> xs.length.toLong }
+      .filter(_._2 >= t).toSeq.sorted
+    val got = TextAnalysis.heavyHitters(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq.sorted
+    assert(got == exp)
+    // the threshold binds: the head is a strict subset of the vocabulary
+    // (the 64-word generator corpus is deliberately dense, so the sf0.001
+    // head/vocab ratio is weak here; real web vocabularies are the point)
+    val vocab = perDoc.flatten.distinct.length
+    assert(t > 1 && got.length < vocab, s"t=$t vocab=$vocab head=${got.length}")
+  }
+
+  test("qt50: the sketch probe filters BELOW the single exchange") {
+    val plan = TextAnalysis.heavyHitters(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, plan)
+    // printed top-down: deeper (earlier dataflow) operators appear later,
+    // so the map-side CMS probe must print AFTER the exchange
+    assert(plan.indexOf("element_at") > plan.indexOf("Exchange"), plan)
+  }
+
   test("qd13: cross-doc duplicated-trigram fractions are exact") {
     val out = Dedup.dupNgramProfile(spark, dupDir).collect()
       .map(r => r.getLong(0) ->
