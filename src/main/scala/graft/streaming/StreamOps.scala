@@ -151,6 +151,98 @@ object StreamOps {
         }
       }
 
+  /** Streaming MINI-BATCH k-means state (Sculley 2010, WWW — "Web-scale
+    * k-means clustering"): the model a continuous embedding feed trains —
+    * per micro-batch, each vector assigns to its nearest centroid (qc1's
+    * map-only E-step: exact int64 fixed-point L2 against the model-sized
+    * centroid literals via native dot_i64), the per-cluster batch sums
+    * reduce in one hash aggregate (k×dim rows — model-sized, the only
+    * thing that ever reaches the driver), and centroids move by the
+    * paper's per-center count-based learning rate eta_c = 1/n_c, kept in
+    * EXACT integer arithmetic:
+    *
+    *   n_c' = n_c + b;  cv_i' = cv_i + floor((S_i - cv_i * b) / n_c')
+    *
+    * (S_i the batch sum, b the batch count) — which is the running-mean
+    * update when the rate is 1/n_c', so the state is deterministic and
+    * single-threaded-replayable regardless of executor count or batch
+    * partitioning. State lives on the driver at k×dim longs — the same
+    * bounded-model discipline as qc1's M-step collect.
+    */
+  final class MiniBatchKmeans(init: Array[Array[Long]]) extends Serializable {
+    require(init.nonEmpty && init.forall(_.length == init.head.length),
+      "need >= 1 centroid, all the same dimension")
+    private val cents = init.map(_.clone)
+    private val counts = Array.fill(init.length)(0L)
+    def centroids: Array[Array[Long]] = cents.map(_.clone)
+    def centerCounts: Array[Long] = counts.clone
+
+    /** One mini-batch step over rows with an ARRAY<LONG> `qv` column;
+      * returns the PRE-update per-cluster batch summary
+      * (cid, batch_n, inertia).
+      */
+    def update(batch: DataFrame): DataFrame = {
+      import graft.functions.GraftFunctions
+      val n2 = GraftFunctions.dotI64(col("qv"), col("qv"))
+      val candidates = array(cents.zipWithIndex.map { case (cv, cid) =>
+        val n2c = cv.foldLeft(0L)((acc, x) => acc + x * x)
+        struct(
+          (col("n2") - lit(2L) * GraftFunctions.dotI64(col("qv"),
+            typedlit(cv.toSeq)) + lit(n2c)).as("dist"),
+          lit(cid).as("cid"))
+      }.toIndexedSeq: _*)
+      val assigned = batch
+        .withColumn("n2", n2)
+        .withColumn("best", array_min(candidates))
+        .select(col("best.cid").as("cid"), col("best.dist").as("dist_sq"),
+          col("qv"))
+      val dim = cents.head.length
+      // model-sized reduce: k rows of (count, inertia, dim sums)
+      val sums = assigned.groupBy(col("cid")).agg(
+        count(lit(1)).as("b"),
+        (sum(col("dist_sq")).as("inertia") +:
+          (0 until dim).map(i =>
+            sum(element_at(col("qv"), i + 1)).as(s"s$i"))): _*)
+      val rows = sums.collect()
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        val b = r.getLong(1)
+        val nNew = counts(cid) + b
+        var i = 0
+        while (i < dim) {
+          val s = r.getLong(3 + i)
+          cents(cid)(i) += Math.floorDiv(s - cents(cid)(i) * b, nNew)
+          i += 1
+        }
+        counts(cid) = nNew
+      }
+      val spark = batch.sparkSession
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r.getInt(0), r.getLong(1), r.getLong(2))).toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("batch_n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("inertia",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
+  /** The streaming face: each micro-batch takes one mini-batch gradient
+    * step on the shared model; the per-batch summary lands in `sink`.
+    * foreachBatch like [[streamingAdmission]] — the model is the
+    * cross-batch state, updated exactly once per micro-batch.
+    */
+  def streamingKmeans(vecs: DataFrame, model: MiniBatchKmeans)(
+      sink: (DataFrame, Long) => Unit) =
+    vecs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) sink(model.update(batch.toDF()), id)
+      }
+
   /** Streaming extraction: pages stream -> the same pure per-document
     * extraction -> foreachBatch MERGE into the snapshot store. Stateless, so
     * exactly-once lands on the store's idempotent merge.

@@ -217,4 +217,68 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(results.size == 2) // one admission result per micro-batch
     } finally q.stop()
   }
+
+  test("streaming mini-batch k-means tracks cluster means exactly per batch") {
+    val ss = spark; import ss.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two planted clusters in int64 fixed-point space: around (0, 0) and
+    // around (1e6, 1e6); centroids seeded off-center
+    val model = new StreamOps.MiniBatchKmeans(
+      Array(Array(100000L, 0L), Array(800000L, 900000L)))
+    // single-threaded replay of the exact update rule
+    val expCents = Array(Array(100000L, 0L), Array(800000L, 900000L))
+    val expCounts = Array(0L, 0L)
+    def replay(batch: Seq[Seq[Long]]): Unit = {
+      val byC = batch.groupBy { v =>
+        (0 to 1).minBy { c =>
+          val d = (0 to 1).map(i => v(i) - expCents(c)(i))
+          d.map(x => x * x).sum * 2 + c // *2+c: tie to smaller cid
+        }
+      }
+      byC.foreach { case (c, vs) =>
+        val b = vs.length.toLong
+        val nNew = expCounts(c) + b
+        (0 to 1).foreach { i =>
+          val s = vs.map(_(i)).sum
+          expCents(c)(i) += Math.floorDiv(s - expCents(c)(i) * b, nNew)
+        }
+        expCounts(c) = nNew
+      }
+    }
+    val summaries = scala.collection.mutable.Map[Long, Map[Int, Long]]()
+    val input = MemoryStream[(Long, Seq[Long])]
+    val q = StreamOps.streamingKmeans(
+      input.toDF().selectExpr("_1 AS vec_id", "_2 AS qv"), model) {
+      (summary, id) =>
+        val m = summary.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        summaries.synchronized { summaries(id) = m }
+    }.start()
+    try {
+      val b0 = Seq(Seq(10L, 20L), Seq(-30L, 5L), Seq(999000L, 1001000L),
+        Seq(1002000L, 998000L), Seq(40L, -10L))
+      val b1 = Seq(Seq(0L, 0L), Seq(1000000L, 1000000L), Seq(5L, 5L))
+      input.addData(b0.zipWithIndex.map { case (v, i) => (i.toLong, v) }: _*)
+      q.processAllAvailable()
+      replay(b0)
+      // the model state after batch 0 equals the exact replay
+      assert(model.centroids.map(_.toSeq).toSeq == expCents.map(_.toSeq).toSeq,
+        s"${model.centroids.map(_.mkString(",")).mkString(" | ")}")
+      assert(model.centerCounts.toSeq == expCounts.toSeq)
+      input.addData(b1.zipWithIndex.map { case (v, i) => (10L + i, v) }: _*)
+      q.processAllAvailable()
+      replay(b1)
+      assert(model.centroids.map(_.toSeq).toSeq == expCents.map(_.toSeq).toSeq)
+      assert(model.centerCounts.toSeq == expCounts.toSeq)
+      // per-batch summaries report the pre-update assignment counts
+      assert(summaries.synchronized(summaries(0)) == Map(0 -> 3L, 1 -> 2L))
+      assert(summaries.synchronized(summaries(1)) == Map(0 -> 2L, 1 -> 1L))
+      // after two batches of well-separated data the centroids sit near the
+      // planted means, far from the off-center seeds
+      val c = model.centroids
+      assert(math.abs(c(0)(0)) < 50000L && math.abs(c(0)(1)) < 50000L,
+        c(0).mkString(","))
+      assert(math.abs(c(1)(0) - 1000000L) < 50000L &&
+        math.abs(c(1)(1) - 1000000L) < 50000L, c(1).mkString(","))
+    } finally q.stop()
+  }
 }
