@@ -679,7 +679,12 @@ object GraftImpl {
     val s = text.toString
     var state = 0
     var hits = 0L
-    val seen = new Array[Boolean](ac.nPhrases)
+    // generation-stamped thread-local scratch: per-row cost stays
+    // O(|text| + matches) with NO per-row |P|-sized allocation — the
+    // property that matters when the blocklist has thousands of phrases
+    // and most rows have few hits
+    val sc = ac.scratch()
+    val gen = sc.nextGen()
     var nSeen = 0L
     var i = 0
     while (i < s.length) {
@@ -688,7 +693,7 @@ object GraftImpl {
       var j = 0
       while (j < ids.length) {
         hits += 1
-        if (!seen(ids(j))) { seen(ids(j)) = true; nSeen += 1 }
+        if (sc.stamp(ids(j)) != gen) { sc.stamp(ids(j)) = gen; nSeen += 1 }
         j += 1
       }
       i += 1
@@ -717,6 +722,16 @@ final class AcAutomaton(val phrases: Array[String]) extends Serializable {
 
   private val (children, fail, outIds) = AcAutomaton.build(phrases)
 
+  /** per-thread distinct-phrase scratch (stamps, not booleans, so rows
+    * never re-zero it; generation wraps reset it once per ~2^31 rows)
+    */
+  @transient private lazy val scratchTL =
+    new ThreadLocal[AcAutomaton.ScanScratch] {
+      override def initialValue(): AcAutomaton.ScanScratch =
+        new AcAutomaton.ScanScratch(nPhrases)
+    }
+  def scratch(): AcAutomaton.ScanScratch = scratchTL.get()
+
   /** goto with fail-link fallback; root absorbs unknown chars. */
   def step(state0: Int, c: Char): Int = {
     var s = state0
@@ -733,6 +748,16 @@ final class AcAutomaton(val phrases: Array[String]) extends Serializable {
 }
 
 object AcAutomaton {
+  final class ScanScratch(n: Int) {
+    val stamp = new Array[Int](n)
+    private var gen = 0
+    def nextGen(): Int = {
+      if (gen == Int.MaxValue) { java.util.Arrays.fill(stamp, 0); gen = 0 }
+      gen += 1
+      gen
+    }
+  }
+
   private def build(phrases: Array[String]): (
       Array[java.util.HashMap[Character, Integer]], Array[Int],
       Array[Array[Int]]) = {

@@ -813,7 +813,10 @@ object LinkGraph {
       val allNodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       var remaining = allNodes.localCheckpoint(true)
-      var assigned: DataFrame = null // (host_id, scc_id), grows per iteration
+      // starts empty (schema-typed) so an empty corpus yields an empty
+      // result instead of an uninitialized accumulator
+      var assigned: DataFrame = allNodes.limit(0)
+        .select(col("node").as("host_id"), col("node").as("scc_id"))
       var iters = 0
       while (remaining.count() > 0) {
         iters += 1
@@ -875,9 +878,8 @@ object LinkGraph {
         val ids = members.groupBy(col("c")).agg(min(col("node")).as("scc_id"))
         val assignedThis = members.join(ids, "c")
           .select(col("node").as("host_id"), col("scc_id"))
-        val grown = (if (assigned == null) assignedThis
-          else assigned.union(assignedThis)).localCheckpoint(true)
-        if (assigned != null) assigned.unpersist()
+        val grown = assigned.union(assignedThis).localCheckpoint(true)
+        assigned.unpersist()
         assigned = grown
         val rest = remaining.join(marked, Seq("node"), "left_anti")
           .localCheckpoint(true)

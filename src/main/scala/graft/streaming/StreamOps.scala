@@ -230,10 +230,32 @@ object StreamOps {
     }
   }
 
+  object MiniBatchKmeans {
+    /** Rebuild a model from persisted state after a query restart. The
+      * model is DRIVER state, not checkpoint state: a restarted query
+      * resumes its source offsets but NOT this object, so exactly-once
+      * across restarts requires the sink to persist (centroids, counts)
+      * transactionally with each batch's output and the caller to
+      * `resume` from the last committed pair — the same
+      * idempotent-landing discipline as [[StreamOps.streamingExtract]].
+      */
+    def resume(cents: Array[Array[Long]],
+        counts: Array[Long]): MiniBatchKmeans = {
+      require(counts.length == cents.length,
+        s"state mismatch: ${cents.length} centroids, ${counts.length} counts")
+      val m = new MiniBatchKmeans(cents)
+      Array.copy(counts, 0, m.counts, 0, counts.length)
+      m
+    }
+  }
+
   /** The streaming face: each micro-batch takes one mini-batch gradient
     * step on the shared model; the per-batch summary lands in `sink`.
     * foreachBatch like [[streamingAdmission]] — the model is the
-    * cross-batch state, updated exactly once per micro-batch.
+    * cross-batch state, updated exactly once per micro-batch WITHIN a
+    * run. Across restarts, persist and [[MiniBatchKmeans.resume]] the
+    * state (see its scaladoc) — the offsets checkpoint alone does not
+    * carry the model.
     */
   def streamingKmeans(vecs: DataFrame, model: MiniBatchKmeans)(
       sink: (DataFrame, Long) => Unit) =

@@ -2387,7 +2387,10 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("text").collect().map { r =>
         val nw = r.getString(0).toLowerCase.replaceAll("\\s+", " ").trim
           .split(" ", -1)
-        (0 until math.max(nw.length - 1, 0))
+        // wordShingles' n <= w edge: a 1-word doc emits the lone word
+        // (mirrors GREATEST(len(words)-1, 1) in the oracle's slice)
+        if (nw.length <= 1) nw.toIndexedSeq.filter(_.nonEmpty).distinct
+        else (0 until nw.length - 1)
           .map(i => s"${nw(i)} ${nw(i + 1)}").filter(_.nonEmpty).distinct
       }
     val n = perDoc.map(_.size.toLong).sum

@@ -279,6 +279,21 @@ class StreamOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         c(0).mkString(","))
       assert(math.abs(c(1)(0) - 1000000L) < 50000L &&
         math.abs(c(1)(1) - 1000000L) < 50000L, c(1).mkString(","))
+      // restart semantics: a model resumed from persisted (centroids,
+      // counts) continues exactly where an uninterrupted one would —
+      // replay b0 into a fresh model, resume from its state, apply b1,
+      // and land on the same final state as the streaming run above
+      val ss2 = spark; import ss2.implicits._
+      def toDf(b: Seq[Seq[Long]]) =
+        b.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("vec_id", "qv")
+      val m1 = new StreamOps.MiniBatchKmeans(
+        Array(Array(100000L, 0L), Array(800000L, 900000L)))
+      m1.update(toDf(b0))
+      val m2 = StreamOps.MiniBatchKmeans.resume(m1.centroids, m1.centerCounts)
+      m2.update(toDf(b1))
+      assert(m2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+      assert(m2.centerCounts.toSeq == model.centerCounts.toSeq)
     } finally q.stop()
   }
 }
