@@ -251,6 +251,8 @@ object SparkEntry {
       TextAnalysis.tokenizerFertility(s, d)),
     "qt50_heavy_hitters" -> ((s: SparkSession, d: String) =>
       TextAnalysis.heavyHitters(s, d)),
+    "qt51_sketched_overlap" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.sketchedOverlap(s, d)),
     "qt42_source_profile" -> ((s: SparkSession, d: String) =>
       TextAnalysis.sourceProfile(s, d)),
     "qt36_kmv_setops" -> ((s: SparkSession, d: String) =>
@@ -773,6 +775,68 @@ object SparkEntry {
                      CAST(sm.n AS DOUBLE), 6) END AS est_inter,
            ex.exact_a, ex.exact_b, ex.exact_union, ex.exact_inter
          FROM sa, sb, sm, ht, ex"""
+  }
+
+  /** qt51's oracle, generated: per-source KMV sketches (deterministic k
+    * smallest distinct 60-bit md5 hashes, the qt12 replay) and the qt36
+    * estimator arithmetic applied to every source pair; containments
+    * divide the already-rounded est columns (both engines divide
+    * identical doubles).
+    */
+  def sketchedOverlapOracleSql(k: Int): String = {
+    val num = s"${k - 1}.0 * 1152921504606846976.0"
+    s"""WITH w AS (
+           SELECT source,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT source, list_distinct(list_filter(
+             [list_aggregate(words[i:i+2], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-2, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         tt AS (SELECT DISTINCT source, unnest(sh) AS item FROM sh),
+         hh AS (SELECT DISTINCT source,
+             CAST('0x' || substr(md5(item), 1, 15) AS BIGINT) AS h FROM tt),
+         rk AS (SELECT source, h,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+         sk AS (SELECT source, list(h ORDER BY h) AS sk,
+             CAST(COUNT(*) AS BIGINT) AS n, MAX(h) AS kth
+           FROM rk WHERE rn <= $k GROUP BY source),
+         p AS (
+           SELECT a.source AS src_a, a.sk AS ska, a.n AS na, a.kth AS ka,
+             b.source AS src_b, b.sk AS skb, b.n AS nb, b.kth AS kb
+           FROM sk a JOIN sk b ON a.source < b.source),
+         m AS (
+           SELECT p.*,
+             list_sort(list_distinct(ska || skb))[1:$k] AS merged
+           FROM p),
+         m2 AS (
+           SELECT m.*, CAST(len(merged) AS BIGINT) AS nm, merged[-1] AS kthm,
+             CAST(len(list_filter(merged, x ->
+               list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT)
+               AS hits
+           FROM m),
+         r AS (
+           SELECT src_a, src_b, na AS sk_a_size, nb AS sk_b_size,
+             CASE WHEN na < $k THEN CAST(na AS DOUBLE)
+                  ELSE ROUND($num / CAST(ka AS DOUBLE), 6) END AS est_a,
+             CASE WHEN nb < $k THEN CAST(nb AS DOUBLE)
+                  ELSE ROUND($num / CAST(kb AS DOUBLE), 6) END AS est_b,
+             CASE WHEN nm < $k THEN CAST(nm AS DOUBLE)
+                  ELSE ROUND($num / CAST(kthm AS DOUBLE), 6) END AS est_union,
+             hits,
+             ROUND(CAST(hits AS DOUBLE) / CAST(nm AS DOUBLE), 6) AS jaccard_est,
+             CASE WHEN nm < $k THEN CAST(hits AS DOUBLE)
+                  ELSE ROUND((CAST(hits AS DOUBLE) *
+                    ($num / CAST(kthm AS DOUBLE))) / CAST(nm AS DOUBLE), 6)
+                  END AS est_inter
+           FROM m2)
+         SELECT r.*,
+           CASE WHEN est_a > 0 THEN ROUND(est_inter / est_a, 6) END
+             AS containment_a_est,
+           CASE WHEN est_b > 0 THEN ROUND(est_inter / est_b, 6) END
+             AS containment_b_est
+         FROM r"""
   }
 
   /** qs6's oracle, generated: product-quantization END TO END — per-subspace
@@ -2166,6 +2230,7 @@ object SparkEntry {
     // KMV set-operation estimates across the doc_id-parity shards, with
     // exact ground truth riding along (the qs10 harness pattern)
     "qt36_kmv_setops" -> kmvSetOpsOracleSql(256),
+    "qt51_sketched_overlap" -> sketchedOverlapOracleSql(256),
     // qt40: integer counts via len(regexp_extract_all) (no regexp_count in
     // DuckDB 1.0), formulas on CAST-to-DOUBLE constants (decimal literals
     // would otherwise compute in DECIMAL), pinned parenthesization, round 6

@@ -2078,6 +2078,65 @@ object TextAnalysis {
     * metadata cardinality — the output is a dashboard-sized table at any
     * corpus size.
     */
+  /** qt51: SKETCHED source-overlap matrix — qt47's statistic on the
+    * 100-TB path: qt47 computes exact pairwise Jaccard/containment by a
+    * shingle-keyed self-join (shuffles every distinct shingle); at
+    * petabyte scale the production answer is qt36's mergeable-sketch
+    * algebra applied PER SOURCE — each source folds to one k-minimum-
+    * values sketch (bounded state, map-side partials), and every pairwise
+    * union/intersection/Jaccard estimate then comes from the S sketch
+    * rows ALONE, no re-scan of any source. The S×S pair join touches
+    * S·k longs total — dashboard-sized at any corpus size.
+    *
+    * KMV retains deterministic hashes (the qt12 argument), so unlike
+    * production HLL-based overlap the ENTIRE estimate matrix is
+    * hash-verified: the oracle rebuilds each source's k smallest distinct
+    * 60-bit md5 hashes and replays the estimator arithmetic (the qt36
+    * pinned (k-1)·2^60 numerator and CASE structure). Containment
+    * estimates divide the already-rounded est columns, so both engines
+    * divide identical doubles.
+    */
+  def sketchedOverlap(spark: SparkSession, dir: String, w: Int = 3,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val toks = docs(spark, dir).select(col("source"),
+      explode(Dedup.shingles(col("text"), w)).as("g"))
+    val sk = toks.groupBy(col("source"))
+      .agg(graft.functions.GraftFunctions.kmvSketch(col("g"), k).as("sk"))
+    val pairs = sk.select(col("source").as("src_a"), col("sk").as("ska"))
+      .join(sk.select(col("source").as("src_b"), col("sk").as("skb")),
+        col("src_a") < col("src_b"))
+    val num = (k - 1).toDouble * 1.152921504606846976e18
+    val est = (s: Column) => when(size(s) < k, size(s).cast("double"))
+      .otherwise(round(lit(num) / element_at(s, k).cast("double"), 6))
+    pairs
+      .withColumn("merged",
+        slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k))
+      .withColumn("hits",
+        size(filter(col("merged"), h =>
+          array_contains(col("ska"), h) && array_contains(col("skb"), h)))
+          .cast("long"))
+      .select(col("src_a"), col("src_b"),
+        size(col("ska")).cast("long").as("sk_a_size"),
+        size(col("skb")).cast("long").as("sk_b_size"),
+        est(col("ska")).as("est_a"),
+        est(col("skb")).as("est_b"),
+        est(col("merged")).as("est_union"),
+        col("hits"),
+        round(col("hits").cast("double") /
+          size(col("merged")).cast("double"), 6).as("jaccard_est"),
+        when(size(col("merged")) < k, col("hits").cast("double"))
+          .otherwise(round(
+            (col("hits").cast("double") *
+              (lit(num) / element_at(col("merged"), k).cast("double"))) /
+              size(col("merged")).cast("double"), 6))
+          .as("est_inter"))
+      .withColumn("containment_a_est",
+        when(col("est_a") > 0d, round(col("est_inter") / col("est_a"), 6)))
+      .withColumn("containment_b_est",
+        when(col("est_b") > 0d, round(col("est_inter") / col("est_b"), 6)))
+  }
+
   /** qt50: HEAVY HITTERS — exact frequent-item counts (bigram doc
     * frequency >= a phi-fraction of the stream) computed the way a 100-TB
     * corpus has to: the qt13 sketch-as-runtime-filter pattern applied to

@@ -2379,6 +2379,28 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("qt51: sketched overlap tracks qt47's exact matrix within KMV error") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = TextAnalysis.sourceOverlap(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5)))).toMap
+    val est = TextAnalysis.sketchedOverlap(spark, sf).collect()
+    assert(est.length == exact.size) // complete S x S skeleton both ways
+    est.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val (na, nb, jexact) = exact(key)
+      val (estA, estB, jest) = (r.getDouble(4), r.getDouble(5), r.getDouble(8))
+      // KMV k=256: size stderr ~ D/sqrt(k-2) ~ 6%; 25% is a ~4-sigma bound
+      // (and the hashes are deterministic, so this is a fixed property)
+      assert(math.abs(estA - na) <= 0.25 * na, s"$key estA=$estA n_a=$na")
+      assert(math.abs(estB - nb) <= 0.25 * nb, s"$key estB=$estB n_b=$nb")
+      assert(math.abs(jest - jexact) <= 0.15, s"$key jest=$jest exact=$jexact")
+      // a full sketch estimates up; an under-full sketch IS the exact size
+      if (r.getLong(2) < 256) assert(estA == r.getLong(2).toDouble)
+      if (r.getLong(3) < 256) assert(estB == r.getLong(3).toDouble)
+    }
+  }
+
   test("qt50: CMS-filtered heavy hitters equal a first-principles exact count") {
     val sf = "/root/testdata/sf0.001"
     // single-threaded replay of the exact semantics the CMS filter must
