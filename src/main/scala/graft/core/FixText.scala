@@ -16,7 +16,10 @@ import java.text.Normalizer
   *      a. HTML-entity damage undo (ftfy `unescape_html`): numeric character
   *         references ("&#233;", "&#xE9;") and the named entities of the
   *         documented table (the HTML4 Latin-1 set, the core XML five, and
-  *         the common punctuation names) decode to their characters; unknown
+  *         the common punctuation names) decode to their characters, with
+  *         the WHATWG C1 remap browsers apply: numeric refs in 0x80-0x9F
+  *         ("&#147;") decode through the cp1252 graphics row (→ U+201C),
+  *         not to C1 controls; unknown
   *         names and invalid numerics are left untouched. Iterating unwinds
   *         double-escapes: "&amp;eacute;" → "&eacute;" → "é";
   *      b. UTF-8-read-as-legacy-charset mojibake undo, trying
@@ -170,7 +173,14 @@ object FixText {
         } catch { case _: NumberFormatException => None }
       cp.filter(c => c > 0 && c <= 0x10ffff &&
           !(c >= 0xd800 && c <= 0xdfff))
-        .map(c => new String(Character.toChars(c)))
+        // WHATWG C1 remap (what browsers and Python's html.unescape do,
+        // hence what ftfy sees): numeric refs in 0x80-0x9F were cp1252
+        // bytes in the authoring tool -- "&#147;" means U+201C, not the
+        // C1 control; the five cp1252-undefined slots stay as their C1
+        // chars, per spec
+        .map(c =>
+          if (c >= 0x80 && c <= 0x9f) Cp1252Graphics.charAt(c - 0x80).toString
+          else new String(Character.toChars(c)))
     } else NamedEntities.get(body)
 
   /** Reverse map of "sloppy windows-1252" (ftfy's codec) for the 0x80-0x9F
@@ -180,12 +190,18 @@ object FixText {
     * for them, so e.g. "â€" (damaged ”) round-trips. All other chars
     * < 0x100 are Latin-1 identity.
     */
-  private val Cp1252Reverse: Map[Char, Byte] =
-    ("\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030" +
+  /** The windows-1252 0x80-0x9F graphics row, index = byte - 0x80; the
+    * five undefined bytes (0x81 8D 8F 90 9D) hold their own C1 chars.
+    */
+  private val Cp1252Graphics: String =
+    "\u20ac\u0081\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030" +
       "\u0160\u2039\u0152\u008d\u017d\u008f\u0090\u2018\u2019\u201c" +
       "\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u009d" +
-      "\u017e\u0178")
-      .zipWithIndex.map { case (c, i) => c -> (0x80 + i).toByte }.toMap
+      "\u017e\u0178"
+
+  private val Cp1252Reverse: Map[Char, Byte] =
+    Cp1252Graphics.zipWithIndex.map { case (c, i) => c -> (0x80 + i).toByte }
+      .toMap
 
   /** Undo exactly one round of "UTF-8 bytes decoded as windows-1252" — the
     * wild's most common misread (it is what repairs curly-quote damage:

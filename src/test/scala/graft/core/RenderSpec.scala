@@ -130,6 +130,17 @@ class RenderSpec extends AnyFunSuite {
     // idempotent on decoded output
     assert(FixText.fixText(FixText.fixText("&amp;amp;eacute;")) ==
       FixText.fixText("&amp;amp;eacute;"))
+    // WHATWG C1 remap: 0x80-0x9F numeric refs were cp1252 bytes in the
+    // authoring tool — browsers and html.unescape decode them through the
+    // cp1252 graphics row, not to C1 controls
+    assert(FixText.fixText("&#147;quoted&#148;") == "“quoted”")
+    assert(FixText.fixText("wait&#133;") == "wait…")
+    assert(FixText.fixText("&#x97;") == "—") // hex form too
+    assert(FixText.fixText("&#128;5") == "€5")
+    // the five cp1252-undefined slots stay as their C1 chars, per spec
+    assert(FixText.fixText("&#129;") == "\u0081")
+    // double-escaped C1 ref unwinds through the fixpoint
+    assert(FixText.fixText("&amp;#147;x") == "“x")
   }
 
   test("fixText: cp1252 curly-quote/euro mojibake undo (not Latin-1-reachable)") {
