@@ -134,6 +134,8 @@ object SparkEntry {
       UrlCuration.snapshotDedup(s, d)),
     "qu4_url_features" -> ((s: SparkSession, d: String) =>
       UrlCuration.urlFeatures(s, d)),
+    "qu5_frontier_schedule" -> ((s: SparkSession, d: String) =>
+      UrlCuration.frontierSchedule(s, d)),
     // ---- composed per-document admission verdict + release manifest ----
     "qp1_curation_verdict" -> ((s: SparkSession, d: String) =>
       Curation.curationVerdict(s, d)),
@@ -2017,6 +2019,27 @@ object SparkEntry {
            CAST(kk.kk // 1048576 AS BIGINT) AS keeper_epoch,
            CAST(w.doc_id <> kk.kk % 1048576 AS INTEGER) AS is_stale
          FROM w JOIN kk USING (canon_url)"""),
+    // qu5: per-host frontier budget over the deduped canonical URLs —
+    // all integer math (ceil division as (a + S - 1) // S)
+    "qu5_frontier_schedule" -> (urlOracleCte + urlCanonCte +
+      """,
+         cu AS (SELECT DISTINCT canon_url FROM cz),
+         hh AS (
+           SELECT regexp_extract(canon_url, '^[a-z]+://([^/?#]+)', 1) AS host,
+             CAST(COUNT(*) AS BIGINT) AS n_urls
+           FROM cu GROUP BY 1),
+         tt AS (SELECT CAST(SUM(n_urls) AS BIGINT) AS total_urls,
+             CAST(MAX(n_urls) * 1000 AS BIGINT) AS max_serial_ms
+           FROM hh)
+         SELECT hh.host, hh.n_urls, tt.total_urls,
+           hh.n_urls * 1000 AS serial_ms,
+           (tt.total_urls * 1000 + 63) // 64 AS fleet_floor_ms,
+           hh.n_urls * 1000 // tt.total_urls AS share_milli,
+           CASE WHEN hh.n_urls * 1000 > (tt.total_urls * 1000 + 63) // 64
+             THEN 'politeness' ELSE 'capacity' END AS binding,
+           GREATEST(tt.max_serial_ms, (tt.total_urls * 1000 + 63) // 64)
+             AS makespan_ms
+         FROM hh CROSS JOIN tt"""),
     "qg1_host_pagerank" -> pagerankOracleSql(5),
     // triangles: the planted edge set, the deg*100+id orientation, the
     // wedge join and its closure — all integer math, replayed verbatim;

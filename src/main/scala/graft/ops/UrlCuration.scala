@@ -202,4 +202,51 @@ object UrlCuration {
           .as("n_tracking_params"),
         length(col("raw_url")).cast("long").as("url_len"))
   }
+
+  /** qu5: FRONTIER POLITENESS SCHEDULE — the crawl-planning dashboard a
+    * frontier operator reads before launching a fetch wave (the IRLbot /
+    * Mercator frontier literature's budget question): with a per-host
+    * minimum delay D and S concurrent fetch slots, a host with n unique
+    * URLs serializes to n·D ms no matter how many fetchers exist, while
+    * the fleet as a whole floors at ceil(total·D / S). Per host this op
+    * reports the unique-canonical-URL count (qu2's canonicalization +
+    * dedup feed it — the frontier never fetches a raw-URL duplicate), the
+    * serial time, the fleet floor, the corpus share, and which constraint
+    * BINDS ('politeness' hosts gate the crawl; 'capacity' hosts are free
+    * parallelism) — plus the resulting makespan lower bound
+    * max(max_h n_h·D, ceil(total·D/S)), the number a crawl scheduler
+    * quotes. The planted head-heavy host population (8 mega-hosts) makes
+    * the politeness-bound head real at every corpus size.
+    *
+    * All integer math (ceil division as (a+S-1) DIV S), so the oracle
+    * replays every cell. Scale shape: one canonical-URL distinct (the
+    * qu2 shuffle), one host-keyed hash aggregate with map-side partials
+    * (a 10^8-page mega-host combines before the shuffle), and two 1-row
+    * broadcast scalars — never a per-URL window.
+    */
+  def frontierSchedule(spark: SparkSession, dir: String, delayMs: Long = 1000,
+      slots: Long = 64): DataFrame = {
+    require(delayMs >= 1 && slots >= 1, s"need delayMs/slots >= 1")
+    val canon = withRawUrl(docs(spark, dir))
+      .select(canonicalize(col("raw_url")).as("canon_url")).distinct()
+    val hosts = canon
+      .select(regexp_extract(col("canon_url"), "^[a-z]+://([^/?#]+)", 1)
+        .as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_urls"))
+    val tot = hosts.agg(sum(col("n_urls")).as("total_urls"))
+    val maxSerial = hosts.agg((max(col("n_urls")) * delayMs).as("max_serial_ms"))
+    hosts.crossJoin(broadcast(tot)).crossJoin(broadcast(maxSerial))
+      .select(col("host"), col("n_urls"), col("total_urls"),
+        (col("n_urls") * delayMs).as("serial_ms"),
+        expr(s"(total_urls * $delayMs + ${slots - 1}) DIV $slots")
+          .as("fleet_floor_ms"),
+        expr("n_urls * 1000 DIV total_urls").as("share_milli"),
+        col("max_serial_ms"))
+      .withColumn("binding",
+        when(col("serial_ms") > col("fleet_floor_ms"), "politeness")
+          .otherwise("capacity"))
+      .withColumn("makespan_ms",
+        greatest(col("max_serial_ms"), col("fleet_floor_ms")))
+      .drop("max_serial_ms")
+  }
 }

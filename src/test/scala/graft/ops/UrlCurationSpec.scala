@@ -127,6 +127,33 @@ class UrlCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(37L) == (("d37.example.com", 1L, 1, 0, 1)))
   }
 
+  test("qu5: frontier schedule replays from qu2's canonical URLs exactly") {
+    // single-threaded replay: unique canon URLs -> host counts -> the
+    // integer budget arithmetic (D = 1000 ms, S = 64 slots)
+    val canon = UrlCuration.urlDedup(spark, dir).collect()
+      .map(_.getAs[String]("canon_url")).distinct
+    val byHost = canon.groupBy(u => u.replaceAll("^[a-z]+://", "")
+      .replaceAll("[/?#].*$", ""))
+      .map { case (h, us) => h -> us.length.toLong }
+    val total = byHost.values.sum
+    val fleet = (total * 1000 + 63) / 64
+    val maxSerial = byHost.values.max * 1000
+    val exp = byHost.map { case (h, n) =>
+      (h, n, total, n * 1000, fleet, n * 1000 / total,
+        if (n * 1000 > fleet) "politeness" else "capacity",
+        math.max(maxSerial, fleet))
+    }.toSeq.sortBy(_._1)
+    val got = UrlCuration.frontierSchedule(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7)))
+      .toSeq.sortBy(_._1)
+    assert(got == exp, s"\n got=$got\n exp=$exp")
+    // conservation: per-host counts sum to the total on every row
+    assert(got.map(_._2).sum == got.head._3)
+    // the makespan is the binding host's serial time when politeness binds
+    assert(got.forall(_._8 == math.max(maxSerial, fleet)))
+  }
+
   test("qu4: URL features replay byte-for-byte on hand-built cases") {
     val rows = UrlCuration.urlFeatures(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
