@@ -141,6 +141,8 @@ object SparkEntry {
       Curation.curationVerdict(s, d)),
     "qp2_release_manifest" -> ((s: SparkSession, d: String) =>
       Curation.releaseManifest(s, d)),
+    "qp3_health_report" -> ((s: SparkSession, d: String) =>
+      Curation.healthReport(s, d)),
     // ---- link-graph centrality ----
     "qg1_host_pagerank" -> ((s: SparkSession, d: String) =>
       LinkGraph.hostPagerank(s, d)),
@@ -3909,6 +3911,69 @@ object SparkEntry {
            CAST(SUM(w_micro) AS BIGINT) AS w_micro_sum,
            CAST(SUM(fp) % 2305843009213693951 AS BIGINT) AS content_fp
          FROM m GROUP BY 1"""),
+    // Corpus health report: every value an exact BIGINT (counts, or
+    // integer MILLI rates); contamination via qp1's 4-gram CTE fragments
+    "qp3_health_report" ->
+      """WITH w AS (
+           SELECT doc_id, lang, source, text,
+             string_split_regex(trim(text), '\s+') AS words
+           FROM documents),
+         base AS (
+           SELECT doc_id, lang, source,
+             CAST(len(words) AS BIGINT) AS tokens,
+             CAST(length(text) AS BIGINT) AS chars,
+             round(CAST(list_sum([length(x) FOR x IN words]) AS DOUBLE)
+               / len(words), 4) AS mwl,
+             round(len([x FOR x IN words IF regexp_matches(x, '[A-Za-z]')])
+               / CAST(len(words) AS DOUBLE), 6) AS awr,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+           FROM w),
+         b2 AS (
+           SELECT base.*,
+             CASE WHEN tokens >= 30 AND mwl BETWEEN 3 AND 10 AND awr >= 0.8
+               THEN 1 ELSE 0 END AS q,
+             CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS ev
+           FROM base),
+         shw AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM documents),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+3], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-3, 1)+1)], x -> x <> '')) AS sh
+           FROM shw),
+         evg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 29 = 0),
+         cont AS (
+           SELECT DISTINCT co.doc_id
+           FROM (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 29 <> 0) co
+           JOIN evg USING (g)),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cont),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(chars) AS BIGINT) AS n_chars,
+             CAST(COUNT(DISTINCT fp) AS BIGINT) AS ndf,
+             CAST(SUM(q) AS BIGINT) AS nq,
+             CAST(SUM(ev) AS BIGINT) AS ne,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+           FROM b2)
+         SELECT 'n_docs' AS metric, n_docs AS value FROM s
+         UNION ALL SELECT 'n_tokens', n_tokens FROM s
+         UNION ALL SELECT 'n_chars', n_chars FROM s
+         UNION ALL SELECT 'mean_tokens_milli', n_tokens * 1000 // n_docs FROM s
+         UNION ALL SELECT 'exact_dup_milli',
+           (n_docs - ndf) * 1000 // n_docs FROM s
+         UNION ALL SELECT 'quality_pass_milli', nq * 1000 // n_docs FROM s
+         UNION ALL SELECT 'eval_holdout_milli', ne * 1000 // n_docs FROM s
+         UNION ALL SELECT 'n_langs', nl FROM s
+         UNION ALL SELECT 'n_sources', ns FROM s
+         UNION ALL SELECT 'lang_share_milli:' || lang,
+           CAST(COUNT(*) AS BIGINT) * 1000 // (SELECT n_docs FROM s)
+           FROM b2 GROUP BY lang
+         UNION ALL SELECT 'contaminated_milli',
+           nc.v * 1000 // (s.n_docs - s.ne) FROM nc, s""",
     // Source-overlap matrix: distinct (source, 3-gram) sets, shingle-keyed
     // pair intersections, complete S x S skeleton with explicit zeros
     "qt47_source_overlap" ->

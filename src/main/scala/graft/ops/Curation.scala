@@ -149,6 +149,87 @@ object Curation {
           .cast("int").as("kept"))
   }
 
+  /** qp3: CORPUS HEALTH REPORT — the daily one-page dashboard a data-ops
+    * rotation reads before anything ships (the monitoring face of the
+    * qp1/qp2 pair): one long-format (metric, value) table carrying corpus
+    * volume, token/char totals, per-language shares, the exact-duplicate
+    * rate (qd1's normalized fingerprint), the quality-battery pass rate
+    * (qp1's Gopher subset), eval-holdout and contamination rates (qt8's
+    * existence form), and source/language breadth. Every value is an
+    * exact BIGINT — counts as-is, rates as integer MILLI fractions
+    * (x·1000 DIV n) — so the whole report hash-matches without a single
+    * float.
+    *
+    * Scale shape: ONE pass builds the per-doc base (tokens, chars, lang,
+    * fingerprint, quality flags), the contamination probe is qt8's
+    * broadcast-eval-grams join, and every metric is a hash aggregate with
+    * map-side partials; per-language rows are |lang|-bounded. The final
+    * union of aggregate rows is dashboard-sized by construction.
+    */
+  def healthReport(spark: SparkSession, dir: String, gramWords: Int = 4,
+      evalMod: Int = 29): DataFrame = {
+    val d = docs(spark, dir)
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = size(words).cast("long")
+    val wordChars = aggregate(transform(words, w => length(w).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val base = d.select(
+      col("doc_id"), col("lang"), col("source"),
+      nWords.as("tokens"), length(col("text")).cast("long").as("chars"),
+      round(wordChars.cast("double") / nWords, 4).as("mwl"),
+      round(alphaWords.cast("double") / nWords, 6).as("awr"),
+      Dedup.fingerprintCol(col("text")).as("fp"))
+      .withColumn("quality_ok",
+        (col("tokens") >= 30L && col("mwl").between(3d, 10d) &&
+          col("awr") >= 0.8d).cast("long"))
+      .withColumn("is_eval", (col("doc_id") % evalMod === 0).cast("long"))
+    val grams = d.select(col("doc_id"),
+      explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("g")).distinct()
+    val nContam = grams.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+      .agg(count(lit(1)).as("v"))
+      .select(lit("contaminated_milli_raw").as("metric"), col("v").as("value"))
+    def m(name: String, v: Column): Column = struct(lit(name).as("metric"),
+      v.as("value"))
+    val scalars = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("tokens")).as("n_tokens"),
+      sum(col("chars")).as("n_chars"),
+      countDistinct(col("fp")).as("n_distinct_fp"),
+      sum(col("quality_ok")).as("n_quality"),
+      sum(col("is_eval")).as("n_eval"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+      .select(explode(array(
+        m("n_docs", col("n_docs")),
+        m("n_tokens", col("n_tokens")),
+        m("n_chars", col("n_chars")),
+        m("mean_tokens_milli", expr("n_tokens * 1000 DIV n_docs")),
+        m("exact_dup_milli",
+          expr("(n_docs - n_distinct_fp) * 1000 DIV n_docs")),
+        m("quality_pass_milli", expr("n_quality * 1000 DIV n_docs")),
+        m("eval_holdout_milli", expr("n_eval * 1000 DIV n_docs")),
+        m("n_langs", col("n_langs")),
+        m("n_sources", col("n_sources")))).as("kv"))
+      .select(col("kv.metric"), col("kv.value"))
+    val perLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_docs"))))
+      .select(concat(lit("lang_share_milli:"), col("lang")).as("metric"),
+        expr("n * 1000 DIV n_docs").as("value"))
+    // contamination rate needs the non-eval doc count as denominator
+    val contamRate = nContam
+      .crossJoin(broadcast(base.agg(
+        (count(lit(1)) - sum(col("is_eval"))).as("n_train"))))
+      .select(lit("contaminated_milli").as("metric"),
+        expr("value * 1000 DIV n_train").as("value"))
+    scalars.union(perLang).union(contamRate)
+  }
+
   /** qp2: RELEASE MANIFEST — the artifact a data loader actually mounts:
     * qp1's admitted documents, deterministically placed into training
     * shards (qt32's salted-md5 shard hash — placement is a pure function

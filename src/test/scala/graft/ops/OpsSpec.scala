@@ -1549,6 +1549,57 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sum == kept.length.toLong)
   }
 
+  test("qp3 health report equals a first-principles single-threaded replay") {
+    val sf = "/root/testdata/sf0.001"
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def rnd(x: Double, n: Int): Double =
+      BigDecimal(x).setScale(n, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val alpha = java.util.regex.Pattern.compile("[A-Za-z]")
+    val rows = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "source", "text").collect().map { r =>
+        val (id, lang, src, text) =
+          (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+        val ws = text.trim.split("\\s+", -1)
+        val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+        val nw = norm.split(" ", -1)
+        val sh = (0 until math.max(nw.length - 3, 1))
+          .map(i => nw.slice(i, i + 4).mkString(" ")).filter(_.nonEmpty).toSet
+        val mwl = rnd(ws.map(_.length.toLong).sum.toDouble / ws.length, 4)
+        val awr = rnd(ws.count(w => alpha.matcher(w).find).toDouble / ws.length, 6)
+        val q = ws.length >= 30 && mwl >= 3 && mwl <= 10 && awr >= 0.8
+        (id, lang, src, ws.length.toLong, text.length.toLong,
+          md5hex(norm), q, id % 29 == 0, sh)
+      }
+    val nDocs = rows.length.toLong
+    val nTok = rows.map(_._4).sum
+    val evalG = rows.filter(_._8).flatMap(_._9).toSet
+    val nContam = rows.count(r => !r._8 && r._9.exists(evalG)).toLong
+    val nTrain = nDocs - rows.count(_._8)
+    val exp = Map(
+      "n_docs" -> nDocs,
+      "n_tokens" -> nTok,
+      "n_chars" -> rows.map(_._5).sum,
+      "mean_tokens_milli" -> nTok * 1000 / nDocs,
+      "exact_dup_milli" ->
+        (nDocs - rows.map(_._6).distinct.length) * 1000 / nDocs,
+      "quality_pass_milli" -> rows.count(_._7) * 1000 / nDocs,
+      "eval_holdout_milli" -> rows.count(_._8) * 1000 / nDocs,
+      "n_langs" -> rows.map(_._2).distinct.length.toLong,
+      "n_sources" -> rows.map(_._3).distinct.length.toLong,
+      "contaminated_milli" -> nContam * 1000 / nTrain) ++
+      rows.groupBy(_._2).map { case (l, xs) =>
+        s"lang_share_milli:$l" -> xs.length.toLong * 1000 / nDocs
+      }
+    val got = Curation.healthReport(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exp, s"\n got=${got.toSeq.sorted}\n exp=${exp.toSeq.sorted}")
+    // every rate metric stays in [0, 1000]
+    got.filter(_._1.contains("milli")).filterNot(_._1 == "mean_tokens_milli")
+      .foreach { case (k, v) => assert(v >= 0 && v <= 1000, s"$k=$v") }
+  }
+
   test("qt47 source-overlap matrix equals a first-principles replay") {
     val sf = "/root/testdata/sf0.001"
     def rnd(x: Double): Double =
