@@ -89,6 +89,8 @@ object SparkEntry {
       Dedup.minhashLshPairsPortable(s, d)),
     "qd21_minhash_calibration" -> ((s: SparkSession, d: String) =>
       Dedup.minhashCalibration(s, d)),
+    "qd23_lsh_eval" -> ((s: SparkSession, d: String) =>
+      Dedup.lshEval(s, d)),
     "qd8_cluster_survivors" -> ((s: SparkSession, d: String) =>
       Dedup.clusterSurvivors(s, d)),
     "qd9_incremental_dedup" -> ((s: SparkSession, d: String) =>
@@ -3117,6 +3119,55 @@ object SparkEntry {
              (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
              (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
              (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])))""",
+    // qd23: the band stage as a retrieval system — deterministic 256-doc
+    // hash sample, all pairs with exact Jaccard + the qd7 band predicate,
+    // one row of integer counts and milli rates
+    "qd23_lsh_eval" ->
+      """WITH hsel AS (
+           SELECT doc_id, text FROM documents
+           ORDER BY CAST('0x' || substr(md5('lsheval:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id
+           LIMIT 256),
+         w AS (
+           SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+           FROM hsel),
+         sh AS (
+           SELECT doc_id, list_distinct(list_filter(
+             [list_aggregate(words[i:i+1], 'string_agg', ' ')
+              FOR i IN range(1, GREATEST(len(words)-1, 1)+1)], x -> x <> '')) AS sh
+           FROM w),
+         sigs AS (
+           SELECT doc_id, sh,
+             [list_min([(CAST('0x' || substr(md5(s),1,15) AS BIGINT)
+                + i * CAST('0x' || substr(md5(s),16,15) AS BIGINT)) % 2305843009213693951
+               FOR s IN sh]) FOR i IN range(0, 8)] AS sig
+           FROM sh WHERE len(sh) > 0),
+         p AS (
+           SELECT
+             len(list_intersect(a.sh, b.sh))
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS j,
+             CASE WHEN (a.sig[1] = b.sig[1] AND a.sig[2] = b.sig[2]) OR
+                       (a.sig[3] = b.sig[3] AND a.sig[4] = b.sig[4]) OR
+                       (a.sig[5] = b.sig[5] AND a.sig[6] = b.sig[6]) OR
+                       (a.sig[7] = b.sig[7] AND a.sig[8] = b.sig[8])
+               THEN 1 ELSE 0 END AS hit
+           FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN j >= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+             CAST(SUM(hit) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN hit = 1 AND j >= 0.2 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp
+           FROM p),
+         ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sample FROM sigs)
+         SELECT ns.n_sample, s.n_pairs, s.n_true, s.n_candidates, s.tp,
+           s.n_candidates - s.tp AS fp, s.n_true - s.tp AS fn,
+           CASE WHEN s.n_candidates > 0
+             THEN s.tp * 1000 // s.n_candidates END AS precision_milli,
+           CASE WHEN s.n_true > 0
+             THEN s.tp * 1000 // s.n_true END AS recall_milli
+         FROM s, ns""",
     // qt41: qd7's sigs + band predicate run ASYMMETRICALLY train x eval
     // (the qt8 doc_id % 29 eval slice), exact-Jaccard verify at 0.2; cap
     // warn-only like qd7 (buckets far under 4096 at the suite SFs)

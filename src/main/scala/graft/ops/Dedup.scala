@@ -1214,4 +1214,73 @@ object Dedup {
         round(coalesce(col("n_dup"), lit(0L)).cast("double") /
           col("n_chunks"), 6).as("dup_share"))
   }
+
+  /** qd23: LSH RETRIEVAL EVALUATION — the third leg of the evaluation-
+    * harness trio (qs10 measures ANN recall, qd21 calibrates the sketch
+    * estimator; this measures the BAND STAGE as a retrieval system):
+    * precision and recall of qd7's 4×2 band admission against exact-
+    * Jaccard ground truth (threshold 0.2, the qd7 operating point), on a
+    * deterministic BOUNDED sample — the smallest-`sampleK` salted-md5
+    * hashes, so the sample (and the all-pairs work inside it) is
+    * corpus-size-INDEPENDENT, exactly how a production dedup rollout
+    * evaluates banding before a full run (the qd20 lesson as a
+    * dashboard). Within the sample every pair gets the exact two-pointer
+    * Jaccard and the band predicate; the report is one row of integer
+    * counts (tp/fp/fn) and milli rates. Post-verify precision is 1.0 by
+    * construction (the verify join drops every false positive) — the
+    * interesting numbers are the CANDIDATE stage's, which set the wasted
+    * verify work (precision) and the dedup miss rate (recall).
+    *
+    * Scale shape: sample selection is a TakeOrderedAndProject (per-
+    * partition heaps, no global sort); the all-pairs join is a broadcast
+    * nested loop over the 256-row sample — bounded by sampleK², a
+    * deliberate, documented exception to the no-all-pairs rule (it IS
+    * the evaluation, and it never grows with the corpus). All outputs
+    * integer, fully oracled.
+    */
+  def lshEval(spark: SparkSession, dir: String, sampleK: Int = 256,
+      shingleSize: Int = 2, bands: Int = 4, rowsPerBand: Int = 2,
+      threshold: Double = 0.2): DataFrame = {
+    val lanes = bands * rowsPerBand
+    require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes")
+    val hCol = conv(substring(md5(concat(lit("lsheval:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val base = docs(spark, dir)
+      .withColumn("h", hCol)
+      .orderBy(col("h"), col("doc_id")).limit(sampleK)
+      .select(col("doc_id"), shingles(col("text"), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"),
+        graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes)
+          .as("sig"))
+    val a = base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("sig").as("sig_a"))
+    val b = base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("sig").as("sig_b"))
+    val bandHit = (0 until bands).map { bnd =>
+      (0 until rowsPerBand).map { r =>
+        element_at(col("sig_a"), bnd * rowsPerBand + r + 1) ===
+          element_at(col("sig_b"), bnd * rowsPerBand + r + 1)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+    val pairs = a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(
+        graft.functions.GraftFunctions.jaccardSorted(col("sh_a"), col("sh_b"))
+          .as("j"),
+        bandHit.cast("long").as("hit"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum((col("j") >= threshold).cast("long")).as("n_true"),
+      sum(col("hit")).as("n_candidates"),
+      sum((col("hit") === 1L && col("j") >= threshold).cast("long")).as("tp"))
+      .crossJoin(broadcast(base.agg(count(lit(1)).as("n_sample"))))
+      .select(col("n_sample"), col("n_pairs"), col("n_true"),
+        col("n_candidates"), col("tp"),
+        (col("n_candidates") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        when(col("n_candidates") > 0,
+          expr("tp * 1000 DIV n_candidates")).as("precision_milli"),
+        when(col("n_true") > 0,
+          expr("tp * 1000 DIV n_true")).as("recall_milli"))
+  }
 }

@@ -1549,6 +1549,27 @@ class OpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.map(_._2).sum == kept.length.toLong)
   }
 
+  test("qd23: LSH eval confusion matrix is internally consistent and catches exact dups") {
+    val got = Dedup.lshEval(spark, "/root/testdata/sf0.001").collect()(0)
+    val (ns, np, nt, nc, tp, fp, fn) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5),
+      got.getLong(6))
+    assert(np == ns * (ns - 1) / 2) // all pairs within the sample
+    assert(tp + fp == nc && tp + fn == nt) // confusion-matrix identities
+    assert(tp <= nt && tp <= nc && fp >= 0 && fn >= 0)
+    if (nc > 0) assert(got.getLong(7) == tp * 1000 / nc)
+    if (nt > 0) assert(got.getLong(8) == tp * 1000 / nt)
+    // planted exact dups (dupDir docs 0/1 normalize identically): identical
+    // shingles give J = 1.0 AND identical signatures, so the band stage can
+    // never miss them — tp >= 1 with the whole corpus as the sample
+    val dd = Dedup.lshEval(spark, dupDir, sampleK = 16).collect()(0)
+    assert(dd.getLong(4) >= 1L, dd.toString) // tp
+    assert(dd.getLong(2) >= 1L) // n_true
+    // determinism
+    val again = Dedup.lshEval(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(again.toString == got.toString)
+  }
+
   test("qp3 health report equals a first-principles single-threaded replay") {
     val sf = "/root/testdata/sf0.001"
     def md5hex(s: String): String = java.security.MessageDigest
