@@ -65,6 +65,15 @@ object PagesTable {
     */
   val MixedFamily: String = "mixed"
 
+  /** C1 numeric-reference family: NOT in the cycled corpus; golden keys
+    * c1r0..c1r9. Crawl pages authored with cp1252 smart punctuation
+    * escaped as raw-byte numeric refs ("&#147;" for a curly quote — the
+    * Word-export damage class): fix_text's WHATWG C1 remap must decode
+    * the 27 defined graphics-row refs and pass the five undefined slots
+    * through as their C1 chars.
+    */
+  val C1Family: String = "c1ref"
+
   private val Langs = Vector("en", "fr", "de", "es")
 
   /** Deterministic SplitMix64 stream. */
@@ -272,6 +281,33 @@ object PagesTable {
           sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
         }
         // trailing paragraph so the damaged lines are never the page's final
+        // (unfixed) line
+        sb ++= s"<p>${para(rng, 1, 2)}</p>"
+        sb ++= "</page>"
+
+      case "c1ref" =>
+        // cp1252-byte numeric refs as Word-exported HTML carries them; the
+        // parser's one-level &amp; unescape means the double-escaped form
+        // reaches fix_text one level shallower (two fixpoint rounds)
+        val damaged = Vector(
+          "&#147;quoted&#148;", // -> U+201C / U+201D
+          "wait&#133; more",    // -> U+2026
+          "em&#151;dash",       // -> U+2014
+          "&#128;9 deal",       // -> U+20AC
+          "&amp;#146;s day",    // reaches fix_text as &#146;s -> U+2019
+          "&#x92;s hex",        // hex form -> U+2019
+          "&#153; brand",       // -> U+2122
+          "&#129; survives",    // undefined slot: U+0081 passes through
+          "&#159;-umlaut",      // -> U+0178
+          "&#141; also stays"   // undefined slot: U+008D passes through
+        )
+        sb ++= "<page>"
+        sb ++= s"<h1>${sentence(rng, 3)}</h1>"
+        for (_ <- 0 until 3) {
+          val w = damaged(rng.nextInt(damaged.length))
+          sb ++= s"<p>${sentence(rng, 4)} $w ${sentence(rng, 4)}</p>"
+        }
+        // trailing paragraph so damaged lines are never the page's final
         // (unfixed) line
         sb ++= s"<p>${para(rng, 1, 2)}</p>"
         sb ++= "</page>"

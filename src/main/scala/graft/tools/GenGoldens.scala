@@ -43,6 +43,9 @@ object GenGoldens {
     // the non-cycled mixed-encoding family (fix_text segment fallback)
     (0L until 10L).foreach(i =>
       write(s"mix$i", PagesTable.genDocFamily(PagesTable.MixedFamily, i)))
+    // the non-cycled C1 numeric-reference family (WHATWG cp1252 remap)
+    (0L until 10L).foreach(i =>
+      write(s"c1r$i", PagesTable.genDocFamily(PagesTable.C1Family, i)))
     println(s"wrote $written goldens to $outDir")
   }
 }

@@ -104,6 +104,36 @@ class GoldenSpec extends AnyFunSuite {
     assert(sawLookalike, "no doc exercised a preserved lookalike")
   }
 
+  test("c1-family extraction matches committed goldens byte-for-byte") {
+    assume(Files.exists(goldenDir.resolve("text").resolve("c1r0.txt")),
+      "c1 goldens not generated yet")
+    var sawRemapped = false
+    var sawUndefined = false
+    (0L until 10L).foreach { i =>
+      val row = PagesTable.genDocFamily(PagesTable.C1Family, i)
+      val d = Extract.extractDocument(row.url, row.html)
+      assert(d.parseStatus == "ok", s"c1 doc $i: ${d.errorClass}")
+      assert(d.extractedText == read("text", s"c1r$i.txt"), s"text drift in c1 doc $i")
+      assert(d.markdown == read("md", s"c1r$i.md"), s"markdown drift in c1 doc $i")
+      assert(d.blocksJson == read("blocks", s"c1r$i.json"), s"blocks drift in c1 doc $i")
+      // behavioral, beyond the byte pin: no defined-graphics C1 ref may
+      // survive undecoded, and the remap must yield the cp1252 chars —
+      // never the raw C1 controls for the defined slots
+      assert(!d.extractedText.contains("&#147;") &&
+        !d.extractedText.contains("&#133;") &&
+        !d.extractedText.contains("&#x92;"),
+        s"undecoded C1 ref in c1 doc $i")
+      assert(!d.extractedText.exists(c => c >= 0x91 && c <= 0x94),
+        s"raw C1 control for a defined cp1252 slot in c1 doc $i")
+      if (d.extractedText.exists(c => "“”…—€’™Ÿ".contains(c)))
+        sawRemapped = true
+      if (d.extractedText.contains('\u0081') ||
+        d.extractedText.contains('\u008d')) sawUndefined = true
+    }
+    assert(sawRemapped, "no doc exercised the cp1252 remap")
+    assert(sawUndefined, "no doc exercised an undefined-slot passthrough")
+  }
+
   test("ocr-family extraction matches committed goldens byte-for-byte") {
     assume(Files.exists(goldenDir.resolve("text").resolve("ocr0.txt")),
       "ocr goldens not generated yet")
