@@ -569,7 +569,14 @@ object Dedup {
       threshold: Double = 0.8,
       maxToken: Int = 4096
   ): DataFrame = {
+    // cache the shingle table: unlike qd4/qd7, ppjoin's branches shuffle on
+    // DIFFERENT keys (token df, prefix token, then doc ids for the verify),
+    // so ReusedExchange never fires and the r6 plan audit measured the
+    // WordShingles scan evaluated 10x in one query (20 shingling
+    // expressions, 10 parquet scans — guide §2.4). The cache is the
+    // (doc_id, sh) proxy table, MEMORY_AND_DISK like the CC adjacency.
     val base = shingleBase(spark, dir, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // ids-only candidate exchange pinned wide (qd4's lesson: AQE coalesces
     // on shuffle BYTES and would serialize the per-pair verify compute)
     val cand = ppjoinCandidates(base, threshold, maxToken)
@@ -604,7 +611,12 @@ object Dedup {
           (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
           .as(Seq("pos0", "ptok")))
       .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("ptok"))
+    // the admitted prefix table feeds BOTH sides of the candidate self-join
+    // (and the cap's size aggregate): cache it so the df-sort + prefix
+    // explode chain above runs once, not once per reference (ids+pos+token
+    // rows — the lightweight proxy the guide §8 shuffles instead of payloads)
     val admitted = capBuckets(prefix, "ptok", maxToken)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     admitted.as("a").join(admitted.as("b"),
         col("a.ptok") === col("b.ptok") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -659,8 +671,16 @@ object Dedup {
     */
   private[graft] def ccWithRounds(edges: DataFrame, maxRounds: Int,
       pointerJump: Boolean): (DataFrame, Int) = {
-    val adj = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the PAIR LIST once before mirroring it: the two union
+    // branches below would otherwise each evaluate the caller's edge feeder
+    // (a banded-LSH or ngram-Jaccard subtree costing seconds at any scale)
+    // when adj first materializes — measured as a full duplicate feeder run
+    // in qd6/qd8/qd10/qd19/qd22 (guide §2.4: reuse one result). The pair
+    // list is the small decision table of the dedup pipeline (ids only),
+    // exactly what the guide says to materialize.
+    val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var labels = adj.select(col("src").as("doc_id"))

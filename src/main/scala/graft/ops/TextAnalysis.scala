@@ -472,8 +472,14 @@ object TextAnalysis {
   def ccnetBuckets(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sc = lmScore(spark, dir).select(col("doc_id"), col("avg_logp"))
+    // cached: the histogram chain and the final bucket assignment both read
+    // the score table, and each reference re-ran the ENTIRE lmScore subtree
+    // (bigram explode + three vocabulary joins + the order-pinned fold —
+    // 15 scans in the r6 plan audit; guide §2.4). Two narrow columns per
+    // doc — the per-doc score table CCNet materializes anyway.
     val d = docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(sc, Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hist = d.groupBy(col("lang"), col("avg_logp")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -778,6 +784,14 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), explode(concat(unis, bis)).as("f"))
       .withColumn("bucket",
         conv(substring(md5(col("f")), 1, 15), 16, 10).cast("long") % buckets)
+      // cached: qt21 reads the featurizer 3x (bucket counts, totals, the
+      // scoring join) and qt24 up to 7x through the model-fit lineage; the
+      // branches shuffle on different keys (bucket vs doc_id vs none), so
+      // ReusedExchange cannot dedupe them and each reference re-ran the
+      // explode + md5 scan (guide §2.4). (doc_id, lang, bucket) is the
+      // hashed-feature proxy table — the thing a DSIR deployment
+      // materializes anyway before fitting.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The fitted DSIR model: per-bucket log-likelihood-ratio weights over
@@ -825,7 +839,10 @@ object TextAnalysis {
   def classifierGate(spark: SparkSession, dir: String, buckets: Int = 1024,
       targetLang: String = "en"): DataFrame = {
     val feats = hashedFeats(spark, dir, buckets)
+    // the fitted model is B rows (fixed-size): cache it so the quantization
+    // scale (maxAbs) and the code table don't each re-run the fit aggregates
     val lam = dsirLam(spark, feats, buckets, targetLang)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val maxAbs = lam.agg(max(abs(col("lam"))).as("max_abs"))
     val qmodel = lam.crossJoin(broadcast(maxAbs))
       .select(col("bucket"),
