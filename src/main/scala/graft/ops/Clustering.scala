@@ -286,7 +286,10 @@ object Clustering {
     */
   def semDedup(spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 4,
       tau2E4: Long = 2025): DataFrame = {
+    // cached (r6): both pair sides and the final drop join read the
+    // assignment, and each reference re-ran the E-step scan (guide §2.4)
     val m = lloydAssign(spark, dir, k, rounds)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val a = m.select(col("cluster"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("n2").as("a_n2"))
@@ -337,12 +340,15 @@ object Clustering {
   def clusterQuality(spark: SparkSession, dir: String, k: Int = 8,
       rounds: Int = 4): DataFrame = {
     val (m, cents) = lloydChain(spark, dir, k, rounds)
+    // k-row stats read twice (own row + as the other-cluster side): cache
+    // so each reference doesn't re-run the corpus aggregate (r6)
     val stats = m.groupBy(col("cluster"))
       .agg(count(lit(1)).as("csize"), sum(col("dist_sq")).as("sse"))
       .withColumn("msd",
         round(col("sse").cast("double") / col("csize").cast("double"), 9))
       .withColumn("scat",
         sqrt(col("sse").cast("double") / col("csize").cast("double")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ss = spark; import ss.implicits._
     val pairs = (for {
       i <- cents.indices; j <- cents.indices if i != j

@@ -80,8 +80,16 @@ object Curation {
       explode(Dedup.shingles(col("text"), gramWords)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
+    // no broadcast hint (r6, ADVICE): the eval slice is a FIXED FRACTION of
+    // the corpus (doc_id % evalMod), so its distinct gram set grows linearly
+    // with corpus size — an explicit broadcast() bypasses AQE's size gate
+    // and would OOM the driver at scale, contradicting the repo's
+    // fixed-size-only broadcast invariant. AQE still picks a broadcast join
+    // while the set is actually small; at scale it degrades gracefully to a
+    // shuffle join (the qt9/qt11 policy). qt13's bloom runtime-filter form
+    // is the documented alternative when the exchange itself matters.
     val contamIds = grams.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(evalGrams, Seq("g"))
       .select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
 
@@ -97,6 +105,12 @@ object Curation {
       .withColumn("pass",
         !col("is_eval") && !col("is_dup") && col("lang_ok") &&
           col("quality_ok") && !col("contaminated"))
+      // cached (r6): the water-fill capacities AND the final verdict both
+      // read the gate table, and each reference re-ran the whole upstream
+      // (two base scans, the fingerprint-family aggregate, and the full
+      // contamination probe — guide §2.4). This is the per-doc decision
+      // table of guide §8 — narrow flags, no text.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Gate 6: qt43's water-filling over per-source ADMITTED token
     // capacities — S-row summary windows only.
@@ -184,12 +198,17 @@ object Curation {
         (col("tokens") >= 30L && col("mwl").between(3d, 10d) &&
           col("awr") >= 0.8d).cast("long"))
       .withColumn("is_eval", (col("doc_id") % evalMod === 0).cast("long"))
+      // cached (r6): scalars, the per-lang shares, and both rate
+      // denominators read this table — four full re-derivations before
+      // (guide §2.4); narrow per-doc metrics, no text
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = d.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), gramWords)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("g")).distinct()
+    // no broadcast hint (r6, ADVICE): corpus-growing set — see curationVerdict
     val nContam = grams.filter(col("doc_id") % evalMod =!= 0)
-      .join(broadcast(evalGrams), Seq("g"))
+      .join(evalGrams, Seq("g"))
       .select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("v"))
       .select(lit("contaminated_milli_raw").as("metric"), col("v").as("value"))

@@ -210,7 +210,12 @@ object Dedup {
       threshold: Double = 0.2,
       maxBucket: Int = 4096
   ): DataFrame = {
+    // cached (r6): the band-bucket chain and both verify re-attach sides
+    // read the shingle table — without the cache each reference re-ran the
+    // WordShingles scan (6 parquet scans in the r6 plan audit; the bucket
+    // self-join's ReusedExchange covers only its own two sides)
     val base = shingleBase(spark, dir, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = portableBandBuckets(base, bands, rowsPerBand)
     val admitted = capBuckets(buckets, "bkey", maxBucket)
     val cand = admitted.as("a").join(admitted.as("b"),
@@ -257,9 +262,12 @@ object Dedup {
   ): DataFrame = {
     val lanes = bands * rowsPerBand
     require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes lanes")
+    // cached (r6): the band explode and both verify sides read the
+    // signature table (the qd7 rationale — one shingle+signature scan)
     val sigs = shingleBase(spark, dir, shingleSize)
       .withColumn("sig",
         graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r =>
@@ -318,15 +326,21 @@ object Dedup {
       maxBucket: Int = 4096
   ): DataFrame = {
     val inBatch = col("doc_id") % batchMod === 0
+    // cached (r6): each table below feeds BOTH sides of a batch-vs-corpus
+    // join (plus the verify re-attach), and every reference re-ran its md5/
+    // shingle/signature scan — 9 corpus scans in the r6 plan audit
     val fps = docs(spark, dir)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exactDup = fps.filter(inBatch).as("b")
       .join(fps.filter(!inBatch).as("c"), col("b.fp") === col("c.fp"),
         "left_semi")
       .select(col("doc_id"), lit(1).as("exact_dup"))
     val base = shingleBase(spark, dir, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = portableBandBuckets(base, bands, rowsPerBand)
     val admitted = capBuckets(buckets, "bkey", maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = admitted.filter(inBatch).as("b")
       .join(admitted.filter(!inBatch).as("c"), col("b.bkey") === col("c.bkey"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
@@ -1089,11 +1103,16 @@ object Dedup {
   def winnowContainment(spark: SparkSession, dir: String, k: Int = 3,
       win: Int = 4, threshold: Double = 0.2,
       maxDocsPerFp: Int = 1024): DataFrame = {
+    // cached (r6): the distinct fingerprint table feeds the hot-fp cap and
+    // the capped table feeds per-doc counts plus BOTH self-join sides —
+    // each reference re-ran the winnowing scan (8 scans in the plan audit)
     val fps = winnowFingerprints(spark, dir, k, win)
       .select(col("doc_id"), col("fp")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocsPerFp).select(col("fp"))
     val cold = fps.join(hot, Seq("fp"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nfp = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val pairs = cold.as("a").join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

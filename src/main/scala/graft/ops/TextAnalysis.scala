@@ -372,7 +372,13 @@ object TextAnalysis {
     */
   def lmScore(spark: SparkSession, dir: String): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    // tokenize once (r6): the bigram-instance, unigram-count and vocab
+    // branches each re-ran the lower/regexp/split scan (4 parquet scans in
+    // the r6 plan audit; no shared exchange exists to reuse — the count
+    // tables broadcast). Persisting the normalized token table is the
+    // tokenize-once discipline any LM-scoring deployment uses.
     val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
@@ -380,8 +386,10 @@ object TextAnalysis {
     val inst = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
     val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+    // vocab-sized; read twice (scoring join + the V scalar)
     val cu = base.select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cu"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val v = cu.agg(count(lit(1)).as("v"))
     val logp = round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 9)
     inst.join(cb, Seq("bg"))
@@ -421,7 +429,9 @@ object TextAnalysis {
     */
   def knLmScore(spark: SparkSession, dir: String): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
+    // tokenize once (the qt16 r6 rationale)
     val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
@@ -429,7 +439,10 @@ object TextAnalysis {
     val inst = base.select(col("doc_id"), explode(bigrams).as("bg"))
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
+    // vocab-sized bigram count table; read by both marginals, the scoring
+    // join and the N1+(* *) scalar
     val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbs = cb
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
@@ -1337,8 +1350,11 @@ object TextAnalysis {
     */
   def pmiCollocations(spark: SparkSession, dir: String, minCount: Long = 5,
       topK: Int = 50): DataFrame = {
+    // tokenize once (the qt16 r6 rationale): unigram counts, totals, bigram
+    // counts and totals each re-ran the normalize+split scan (4x)
     val w = docs(spark, dir).select(
       split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uni = w.select(explode(col("w")).as("word"))
     val cu = uni.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val nw = uni.agg(count(lit(1)).as("n_w"))
@@ -1843,9 +1859,13 @@ object TextAnalysis {
     val toks = docs(spark, dir).select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
     val maxId = toks.agg(max(col("doc_id")).as("max_id"))
+    // genuine integer floor division (r6, ADVICE): `/` is DOUBLE division
+    // in Spark and only coincides with the oracle's // while
+    // (max_id+1)*buckets stays far under 2^53 — DIV makes the Spark side
+    // structurally identical to the oracle's integer floor at any scale
     val bucketed = toks.crossJoin(broadcast(maxId))
       .select(col("term"),
-        (col("doc_id") * buckets / (col("max_id") + 1)).cast("int").as("b"))
+        expr(s"CAST(doc_id * $buckets DIV (max_id + 1) AS INT)").as("b"))
     val firstB = bucketed.groupBy(col("term")).agg(min(col("b")).as("fb"))
       .groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
     val tokCnt = bucketed.groupBy(col("b")).agg(count(lit(1)).as("toks"))

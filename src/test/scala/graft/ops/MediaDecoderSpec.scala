@@ -184,6 +184,20 @@ class MediaDecoderSpec extends AnyFunSuite {
       .contains((1, 16000, 16, 16L)))
   }
 
+  test("WAV PCM decode rejects non-PCM audioFormat codes declaring 16 bits") {
+    // same layout as wav() but audioFormat = 3 (IEEE float): wavPcm16 must
+    // refuse rather than misdecode the floats as LE integer PCM (r6 ADVICE)
+    def wavFmt(code: Int): Array[Byte] = {
+      val fmt = "666D7420" + le4(16) + le2(code) + le2(1) + le4(8000) +
+        le4(8000 * 2) + le2(2) + le2(16)
+      val data = "64617461" + le4(4) + "ABABABAB"
+      hex("52494646" + le4(4 + (fmt + data).length / 2) + "57415645" + fmt + data)
+    }
+    assert(MediaDecoder.wavPcm16(wavFmt(1)).nonEmpty)
+    assert(MediaDecoder.wavPcm16(wavFmt(3)).isEmpty)      // IEEE float
+    assert(MediaDecoder.wavPcm16(wavFmt(0xFFFE)).isEmpty) // EXTENSIBLE
+  }
+
   test("WAV rejects: wrong magic, data before fmt, truncated fmt") {
     assert(MediaDecoder.wavMeta(hex("52494646" + le4(4) + "57415746")).isEmpty)
     val dataFirst = hex("52494646" + le4(16) + "57415645" +

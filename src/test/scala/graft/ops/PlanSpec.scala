@@ -126,9 +126,15 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // both sides of the bucket self-join shuffle the same admitted child —
-    // one Exchange computes the shingling+signature scan, the other reuses
-    assert(plan.contains("ReusedExchange"), plan)
+    // the shingling+signature scan must run ONCE: since r6 the shingle
+    // table is cached (InMemoryTableScan on every reference) — before that
+    // the same guarantee came from the self-join's ReusedExchange, which
+    // covered only the join's own two sides (6 parquet scans remained)
+    // (a FileScan line still appears under each InMemoryRelation reference —
+    // that is the cache's PRINTED lineage, not an executed scan; the
+    // executed reads are the TableCacheQueryStage nodes)
+    assert(plan.contains("InMemoryTableScan") || plan.contains("ReusedExchange"),
+      plan)
     // the candidate distinct groups on exactly (doc_a, doc_b) — shingle
     // arrays must not flow through that Exchange
     val distinctLines = plan.linesIterator.filter(_.contains("HashAggregate")).toSeq
