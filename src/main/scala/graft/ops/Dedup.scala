@@ -442,8 +442,11 @@ object Dedup {
     val keys = for (i <- 0 until nBlocks; j <- i + 1 until nBlocks) yield
       lit((i * nBlocks + j).toLong * (1L << 40)) +
         blockVal(i) * lit(1L << 20) + blockVal(j)
+    // cached (r6): both self-join sides read the keyed table — each re-ran
+    // the SimHash64 text scan + 45-key explode before
     val keyed = simhashDocs(spark, dir)
       .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     keyed.as("a").join(keyed.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -481,7 +484,11 @@ object Dedup {
     // on — partitioning is reused, and unlike a broadcast the admitted
     // block list never has to fit on the driver (at web scale it is
     // O(distinct blocks), compact but unbounded)
+    // cached (r6): the block-size aggregate and the admit join both read
+    // the shingle table (the self-join's own two sides were already covered
+    // by the ReusedExchange on the pinned repartition, which still fires)
     val base = ngramBase(spark, dir, shingleSize, bucketWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explicit block-key repartition BEFORE the self-join: it is the same
     // exchange a shuffle join would need anyway (so both sides still share
     // one ReusedExchange), and it guarantees the per-pair Jaccard verify
@@ -1002,6 +1009,9 @@ object Dedup {
             array_join(slice(col("words"), i + 1, lit(w)), " ")),
             1, 15), 16, 10).cast("long"))))
       .toDF("doc_id", "pos", "gh")
+      // cached (r6): the duplicate-gram profile and the span join both read
+      // the positional gram table — each re-ran the md5 gram explode before
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val dup = grams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
@@ -1207,8 +1217,11 @@ object Dedup {
       bands: Int = 2, rowsPerBand: Int = 4, maxBucket: Int = 4096,
       maxRounds: Int = 16): DataFrame = {
     val base = shingleBase(spark, dir, shingleSize)
+    // cached (r6): the star roots and the edge build both read the capped
+    // band table — each re-ran the shingle+signature chain before
     val admitted = capBuckets(portableBandBuckets(base, bands, rowsPerBand),
       "bkey", maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val star = admitted.groupBy(col("bkey")).agg(min(col("doc_id")).as("root"))
     val edges = admitted.join(star, Seq("bkey"))
       .filter(col("doc_id") =!= col("root"))

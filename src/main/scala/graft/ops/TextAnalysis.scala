@@ -201,8 +201,11 @@ object TextAnalysis {
       evalMod: Int = 29, mBits: Int = 32768): DataFrame = {
     require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     val mersenne61 = 2305843009213693951L
+    // cached (r6): the eval slice (bloom build + verify join) and the
+    // train-side probe all read the gram table — 3 shingling scans before
     val grams = docs(spark, dir).select(col("doc_id"),
       explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
     val a = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
@@ -247,8 +250,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val words = docs(spark, dir).select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    // cached (r6): the df marginal and the scoring join both read tf —
+    // each re-ran the tokenize+count chain before
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
@@ -1210,9 +1216,12 @@ object TextAnalysis {
       evalMod: Int = 29, minLen: Int = 6): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(w >= 1 && minLen >= w, s"need minLen >= w >= 1, got w=$w minLen=$minLen")
+    // split once (r6): the eval gram set, the train-side gram scan and the
+    // final rebuild all read the word table (3 scans before)
     val base = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .withColumn("n_tokens", size(col("words")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def grams(df: DataFrame): DataFrame = df.where(col("n_tokens") >= w)
       .select(col("doc_id"),
         posexplode(transform(
@@ -1941,9 +1950,12 @@ object TextAnalysis {
     * tier tool. All ratios are int64-over-int64, round 6.
     */
   def sourceOverlap(spark: SparkSession, dir: String, w: Int = 3): DataFrame = {
+    // cached (r6): per-source sizes and BOTH self-join sides read the
+    // distinct (source, gram) table — 3 shingling scans before (guide §2.4)
     val ss = docs(spark, dir)
       .select(col("source"), explode(Dedup.shingles(col("text"), w)).as("g"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.as("a")
       .join(ss.as("b"),
@@ -2011,11 +2023,16 @@ object TextAnalysis {
     */
   def bm25Retrieval(spark: SparkSession, dir: String, k: Int = 5,
       qmod: Int = 97, postingsPerTerm: Int = 1000): DataFrame = {
+    // tokenize once (r6): tf, dl and the query carve-out all read the
+    // token table (3 normalize+split scans before); tf feeds both the df
+    // marginal and the posting build
     val words = docs(spark, dir)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tokens = words.select(col("doc_id"), explode(col("w")).as("term"))
     val tf = tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dl = words.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))

@@ -105,7 +105,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Dedup.ngramJaccardPairs(spark, sf)
     df.collect()
     val plan = planOf(df)
-    assert(plan.contains("ReusedExchange"), plan)
+    // since r6 the shingle table is additionally cached (the block-size
+    // aggregate and admit join read it too), so the scan-once guarantee is
+    // the cache OR the self-join's ReusedExchange — at least one must hold
+    assert(plan.contains("InMemoryTableScan") || plan.contains("ReusedExchange"),
+      plan)
   }
 
   test("qd11 ppjoin: prefix-token equi-join, no cartesian, ids-only distinct") {
