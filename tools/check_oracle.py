@@ -47,10 +47,46 @@ def main(sf_dir, out_dir):
             spark = con.execute(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             scols = [d[0] for d in spark.description]
             srows = spark.fetchall()
+            # DTYPE VISIBILITY (round 6, VERDICT r5 #1): the driver hashes
+            # the pandas frame of each result, which is dtype-sensitive — an
+            # oracle whose uncast integer SUM comes back HUGEINT converts to
+            # float64 in pandas and breaks the driver's hash even when every
+            # VALUE matches (the qt24 failure this string-canonicalizing
+            # comparer could not see). DESCRIBE both sides (no execution;
+            # DB-API description collapses HUGEINT/BIGINT to 'NUMBER', so it
+            # cannot be used) and warn loudly when the SQL types that feed
+            # the pandas conversion differ. Non-fatal: values are still
+            # compared below, and a frozen oracle (qt24) cannot be fixed
+            # this round — but the divergence the driver will see is now
+            # visible locally instead of silent.
+            dtypes = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM ({sql}) oracle_q").fetchall())
+            stypes = dict((r[0], r[1]) for r in con.execute(
+                f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'")
+                .fetchall())
         except Exception as e:
             print(f"FAIL {name}: exec error: {str(e)[:200]}")
             n_bad += 1
             continue
+        # Only FAMILY differences break the pandas hash: int-width changes
+        # (INTEGER vs BIGINT) hash identically, but HUGEINT/DECIMAL become
+        # float64/object while BIGINT stays int64 — the qt24 class of bug.
+        def fam(t):
+            t = (t or "").upper()
+            if t.startswith("DECIMAL") or t in ("HUGEINT", "DOUBLE", "FLOAT",
+                                                "REAL", "UBIGINT"):
+                return "floatish"
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+                     "USMALLINT", "UINTEGER"):
+                return "int"
+            return t
+        dtype_diff = [(c, stypes.get(c), dtypes.get(c))
+                      for c in dtypes if c in stypes
+                      and fam(stypes.get(c)) != fam(dtypes.get(c))]
+        if dtype_diff:
+            print(f"DTYPE-WARN {name}: spark vs oracle SQL types differ "
+                  f"(pandas dtypes diverge, driver hash can mismatch): "
+                  f"{dtype_diff}")
         dc, dr = normalize(dcols, drows)
         sc, sr = normalize(scols, srows)
         if dc != sc:
