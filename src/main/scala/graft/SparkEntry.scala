@@ -2551,7 +2551,7 @@ object SparkEntry {
              CASE WHEN max_abs = 0 THEN 0
                ELSE CAST(ROUND(lam * 127.0 / max_abs) AS BIGINT) END AS qw
            FROM lam, mx)
-         SELECT doc_id, COUNT(*) AS n_feats, SUM(qw) AS logit_q,
+         SELECT doc_id, COUNT(*) AS n_feats, CAST(SUM(qw) AS BIGINT) AS logit_q,
            CAST(SUM(qw) > 0 AS INTEGER) AS kept
          FROM fb JOIN qm USING (bucket)
          GROUP BY doc_id""",
