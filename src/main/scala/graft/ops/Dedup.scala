@@ -700,10 +700,18 @@ object Dedup {
     // list is the small decision table of the dedup pipeline (ids only),
     // exactly what the guide says to materialize.
     val e = edges.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    // the pair list is already materialized, so this count is a cheap block
+    // scan — it sizes the rounds' shuffle parallelism (IterTuning: derived
+    // from the measured state, not the session constant; the label tables
+    // hold only the CLUSTERED docs, usually orders of magnitude under the
+    // corpus, so the session's corpus-sized partition count was pure
+    // scheduling latency per round)
+    val eCount = e.count()
     val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      IterTuning.withStateSized(e.sparkSession, eCount) {
       var labels = adj.select(col("src").as("doc_id"))
         .distinct().withColumn("label", col("doc_id"))
         .localCheckpoint(true)
@@ -736,6 +744,7 @@ object Dedup {
           s"pointerJump=$pointerJump rounds grow as " +
           (if (pointerJump) "log2(diameter)" else "diameter"))
       (labels, round)
+      }
     } finally adj.unpersist()
   }
 

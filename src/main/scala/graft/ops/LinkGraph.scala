@@ -68,7 +68,10 @@ object LinkGraph {
       .distinct()
       .persist()
     try {
-      edges.count() // materialize the reused edge list once
+      // state-sized shuffle parallelism for the eager rank rounds
+      // (IterTuning — the qg12 rationale)
+      val eCount = edges.count() // materialize the reused edge list once
+      IterTuning.withStateSized(spark, eCount) {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true) // host-sized; outlives the finally, so the
       // final lazy join reads it instead of re-scanning the corpus
@@ -111,6 +114,7 @@ object LinkGraph {
       ranks.join(deg.withColumnRenamed("src", "node"), "node")
         .select(col("node").as("host_id"), col("od").as("out_deg"),
           col("r").as("rank_fp"))
+      }
     } finally {
       edges.unpersist(); ()
     }
@@ -172,7 +176,10 @@ object LinkGraph {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist()
     try {
-      edges.count() // materialize the reused edge list once
+      // state-sized shuffle parallelism for the eager merge rounds
+      // (IterTuning — the qg12 rationale)
+      val eCount = edges.count() // materialize the reused edge list once
+      IterTuning.withStateSized(spark, eCount) {
       // ball(v, 0): the sketch of {v} itself — one single-row group per host
       var ball = edges.select(col("src").as("node")).distinct()
         .groupBy(col("node"))
@@ -193,6 +200,7 @@ object LinkGraph {
           posexplode(col("sk")).as(Seq("bucket", "register")))
         .select(col("host_id"), col("bucket").cast("int").as("bucket"),
           col("register").cast("int").as("register"))
+      }
     } finally {
       edges.unpersist(); ()
     }
@@ -256,7 +264,8 @@ object LinkGraph {
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
       .distinct().persist()
     try {
-      edges.count()
+      val eCount = edges.count()
+      IterTuning.withStateSized(spark, eCount) {
       var ball = edges.select(col("src").as("node")).distinct()
         .groupBy(col("node"))
         .agg(GraftFunctions.hllSketch(col("node").cast("string"), m).as("sk"))
@@ -275,6 +284,7 @@ object LinkGraph {
       }
       ball.unpersist()
       ests.reduce(_.join(_, Seq("node")))
+      }
     } finally {
       edges.unpersist(); ()
     }
@@ -460,7 +470,10 @@ object LinkGraph {
       .join(hosts.withColumnRenamed("h", "dst"), Seq("dst"), "left_semi")
       .persist()
     try {
-      edges.count() // materialize the reused edge list once
+      // state-sized shuffle parallelism for the eager vote rounds
+      // (IterTuning — the qg12 rationale)
+      val eCount = edges.count() // materialize the reused edge list once
+      IterTuning.withStateSized(spark, eCount) {
       // one synchronous vote round as a lazy transform; the label table is
       // referenced exactly ONCE per round, so two rounds chain per
       // materialization with zero re-derivation (the qg1 r6 rationale —
@@ -488,6 +501,7 @@ object LinkGraph {
       labels.join(sizes, Seq("label"))
         .select(col("node").as("host_id"), col("label").as("community_id"),
           col("community_size"))
+      }
     } finally {
       edges.unpersist(); ()
     }
@@ -557,7 +571,10 @@ object LinkGraph {
       .distinct()
       .persist()
     try {
-      eb.count() // materialize the reused edge list once
+      // state-sized shuffle parallelism for the eager peel waves
+      // (IterTuning — the qg12 rationale)
+      val ebCount = eb.count() // materialize the reused edge list once
+      IterTuning.withStateSized(spark, ebCount) {
       // one synchronous peel wave per materialization. (r6 note: chaining
       // two waves per checkpoint was tried and MEASURED SLOWER — the wave
       // references its input twice, so the batched plan pays a bounded 2x
@@ -588,6 +605,7 @@ object LinkGraph {
       eb.join(alive.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .groupBy(col("src").as("host_id")).agg(count(lit(1)).as("core_deg"))
+      }
     } finally {
       eb.unpersist(); ()
     }
@@ -639,7 +657,11 @@ object LinkGraph {
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
       .select(col("src"), col("dst")).persist()
     try {
-      nodes.count(); edges.count() // materialize the reused tables once
+      nodes.count()
+      // state-sized shuffle parallelism for the eager half-update rounds
+      // (IterTuning — the qg12 rationale)
+      val eCount = edges.count() // materialize the reused tables once
+      IterTuning.withStateSized(spark, eCount) {
       // one half-update: sum `prevCol` of `prev` over edges joined on
       // `joinKey`, grouped to `groupKey`, re-attached to the full node
       // table (in-link-free hosts keep 0), then max-rescaled
@@ -675,6 +697,7 @@ object LinkGraph {
       auth.join(hub, "node")
         .select(col("node").as("host_id"), col("a").as("auth_fp"),
           col("h").as("hub_fp"))
+      }
     } finally {
       edges.unpersist(); nodes.unpersist(); ()
     }
@@ -711,7 +734,10 @@ object LinkGraph {
       .distinct()
       .persist()
     try {
-      edges.count() // materialize the reused edge list once
+      // state-sized shuffle parallelism for the eager rank rounds
+      // (IterTuning — the qg12 rationale)
+      val eCount = edges.count() // materialize the reused edge list once
+      IterTuning.withStateSized(spark, eCount) {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       // host-sized checkpoint: outlives the finally, so the final lazy join
       // reads it instead of re-scanning the corpus (the qg1 r6 rationale)
@@ -745,6 +771,7 @@ object LinkGraph {
       }
       ranks.join(nodes, "node")
         .select(col("node").as("host_id"), col("is_seed"), col("r").as("rank_fp"))
+      }
     } finally {
       edges.unpersist(); ()
     }
@@ -876,7 +903,15 @@ object LinkGraph {
       element_at(typedlit(dsts), idx).as("dst"))
       .distinct().persist()
     try {
-      edges.count()
+      // the whole peel loop is eager (checkpoint-per-round), so it runs
+      // under state-sized shuffle parallelism (IterTuning: derived from the
+      // measured edge count, not the session constant — guide §2.2); the
+      // final lazy role projection plans under the session conf. Measured:
+      // 325 jobs -> 137 for the planted bow-tie (the AQE per-stage jobs and
+      // 32-way label shuffles were pure scheduling latency at this state
+      // size).
+      val eCount = edges.count()
+      IterTuning.withStateSized(spark, eCount) {
       val allNodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       var remaining = allNodes.localCheckpoint(true)
@@ -1002,6 +1037,7 @@ object LinkGraph {
             .when(coalesce(col("to_core"), lit(false)), "in")
             .when(coalesce(col("from_core"), lit(false)), "out")
             .otherwise("other").as("role"))
+      }
     } finally edges.unpersist()
   }
 }
