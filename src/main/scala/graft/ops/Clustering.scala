@@ -286,10 +286,10 @@ object Clustering {
     */
   def semDedup(spark: SparkSession, dir: String, k: Int = 8, rounds: Int = 4,
       tau2E4: Long = 2025): DataFrame = {
-    // cached (r6): both pair sides and the final drop join read the
+    // materialized once per query (r6; eager per-invocation local checkpoint): both pair sides and the final drop join read the
     // assignment, and each reference re-ran the E-step scan (guide §2.4)
     val m = lloydAssign(spark, dir, k, rounds)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dec = (c: Column) => c.cast(DecimalType(38, 0))
     val a = m.select(col("cluster"), col("vec_id").as("a_id"),
       col("qv").as("a_qv"), col("n2").as("a_n2"))
@@ -348,7 +348,7 @@ object Clustering {
         round(col("sse").cast("double") / col("csize").cast("double"), 9))
       .withColumn("scat",
         sqrt(col("sse").cast("double") / col("csize").cast("double")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val ss = spark; import ss.implicits._
     val pairs = (for {
       i <- cents.indices; j <- cents.indices if i != j

@@ -105,12 +105,12 @@ object Curation {
       .withColumn("pass",
         !col("is_eval") && !col("is_dup") && col("lang_ok") &&
           col("quality_ok") && !col("contaminated"))
-      // cached (r6): the water-fill capacities AND the final verdict both
+      // materialized once per query (r6; eager per-invocation local checkpoint): the water-fill capacities AND the final verdict both
       // read the gate table, and each reference re-ran the whole upstream
       // (two base scans, the fingerprint-family aggregate, and the full
       // contamination probe — guide §2.4). This is the per-doc decision
       // table of guide §8 — narrow flags, no text.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Gate 6: qt43's water-filling over per-source ADMITTED token
     // capacities — S-row summary windows only.
@@ -198,10 +198,10 @@ object Curation {
         (col("tokens") >= 30L && col("mwl").between(3d, 10d) &&
           col("awr") >= 0.8d).cast("long"))
       .withColumn("is_eval", (col("doc_id") % evalMod === 0).cast("long"))
-      // cached (r6): scalars, the per-lang shares, and both rate
+      // materialized once per query (r6; eager per-invocation local checkpoint): scalars, the per-lang shares, and both rate
       // denominators read this table — four full re-derivations before
       // (guide §2.4); narrow per-doc metrics, no text
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val grams = d.select(col("doc_id"),
       explode(Dedup.shingles(col("text"), gramWords)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)

@@ -210,12 +210,12 @@ object Dedup {
       threshold: Double = 0.2,
       maxBucket: Int = 4096
   ): DataFrame = {
-    // cached (r6): the band-bucket chain and both verify re-attach sides
+    // materialized once per query (r6; eager per-invocation local checkpoint): the band-bucket chain and both verify re-attach sides
     // read the shingle table — without the cache each reference re-ran the
     // WordShingles scan (6 parquet scans in the r6 plan audit; the bucket
     // self-join's ReusedExchange covers only its own two sides)
     val base = shingleBase(spark, dir, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val buckets = portableBandBuckets(base, bands, rowsPerBand)
     val admitted = capBuckets(buckets, "bkey", maxBucket)
     val cand = admitted.as("a").join(admitted.as("b"),
@@ -262,12 +262,12 @@ object Dedup {
   ): DataFrame = {
     val lanes = bands * rowsPerBand
     require(lanes <= 8, s"portable affine lanes need i <= 7, got $lanes lanes")
-    // cached (r6): the band explode and both verify sides read the
+    // materialized once per query (r6; eager per-invocation local checkpoint): the band explode and both verify sides read the
     // signature table (the qd7 rationale — one shingle+signature scan)
     val sigs = shingleBase(spark, dir, shingleSize)
       .withColumn("sig",
         graft.functions.GraftFunctions.minhashAffine(col("sh"), lanes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bandCols = (0 until bands).map { b =>
       concat_ws("|", lit(b.toString) +:
         (0 until rowsPerBand).map(r =>
@@ -326,21 +326,21 @@ object Dedup {
       maxBucket: Int = 4096
   ): DataFrame = {
     val inBatch = col("doc_id") % batchMod === 0
-    // cached (r6): each table below feeds BOTH sides of a batch-vs-corpus
+    // materialized once per query (r6; eager per-invocation local checkpoint): each table below feeds BOTH sides of a batch-vs-corpus
     // join (plus the verify re-attach), and every reference re-ran its md5/
     // shingle/signature scan — 9 corpus scans in the r6 plan audit
     val fps = docs(spark, dir)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val exactDup = fps.filter(inBatch).as("b")
       .join(fps.filter(!inBatch).as("c"), col("b.fp") === col("c.fp"),
         "left_semi")
       .select(col("doc_id"), lit(1).as("exact_dup"))
     val base = shingleBase(spark, dir, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val buckets = portableBandBuckets(base, bands, rowsPerBand)
     val admitted = capBuckets(buckets, "bkey", maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cand = admitted.filter(inBatch).as("b")
       .join(admitted.filter(!inBatch).as("c"), col("b.bkey") === col("c.bkey"))
       .select(col("b.doc_id").as("batch_id"), col("c.doc_id").as("corpus_id"))
@@ -442,11 +442,11 @@ object Dedup {
     val keys = for (i <- 0 until nBlocks; j <- i + 1 until nBlocks) yield
       lit((i * nBlocks + j).toLong * (1L << 40)) +
         blockVal(i) * lit(1L << 20) + blockVal(j)
-    // cached (r6): both self-join sides read the keyed table — each re-ran
+    // materialized once per query (r6; eager per-invocation local checkpoint): both self-join sides read the keyed table — each re-ran
     // the SimHash64 text scan + 45-key explode before
     val keyed = simhashDocs(spark, dir)
       .select(col("doc_id"), col("simhash"), explode(array(keys: _*)).as("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     keyed.as("a").join(keyed.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -484,11 +484,11 @@ object Dedup {
     // on — partitioning is reused, and unlike a broadcast the admitted
     // block list never has to fit on the driver (at web scale it is
     // O(distinct blocks), compact but unbounded)
-    // cached (r6): the block-size aggregate and the admit join both read
+    // materialized once per query (r6; eager per-invocation local checkpoint): the block-size aggregate and the admit join both read
     // the shingle table (the self-join's own two sides were already covered
     // by the ReusedExchange on the pinned repartition, which still fires)
     val base = ngramBase(spark, dir, shingleSize, bucketWords)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // explicit block-key repartition BEFORE the self-join: it is the same
     // exchange a shuffle join would need anyway (so both sides still share
     // one ReusedExchange), and it guarantees the per-pair Jaccard verify
@@ -590,14 +590,16 @@ object Dedup {
       threshold: Double = 0.8,
       maxToken: Int = 4096
   ): DataFrame = {
-    // cache the shingle table: unlike qd4/qd7, ppjoin's branches shuffle on
-    // DIFFERENT keys (token df, prefix token, then doc ids for the verify),
-    // so ReusedExchange never fires and the r6 plan audit measured the
-    // WordShingles scan evaluated 10x in one query (20 shingling
-    // expressions, 10 parquet scans — guide §2.4). The cache is the
-    // (doc_id, sh) proxy table, MEMORY_AND_DISK like the CC adjacency.
+    // materialize the shingle table once: unlike qd4/qd7, ppjoin's branches
+    // shuffle on DIFFERENT keys (token df, prefix token, then doc ids for
+    // the verify), so ReusedExchange never fires and the r6 plan audit
+    // measured the WordShingles scan evaluated 10x in one query (20
+    // shingling expressions, 10 parquet scans — guide §2.4). Eager local
+    // checkpoint of the (doc_id, sh) proxy table: every reference reads the
+    // materialized blocks, and unlike a session-level cache the blocks are
+    // per-invocation (self-contained timing) and GC-reclaimed.
     val base = shingleBase(spark, dir, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // ids-only candidate exchange pinned wide (qd4's lesson: AQE coalesces
     // on shuffle BYTES and would serialize the per-pair verify compute)
     val cand = ppjoinCandidates(base, threshold, maxToken)
@@ -633,11 +635,11 @@ object Dedup {
           .as(Seq("pos0", "ptok")))
       .select(col("doc_id"), col("n"), (col("pos0") + 1).as("pos"), col("ptok"))
     // the admitted prefix table feeds BOTH sides of the candidate self-join
-    // (and the cap's size aggregate): cache it so the df-sort + prefix
+    // (and the cap's size aggregate): materialize it once so the df-sort + prefix
     // explode chain above runs once, not once per reference (ids+pos+token
     // rows — the lightweight proxy the guide §8 shuffles instead of payloads)
     val admitted = capBuckets(prefix, "ptok", maxToken)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     admitted.as("a").join(admitted.as("b"),
         col("a.ptok") === col("b.ptok") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -709,7 +711,7 @@ object Dedup {
     val eCount = e.count()
     val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       IterTuning.withStateSized(e.sparkSession, eCount) {
       var labels = adj.select(col("src").as("doc_id"))
@@ -1018,9 +1020,9 @@ object Dedup {
             array_join(slice(col("words"), i + 1, lit(w)), " ")),
             1, 15), 16, 10).cast("long"))))
       .toDF("doc_id", "pos", "gh")
-      // cached (r6): the duplicate-gram profile and the span join both read
+      // materialized once per query (r6; eager per-invocation local checkpoint): the duplicate-gram profile and the span join both read
       // the positional gram table — each re-ran the md5 gram explode before
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     val dup = grams.select(col("gh"), col("doc_id")).distinct()
       .groupBy(col("gh")).agg(count(lit(1)).as("nd"))
@@ -1122,16 +1124,16 @@ object Dedup {
   def winnowContainment(spark: SparkSession, dir: String, k: Int = 3,
       win: Int = 4, threshold: Double = 0.2,
       maxDocsPerFp: Int = 1024): DataFrame = {
-    // cached (r6): the distinct fingerprint table feeds the hot-fp cap and
+    // materialized once per query (r6; eager per-invocation local checkpoint): the distinct fingerprint table feeds the hot-fp cap and
     // the capped table feeds per-doc counts plus BOTH self-join sides —
     // each reference re-ran the winnowing scan (8 scans in the plan audit)
     val fps = winnowFingerprints(spark, dir, k, win)
       .select(col("doc_id"), col("fp")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hot = fps.groupBy(col("fp")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") > maxDocsPerFp).select(col("fp"))
     val cold = fps.join(hot, Seq("fp"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nfp = cold.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val pairs = cold.as("a").join(cold.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
@@ -1226,11 +1228,11 @@ object Dedup {
       bands: Int = 2, rowsPerBand: Int = 4, maxBucket: Int = 4096,
       maxRounds: Int = 16): DataFrame = {
     val base = shingleBase(spark, dir, shingleSize)
-    // cached (r6): the star roots and the edge build both read the capped
+    // materialized once per query (r6; eager per-invocation local checkpoint): the star roots and the edge build both read the capped
     // band table — each re-ran the shingle+signature chain before
     val admitted = capBuckets(portableBandBuckets(base, bands, rowsPerBand),
       "bkey", maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val star = admitted.groupBy(col("bkey")).agg(min(col("doc_id")).as("root"))
     val edges = admitted.join(star, Seq("bkey"))
       .filter(col("doc_id") =!= col("root"))

@@ -998,10 +998,10 @@ object Multimodal {
         }
       }
     }.toDF("img_id", "fp_hi", "fp_lo")
-      // cached (r6): both self-join sides read the fingerprint table —
+      // materialized once per query (r6; eager per-invocation local checkpoint): both self-join sides read the fingerprint table —
       // each re-ran the PNG encode+decode+dHash scan before (guide §2.4);
       // (img_id, 2 longs) is exactly the guide-§8 lightweight proxy
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def blockVal(k: Int): Column = {
       val off = bounds(k)
       val len = bounds(k + 1) - off
@@ -1116,10 +1116,10 @@ object Multimodal {
           }
         }
       }.toDF("doc_id", "frame_idx", "fp_hi", "fp_lo")
-      // cached (r6): the current- and previous-frame sides both read the
+      // materialized once per query (r6; eager per-invocation local checkpoint): the current- and previous-frame sides both read the
       // fingerprint table — each re-ran the full PNG encode+decode+dHash
       // frame scan before (the qm9 rationale)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cur = frames.select(col("doc_id"), col("frame_idx"),
       col("fp_hi").as("hi1"), col("fp_lo").as("lo1"))
     val prev = frames.select(col("doc_id"),

@@ -218,11 +218,11 @@ object Similarity {
     */
   def embeddingDupPairsLsh(spark: SparkSession, dir: String,
       threshold: Double = 0.5, tables: Int = 24, bits: Int = 3): DataFrame = {
-    // cached (r6): both self-join sides re-computed the tables x bits
+    // materialized once per query (r6; eager per-invocation local checkpoint): both self-join sides re-computed the tables x bits
     // hyperplane signature scan; (vec_id, bucket) is the ids-only proxy
     val buckets = srpSignatures(spark, dir, tables, bits)
       .select(col("vec_id"), explode(col("sigs")).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val candIds = buckets.as("a").join(buckets.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))

@@ -201,11 +201,11 @@ object TextAnalysis {
       evalMod: Int = 29, mBits: Int = 32768): DataFrame = {
     require(mBits % 64 == 0, s"mBits must be a multiple of 64, got $mBits")
     val mersenne61 = 2305843009213693951L
-    // cached (r6): the eval slice (bloom build + verify join) and the
+    // materialized once per query (r6; eager per-invocation local checkpoint): the eval slice (bloom build + verify join) and the
     // train-side probe all read the gram table — 3 shingling scans before
     val grams = docs(spark, dir).select(col("doc_id"),
       explode(Dedup.shingles(col("text"), gramWords)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
     val a = conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long")
@@ -250,11 +250,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val words = docs(spark, dir).select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
-    // cached (r6): the df marginal and the scoring join both read tf —
+    // materialized once per query (r6; eager per-invocation local checkpoint): the df marginal and the scoring join both read tf —
     // each re-ran the tokenize+count chain before
     val tf = words.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val df = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"))
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
@@ -384,7 +384,7 @@ object TextAnalysis {
     // tables broadcast). Persisting the normalized token table is the
     // tokenize-once discipline any LM-scoring deployment uses.
     val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
@@ -395,7 +395,7 @@ object TextAnalysis {
     // vocab-sized; read twice (scoring join + the V scalar)
     val cu = base.select(explode(col("w")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cu"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val v = cu.agg(count(lit(1)).as("v"))
     val logp = round(log((col("cb") + lit(1.0)) / (col("cu") + col("v"))), 9)
     inst.join(cb, Seq("bg"))
@@ -437,7 +437,7 @@ object TextAnalysis {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
     // tokenize once (the qt16 r6 rationale)
     val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
         i => concat_ws(" ", element_at(col("w"), i + 1), element_at(col("w"), i + 2))))
@@ -448,7 +448,7 @@ object TextAnalysis {
     // vocab-sized bigram count table; read by both marginals, the scoring
     // join and the N1+(* *) scalar
     val cb = inst.groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cbs = cb
       .withColumn("w1", element_at(split(col("bg"), " "), 1))
       .withColumn("w2", element_at(split(col("bg"), " "), 2))
@@ -498,7 +498,7 @@ object TextAnalysis {
     // doc — the per-doc score table CCNet materializes anyway.
     val d = docs(spark, dir).select(col("doc_id"), col("lang"))
       .join(sc, Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val hist = d.groupBy(col("lang"), col("avg_logp")).agg(count(lit(1)).as("cnt"))
     val w = Window.partitionBy(col("lang")).orderBy(col("avg_logp").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -810,7 +810,7 @@ object TextAnalysis {
       // explode + md5 scan (guide §2.4). (doc_id, lang, bucket) is the
       // hashed-feature proxy table — the thing a DSIR deployment
       // materializes anyway before fitting.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
   }
 
   /** The fitted DSIR model: per-bucket log-likelihood-ratio weights over
@@ -858,10 +858,10 @@ object TextAnalysis {
   def classifierGate(spark: SparkSession, dir: String, buckets: Int = 1024,
       targetLang: String = "en"): DataFrame = {
     val feats = hashedFeats(spark, dir, buckets)
-    // the fitted model is B rows (fixed-size): cache it so the quantization
+    // the fitted model is B rows (fixed-size): materialize it once so the quantization
     // scale (maxAbs) and the code table don't each re-run the fit aggregates
     val lam = dsirLam(spark, feats, buckets, targetLang)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val maxAbs = lam.agg(max(abs(col("lam"))).as("max_abs"))
     val qmodel = lam.crossJoin(broadcast(maxAbs))
       .select(col("bucket"),
@@ -1221,7 +1221,7 @@ object TextAnalysis {
     val base = docs(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .withColumn("n_tokens", size(col("words")).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     def grams(df: DataFrame): DataFrame = df.where(col("n_tokens") >= w)
       .select(col("doc_id"),
         posexplode(transform(
@@ -1363,7 +1363,7 @@ object TextAnalysis {
     // counts and totals each re-ran the normalize+split scan (4x)
     val w = docs(spark, dir).select(
       split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val uni = w.select(explode(col("w")).as("word"))
     val cu = uni.groupBy(col("word")).agg(count(lit(1)).as("c"))
     val nw = uni.agg(count(lit(1)).as("n_w"))
@@ -1950,12 +1950,12 @@ object TextAnalysis {
     * tier tool. All ratios are int64-over-int64, round 6.
     */
   def sourceOverlap(spark: SparkSession, dir: String, w: Int = 3): DataFrame = {
-    // cached (r6): per-source sizes and BOTH self-join sides read the
+    // materialized once per query (r6; eager per-invocation local checkpoint): per-source sizes and BOTH self-join sides read the
     // distinct (source, gram) table — 3 shingling scans before (guide §2.4)
     val ss = docs(spark, dir)
       .select(col("source"), explode(Dedup.shingles(col("text"), w)).as("g"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = ss.as("a")
       .join(ss.as("b"),
@@ -2028,11 +2028,11 @@ object TextAnalysis {
     // marginal and the posting build
     val words = docs(spark, dir)
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val tokens = words.select(col("doc_id"), explode(col("w")).as("term"))
     val tf = tokens.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val dl = words.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"))

@@ -105,10 +105,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Dedup.ngramJaccardPairs(spark, sf)
     df.collect()
     val plan = planOf(df)
-    // since r6 the shingle table is additionally cached (the block-size
-    // aggregate and admit join read it too), so the scan-once guarantee is
-    // the cache OR the self-join's ReusedExchange — at least one must hold
-    assert(plan.contains("InMemoryTableScan") || plan.contains("ReusedExchange"),
+    // since r6 the shingle table is additionally materialized once per
+    // query (eager local checkpoint; the block-size aggregate and admit
+    // join read it too), so the scan-once guarantee is the checkpointed
+    // leaf OR the self-join's ReusedExchange — at least one must hold
+    assert(plan.contains("ExistingRDD") || plan.contains("ReusedExchange"),
       plan)
   }
 
@@ -131,13 +132,11 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     // the shingling+signature scan must run ONCE: since r6 the shingle
-    // table is cached (InMemoryTableScan on every reference) — before that
-    // the same guarantee came from the self-join's ReusedExchange, which
+    // table is materialized once per query (eager local checkpoint; every
+    // reference is a scan of the checkpointed blocks) — before that the
+    // same guarantee came from the self-join's ReusedExchange, which
     // covered only the join's own two sides (6 parquet scans remained)
-    // (a FileScan line still appears under each InMemoryRelation reference —
-    // that is the cache's PRINTED lineage, not an executed scan; the
-    // executed reads are the TableCacheQueryStage nodes)
-    assert(plan.contains("InMemoryTableScan") || plan.contains("ReusedExchange"),
+    assert(plan.contains("ExistingRDD") || plan.contains("ReusedExchange"),
       plan)
     // the candidate distinct groups on exactly (doc_a, doc_b) — shingle
     // arrays must not flow through that Exchange
@@ -515,7 +514,12 @@ class PlanSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("qd17 simhash pairs: bucket-key self-join, native simhash, no cartesian") {
     val plan = planOf(Dedup.simhashPairs(spark, sf))
-    assert(plan.contains("simhash64"), plan)
+    // the native simhash64 runs inside the keyed table's one-time
+    // materialization (eager local checkpoint since r6), so the final plan
+    // shows the checkpointed leaf; the native-expression guarantee is
+    // asserted on the pre-checkpoint simhash table instead
+    assert(planOf(Dedup.simhashDocs(spark, sf)).contains("simhash64"))
+    assert(plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
     // candidates join on the packed block key — an equi-join, never BNLJ
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
