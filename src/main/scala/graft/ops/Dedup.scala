@@ -709,8 +709,16 @@ object Dedup {
     // corpus, so the session's corpus-sized partition count was pure
     // scheduling latency per round)
     val eCount = e.count()
+    // coalesce the mirrored adjacency to the state-derived partition count
+    // BEFORE checkpointing: `e` inherits the feeder's layout (qd6's feeder
+    // pins a 32-wide repartition for its verify join, so the union carried
+    // 64 partitions), and every round's join stage would otherwise run one
+    // task per inherited partition regardless of state size (guide §2.2 —
+    // partitioning derived from measured input, not from the feeder's
+    // unrelated layout). coalesce is shuffle-free.
     val adj = e.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(e.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .coalesce(IterTuning.partitionsFor(e.sparkSession, eCount))
       .localCheckpoint(true)
     try {
       IterTuning.withStateSized(e.sparkSession, eCount) {

@@ -27,6 +27,17 @@ private[ops] object IterTuning {
 
   private val RowsPerPartition = 65536L
 
+  /** The same state-derived partition count [[withStateSized]] uses, for
+    * callers that need to lay out a loop-reused table explicitly (e.g.
+    * coalescing an adjacency list whose feeder pinned a wide repartition —
+    * every round would otherwise inherit the wide layout as per-stage
+    * tasks). Capped at the session's shuffle parallelism.
+    */
+  def partitionsFor(spark: SparkSession, stateRows: Long): Int = {
+    val cap = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    math.min(cap.toLong, stateRows / RowsPerPartition + 1).toInt
+  }
+
   /** Run `body` (the eager fixpoint rounds) with shuffle parallelism derived
     * from the measured per-round state size, AQE disabled, restoring the
     * session conf afterwards. Safe for any result-deterministic plan (hash

@@ -58,7 +58,7 @@ object LinkGraph {
     * MATERIALIZES PER ROUND (the qd6 invariant): each round's rank table
     * is localCheckpoint(true)-ed and its predecessor released, so lineage
     * stays O(1) and nothing re-derives the base 2^k times. The edge list
-    * (reused every round) is persisted once and released in finally.
+    * (reused every round) is eagerly checkpointed once.
     */
   def hostPagerank(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val base = lit(150000000000L) // floor(0.15 * 10^12) teleport mass
@@ -66,11 +66,11 @@ object LinkGraph {
       .select((col("doc_id") % 32).as("src"),
         ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
       .distinct()
-      .persist()
-    try {
+      .localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager rank rounds
       // (IterTuning — the qg12 rationale)
-      val eCount = edges.count() // materialize the reused edge list once
+      val eCount = edges.count() // sizes the rounds (list is already materialized)
       IterTuning.withStateSized(spark, eCount) {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
         .localCheckpoint(true) // host-sized; outlives the finally, so the
@@ -115,8 +115,6 @@ object LinkGraph {
         .select(col("node").as("host_id"), col("od").as("out_deg"),
           col("r").as("rank_fp"))
       }
-    } finally {
-      edges.unpersist(); ()
     }
   }
 
@@ -174,11 +172,11 @@ object LinkGraph {
           .otherwise(col("ch") + 1).as("b"))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().persist()
-    try {
+      .distinct().localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager merge rounds
       // (IterTuning — the qg12 rationale)
-      val eCount = edges.count() // materialize the reused edge list once
+      val eCount = edges.count() // sizes the rounds (list is already materialized)
       IterTuning.withStateSized(spark, eCount) {
       // ball(v, 0): the sketch of {v} itself — one single-row group per host
       var ball = edges.select(col("src").as("node")).distinct()
@@ -201,8 +199,6 @@ object LinkGraph {
         .select(col("host_id"), col("bucket").cast("int").as("bucket"),
           col("register").cast("int").as("register"))
       }
-    } finally {
-      edges.unpersist(); ()
     }
   }
 
@@ -262,8 +258,8 @@ object LinkGraph {
           .otherwise(col("ch") + 1).as("b"))
     val edges = e0.select(col("a").as("src"), col("b").as("dst"))
       .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().persist()
-    try {
+      .distinct().localCheckpoint(true)
+    locally {
       val eCount = edges.count()
       IterTuning.withStateSized(spark, eCount) {
       var ball = edges.select(col("src").as("node")).distinct()
@@ -285,8 +281,6 @@ object LinkGraph {
       ball.unpersist()
       ests.reduce(_.join(_, Seq("node")))
       }
-    } finally {
-      edges.unpersist(); ()
     }
   }
 
@@ -468,11 +462,11 @@ object LinkGraph {
       // never produced (the qg1 non-source-contribution discipline), so a
       // partial corpus can't mint phantom vote targets
       .join(hosts.withColumnRenamed("h", "dst"), Seq("dst"), "left_semi")
-      .persist()
-    try {
+      .localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager vote rounds
       // (IterTuning — the qg12 rationale)
-      val eCount = edges.count() // materialize the reused edge list once
+      val eCount = edges.count() // sizes the rounds (list is already materialized)
       IterTuning.withStateSized(spark, eCount) {
       // one synchronous vote round as a lazy transform; the label table is
       // referenced exactly ONCE per round, so two rounds chain per
@@ -502,8 +496,6 @@ object LinkGraph {
         .select(col("node").as("host_id"), col("label").as("community_id"),
           col("community_size"))
       }
-    } finally {
-      edges.unpersist(); ()
     }
   }
 
@@ -569,11 +561,11 @@ object LinkGraph {
     val eb = raw
       .union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .persist()
-    try {
+      .localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager peel waves
       // (IterTuning — the qg12 rationale)
-      val ebCount = eb.count() // materialize the reused edge list once
+      val ebCount = eb.count() // sizes the rounds (list is already materialized)
       IterTuning.withStateSized(spark, ebCount) {
       // one synchronous peel wave per materialization. (r6 note: chaining
       // two waves per checkpoint was tried and MEASURED SLOWER — the wave
@@ -606,8 +598,6 @@ object LinkGraph {
         .join(alive.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .groupBy(col("src").as("host_id")).agg(count(lit(1)).as("core_deg"))
       }
-    } finally {
-      eb.unpersist(); ()
     }
   }
 
@@ -636,8 +626,8 @@ object LinkGraph {
     *
     * Iterative-dataflow invariant (qd6/qg1): per-round
     * localCheckpoint(true) with predecessor release; the reused edge list
-    * and node table persist once and release in finally (the final a/h
-    * checkpoints stay pinned — the returned lazy DataFrame reads them).
+    * and node table checkpoint once (the final a/h checkpoints stay
+    * pinned — the returned lazy DataFrame reads them).
     *
     * Output: (host_id, auth_fp, hub_fp) after k rounds.
     */
@@ -650,17 +640,17 @@ object LinkGraph {
         ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
       .distinct()
       .localCheckpoint(true)
-    val nodes = edges0.select(col("src").as("node")).distinct().persist()
+    val nodes = edges0.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
     // graph over OBSERVED hosts (the qg6 discipline): a partial corpus
     // cannot mint authority targets it never crawled as hosts
     val edges = edges0
       .join(nodes.withColumnRenamed("node", "dst"), Seq("dst"), "left_semi")
-      .select(col("src"), col("dst")).persist()
-    try {
-      nodes.count()
+      .select(col("src"), col("dst")).localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager half-update rounds
       // (IterTuning — the qg12 rationale)
-      val eCount = edges.count() // materialize the reused tables once
+      val eCount = edges.count() // sizes the rounds (tables are already materialized)
       IterTuning.withStateSized(spark, eCount) {
       // one half-update: sum `prevCol` of `prev` over edges joined on
       // `joinKey`, grouped to `groupKey`, re-attached to the full node
@@ -698,8 +688,6 @@ object LinkGraph {
         .select(col("node").as("host_id"), col("a").as("auth_fp"),
           col("h").as("hub_fp"))
       }
-    } finally {
-      edges.unpersist(); nodes.unpersist(); ()
     }
   }
 
@@ -722,8 +710,8 @@ object LinkGraph {
     * per round (exchange reuse), hash aggregate on dst with map-side
     * partials, node table re-attach so contribution-free hosts keep
     * their teleport term; per-round localCheckpoint(true) with
-    * predecessor release, reused edge list persisted once and released
-    * in finally (the qd6 iterative-dataflow invariant).
+    * predecessor release, reused edge list checkpointed once (the qd6
+    * iterative-dataflow invariant).
     *
     * Output: (host_id, is_seed, rank_fp).
     */
@@ -732,11 +720,11 @@ object LinkGraph {
       .select((col("doc_id") % 32).as("src"),
         ((col("doc_id") % 32) * 5 + 1 + col("doc_id") % 3) % 32 as "dst")
       .distinct()
-      .persist()
-    try {
+      .localCheckpoint(true)
+    locally {
       // state-sized shuffle parallelism for the eager rank rounds
       // (IterTuning — the qg12 rationale)
-      val eCount = edges.count() // materialize the reused edge list once
+      val eCount = edges.count() // sizes the rounds (list is already materialized)
       IterTuning.withStateSized(spark, eCount) {
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
       // host-sized checkpoint: outlives the finally, so the final lazy join
@@ -772,8 +760,6 @@ object LinkGraph {
       ranks.join(nodes, "node")
         .select(col("node").as("host_id"), col("is_seed"), col("r").as("rank_fp"))
       }
-    } finally {
-      edges.unpersist(); ()
     }
   }
 
@@ -901,8 +887,8 @@ object LinkGraph {
     val edges = docs(spark, dir).select(
       element_at(typedlit(srcs), idx).as("src"),
       element_at(typedlit(dsts), idx).as("dst"))
-      .distinct().persist()
-    try {
+      .distinct().localCheckpoint(true)
+    locally {
       // the whole peel loop is eager (checkpoint-per-round), so it runs
       // under state-sized shuffle parallelism (IterTuning: derived from the
       // measured edge count, not the session constant — guide §2.2); the
@@ -1038,6 +1024,6 @@ object LinkGraph {
             .when(coalesce(col("from_core"), lit(false)), "out")
             .otherwise("other").as("role"))
       }
-    } finally edges.unpersist()
+    }
   }
 }

@@ -43,6 +43,12 @@ object BenchExtra {
     val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "before")
 
     val spark = graft.Bench.newSession(cpus)
+    // A/B knob for the optimize loop ONLY (guide §1): comma-separated k=v
+    // session-conf overrides, e.g. SPARK_GRAFT_SET=spark.sql.codegen.wholeStage=false
+    sys.env.get("SPARK_GRAFT_SET").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // per-query job/stage/task telemetry (guide §1.5/§7): distinguishes
     // round-latency-bound queries (many tiny jobs) from data-bound ones
     val jobCount = new java.util.concurrent.atomic.AtomicLong(0)
