@@ -57,7 +57,9 @@ object Curation {
   def curationVerdict(spark: SparkSession, dir: String, budgetPct: Int = 55,
       gramWords: Int = 4, evalMod: Int = 29): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d = docs(spark, dir)
+    // parallelize the scan feeding the per-doc metric + gram map work
+    // (ScanLayout: no-op whenever the scan already has >= cores splits)
+    val d = ScanLayout.ensureParallel(docs(spark, dir))
 
     val words = split(trim(col("text")), "\\s+")
     val nWords = size(words).cast("long")
@@ -182,7 +184,9 @@ object Curation {
     */
   def healthReport(spark: SparkSession, dir: String, gramWords: Int = 4,
       evalMod: Int = 29): DataFrame = {
-    val d = docs(spark, dir)
+    // parallelize the scan feeding the per-doc metric + gram map work
+    // (ScanLayout: no-op whenever the scan already has >= cores splits)
+    val d = ScanLayout.ensureParallel(docs(spark, dir))
     val words = split(trim(col("text")), "\\s+")
     val nWords = size(words).cast("long")
     val wordChars = aggregate(transform(words, w => length(w).cast("long")),

@@ -167,7 +167,9 @@ object Dedup {
   }
 
   private def shingleBase(spark: SparkSession, dir: String, shingleSize: Int): DataFrame =
-    shinglesOf(docs(spark, dir), shingleSize)
+    // parallelize the doc scan feeding the shingle+signature map work
+    // (ScanLayout: no-op whenever the scan already has >= cores splits)
+    shinglesOf(ScanLayout.ensureParallel(docs(spark, dir)), shingleSize)
 
   /** (doc_id, sh) from any documents frame — the preprocessed shingle table
     * the incremental-dedup index persists ([[graft.spark.IncrementalDedupJob]]).
@@ -407,7 +409,8 @@ object Dedup {
     */
   def simhashDocs(spark: SparkSession, dir: String): DataFrame = {
     val sim = graft.functions.GraftFunctions.simhash64(col("text"))
-    docs(spark, dir)
+    // parallelize the scan feeding the per-char simhash map (ScanLayout)
+    ScanLayout.ensureParallel(docs(spark, dir))
       .select(col("doc_id"), sim.as("simhash"),
         shiftrightunsigned(sim, 48).as("prefix16"))
   }
@@ -521,7 +524,8 @@ object Dedup {
 
   private def ngramBase(spark: SparkSession, dir: String, shingleSize: Int,
       bucketWords: Int = 4): DataFrame =
-    docs(spark, dir).select(
+    // parallelize the scan feeding the shingling map work (ScanLayout)
+    ScanLayout.ensureParallel(docs(spark, dir)).select(
       col("doc_id"), col("lang"),
       floor(size(split(trim(col("text")), "\\s+")) / lit(bucketWords)).cast("int")
         .as("len_bucket"),
@@ -969,7 +973,9 @@ object Dedup {
     */
   def dupNgramProfile(spark: SparkSession, dir: String, w: Int = 3,
       minDocs: Int = 2): DataFrame = {
-    val g = docs(spark, dir)
+    // parallelize the scan feeding the gram explode (ScanLayout; the
+    // per-doc w-gram explode + hash aggregate is the whole map cost here)
+    val g = ScanLayout.ensureParallel(docs(spark, dir))
       .select(col("doc_id"), shingles(col("text"), w).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("g"))
@@ -1016,7 +1022,9 @@ object Dedup {
   def exactSubstrDedup(spark: SparkSession, dir: String, w: Int = 5,
       minLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs(spark, dir)
+    // parallelize the scan feeding the positional md5-gram explode
+    // (ScanLayout: one md5 per token position — the query's map cost)
+    val base = ScanLayout.ensureParallel(docs(spark, dir))
       .select(col("doc_id"), split(col("text"), " ").as("words"))
       .withColumn("n_tokens", size(col("words")).cast("long"))
 

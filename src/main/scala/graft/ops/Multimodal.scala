@@ -939,8 +939,11 @@ object Multimodal {
     */
   def variantPngTable(spark: SparkSession, dir: String): Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // parallelize the id scan feeding the per-image encode map work
+    // (ScanLayout: no-op whenever the scan already has >= cores splits)
+    ScanLayout.ensureParallel(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")))
+      .as[Long]
       .flatMap { id =>
         val w = pxW(id); val h = pxH(id)
         Seq(0, 1).map { v =>
@@ -1085,8 +1088,10 @@ object Multimodal {
     */
   def sceneCuts(spark: SparkSession, dir: String, cutBits: Int = 16): DataFrame = {
     import spark.implicits._
-    val frames = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // parallelize the id scan feeding the per-frame encode+decode map
+    val frames = ScanLayout.ensureParallel(
+      spark.read.parquet(s"$dir/documents.parquet").select(col("doc_id")))
+      .as[Long]
       .mapPartitions { it =>
         it.flatMap { id =>
           val w = pxW(id); val h = pxH(id)

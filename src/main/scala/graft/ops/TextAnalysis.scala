@@ -203,8 +203,9 @@ object TextAnalysis {
     val mersenne61 = 2305843009213693951L
     // materialized once per query (r6; eager per-invocation local checkpoint): the eval slice (bloom build + verify join) and the
     // train-side probe all read the gram table — 3 shingling scans before
-    val grams = docs(spark, dir).select(col("doc_id"),
-      explode(Dedup.shingles(col("text"), gramWords)).as("g"))
+    val grams = ScanLayout.ensureParallel(docs(spark, dir))
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), gramWords)).as("g"))
       .localCheckpoint(true)
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id").as("eval_id"), col("g"))
@@ -248,8 +249,9 @@ object TextAnalysis {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = docs(spark, dir).select(col("doc_id"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val words = ScanLayout.ensureParallel(docs(spark, dir))
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
     // materialized once per query (r6; eager per-invocation local checkpoint): the df marginal and the scoring join both read tf —
     // each re-ran the tokenize+count chain before
     val tf = words.groupBy(col("doc_id"), col("term"))
@@ -383,7 +385,8 @@ object TextAnalysis {
     // the r6 plan audit; no shared exchange exists to reuse — the count
     // tables broadcast). Persisting the normalized token table is the
     // tokenize-once discipline any LM-scoring deployment uses.
-    val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+    val base = ScanLayout.ensureParallel(docs(spark, dir))
+      .select(col("doc_id"), norm.as("w"))
       .localCheckpoint(true)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
@@ -436,7 +439,8 @@ object TextAnalysis {
   def knLmScore(spark: SparkSession, dir: String): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
     // tokenize once (the qt16 r6 rationale)
-    val base = docs(spark, dir).select(col("doc_id"), norm.as("w"))
+    val base = ScanLayout.ensureParallel(docs(spark, dir))
+      .select(col("doc_id"), norm.as("w"))
       .localCheckpoint(true)
     val bigrams = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
@@ -700,7 +704,7 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-    var types = docs(spark, dir)
+    var types = ScanLayout.ensureParallel(docs(spark, dir))
       .select(explode(norm).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -792,7 +796,8 @@ object TextAnalysis {
   private def hashedFeats(spark: SparkSession, dir: String,
       buckets: Int): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-    val base = docs(spark, dir).select(col("doc_id"), col("lang"), norm.as("w"))
+    val base = ScanLayout.ensureParallel(docs(spark, dir))
+      .select(col("doc_id"), col("lang"), norm.as("w"))
     val unis = transform(col("w"), x => concat(lit("u:"), x))
     val bis = when(size(col("w")) >= 2,
       transform(sequence(lit(0), size(col("w")) - 2),
@@ -1020,7 +1025,7 @@ object TextAnalysis {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-    val dw = docs(spark, dir)
+    val dw = ScanLayout.ensureParallel(docs(spark, dir))
       .select(col("doc_id"), explode(norm).as("word"))
       .filter(col("word") =!= "")
     val encoded = merges.foldLeft(split(col("word"), ""): Column) {
@@ -1361,7 +1366,7 @@ object TextAnalysis {
       topK: Int = 50): DataFrame = {
     // tokenize once (the qt16 r6 rationale): unigram counts, totals, bigram
     // counts and totals each re-ran the normalize+split scan (4x)
-    val w = docs(spark, dir).select(
+    val w = ScanLayout.ensureParallel(docs(spark, dir)).select(
       split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ").as("w"))
       .localCheckpoint(true)
     val uni = w.select(explode(col("w")).as("word"))
@@ -2026,7 +2031,7 @@ object TextAnalysis {
     // tokenize once (r6): tf, dl and the query carve-out all read the
     // token table (3 normalize+split scans before); tf feeds both the df
     // marginal and the posting build
-    val words = docs(spark, dir)
+    val words = ScanLayout.ensureParallel(docs(spark, dir))
       .select(col("doc_id"), split(trim(lower(col("text"))), "\\s+").as("w"))
       .localCheckpoint(true)
     val tokens = words.select(col("doc_id"), explode(col("w")).as("term"))
@@ -2219,7 +2224,9 @@ object TextAnalysis {
   def heavyHitters(spark: SparkSession, dir: String, depth: Int = 4,
       width: Int = 4096, phiInv: Long = 1000): DataFrame = {
     val mers = 2305843009213693951L
-    val items = docs(spark, dir)
+    // parallelize the scan feeding BOTH full passes (CMS build + exact
+    // re-count) — each was one serial map task at the test layout
+    val items = ScanLayout.ensureParallel(docs(spark, dir))
       .select(explode(Dedup.shingles(col("text"), 2)).as("item"))
     // fixed-size driver collect: d*w longs + one count (the bloom-bitset /
     // IVF-quantizer precedent, Similarity.scala:98)
