@@ -20,13 +20,6 @@ object Relational {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Fact-table scan for the scan-heavy aggregates: parallelized when the
-    * measured layout has fewer splits than cores (ScanLayout — a no-op at
-    * production split counts). Dimension scans stay raw: repartitioning a
-    * broadcast side would only add an exchange before the broadcast.
-    */
-  private def fact(spark: SparkSession, dir: String, name: String): DataFrame =
-    ScanLayout.ensureParallel(t(spark, dir, name))
 
   /** Exact decimal sum surfaced as double. */
   private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -36,7 +29,7 @@ object Relational {
     * At 100 TB this is the canonical "one wide scan, tiny shuffle" query.
     */
   def q01AggPricing(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir, "lineitem")
+    t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -143,7 +136,7 @@ object Relational {
 
   /** Distinct aggregation (expands to a two-phase aggregate). */
   def q08DistinctAgg(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir, "orders")
+    t(spark, dir, "orders")
       .groupBy(col("o_orderstatus"))
       .agg(countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"))
@@ -180,13 +173,13 @@ object Relational {
     * graft.streaming).
     */
   def q12EventsHourly(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir, "events")
+    t(spark, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
 
   /** Rollup (grouping sets) over returnflag x linestatus. */
   def q13Rollup(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir, "lineitem")
+    t(spark, dir, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n_rows"), dsum(col("l_quantity")).as("sum_qty"))
 
@@ -205,7 +198,7 @@ object Relational {
 
   /** CUBE over two dimensions (full grouping-sets lattice). */
   def q16Cube(spark: SparkSession, dir: String): DataFrame =
-    fact(spark, dir, "orders")
+    t(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"),
         dsum(col("o_totalprice")).as("sum_price"))
