@@ -249,9 +249,8 @@ object TextAnalysis {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = ScanLayout.ensureParallel(docs(spark, dir))
-      .select(col("doc_id"),
-        explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+    val words = docs(spark, dir).select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
     // materialized once per query (r6; eager per-invocation local checkpoint): the df marginal and the scoring join both read tf —
     // each re-ran the tokenize+count chain before
     val tf = words.groupBy(col("doc_id"), col("term"))
@@ -704,7 +703,7 @@ object TextAnalysis {
     */
   def bpeMerges(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-    var types = ScanLayout.ensureParallel(docs(spark, dir))
+    var types = docs(spark, dir)
       .select(explode(norm).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
@@ -1025,7 +1024,7 @@ object TextAnalysis {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1)
     val norm = split(trim(regexp_replace(lower(col("text")), "\\s+", " ")), " ")
-    val dw = ScanLayout.ensureParallel(docs(spark, dir))
+    val dw = docs(spark, dir)
       .select(col("doc_id"), explode(norm).as("word"))
       .filter(col("word") =!= "")
     val encoded = merges.foldLeft(split(col("word"), ""): Column) {
